@@ -1,0 +1,348 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Registry of every driver-checkable query: name → Spark builder +
+  * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
+  * same parquet tables.
+  *
+  * INVARIANT: Spark output column names/types and the oracle's aliases
+  * must match exactly — the driver sorts columns by name and hashes
+  * values. Cross-engine float determinism is handled by the exact-decimal
+  * -sum derivations in [[graft.functions.F]]; every query ends in a total
+  * ORDER BY.
+  */
+object QueryCatalog {
+
+  final case class Spec(
+      builder: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val D = "DECIMAL(20,4)"
+  private def sumDec(x: String) = s"CAST(sum(CAST($x AS $D)) AS DOUBLE)"
+
+  val specs: Map[String, Spec] = Map(
+
+    "q_pricing_summary" -> Spec(
+      Relational.pricingSummary,
+      Some(s"""
+        WITH a AS (
+          SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                 sum(CAST(l_quantity AS $D)) AS sq,
+                 sum(CAST(l_extendedprice AS $D)) AS sg,
+                 sum(CAST(l_extendedprice * (1.0 - l_discount) AS $D)) AS sn,
+                 sum(CAST(l_extendedprice * l_extendedprice AS $D)) AS sg2
+          FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus, n_rows,
+               CAST(sq AS DOUBLE) AS sum_qty,
+               CAST(sg AS DOUBLE) AS sum_gross,
+               CAST(sn AS DOUBLE) AS sum_net,
+               CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_price,
+               round(sqrt(greatest(0.0,
+                 CAST(sg2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 - (CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                   * (CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE)))), 6) AS stddev_price
+        FROM a ORDER BY l_returnflag, l_linestatus""")),
+
+    "q_margin_by_sku" -> Spec(
+      Relational.marginBySku,
+      Some(s"""
+        SELECT l_partkey AS sku,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 - ((CASE WHEN l_extendedprice >= 15000 THEN 0
+                          WHEN l_extendedprice >= 10000 THEN 699
+                          WHEN l_extendedprice >= 5000 THEN 799
+                          ELSE 999 END)
+                    + greatest(0, CAST(ceil(p_size * 0.3) AS BIGINT) - 3) * 399)
+                 AS $D)) AS DOUBLE) AS margin_kzt,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_partkey ORDER BY margin_kzt DESC, sku""")),
+
+    "q_daily_demand" -> Spec(
+      Relational.dailyDemand,
+      Some(s"""
+        SELECT l_partkey AS sku, ${sumDec("l_quantity")} / 30.0 AS daily_demand
+        FROM lineitem
+        WHERE l_shipdate >= (SELECT max(l_shipdate) FROM lineitem) - INTERVAL 30 DAY
+        GROUP BY l_partkey ORDER BY sku""")),
+
+    "q_inventory_reorder" -> Spec(
+      Relational.inventoryReorder,
+      Some(s"""
+        WITH demand AS (
+          SELECT l_partkey AS sku, ${sumDec("l_quantity")} / 30.0 AS daily_demand
+          FROM lineitem
+          WHERE l_shipdate >= (SELECT max(l_shipdate) FROM lineitem) - INTERVAL 30 DAY
+          GROUP BY l_partkey),
+        s AS (
+          SELECT p_partkey AS sku, CAST(p_size * 10 AS BIGINT) AS qty_on_hand,
+                 coalesce(daily_demand, 0.0) AS daily_demand
+          FROM part LEFT JOIN demand ON p_partkey = demand.sku)
+        SELECT sku, qty_on_hand, daily_demand,
+               CAST(ceil(daily_demand * 14.0
+                 + 1.65 * (daily_demand * 0.2) * sqrt(14)) AS BIGINT) AS reorder_point,
+               qty_on_hand <= CAST(ceil(daily_demand * 14.0
+                 + 1.65 * (daily_demand * 0.2) * sqrt(14)) AS BIGINT) AS need_reorder
+        FROM s ORDER BY need_reorder DESC, sku""")),
+
+    "q_brand_value_counts" -> Spec(
+      Relational.brandValueCounts,
+      Some("""
+        SELECT p_brand, count(*) AS n FROM part
+        GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 5""")),
+
+    "q_conditional_counts" -> Spec(
+      Relational.conditionalCounts,
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               ${sumDec("o_totalprice")} AS sum_total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    "q_global_kpis" -> Spec(
+      Relational.globalKpis,
+      Some(s"""
+        SELECT count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               ${sumDec("o_totalprice")} AS revenue,
+               ${sumDec("o_totalprice")} / CAST(count(*) AS DOUBLE) AS avg_order_value
+        FROM orders""")),
+
+    "q_seller_stats" -> Spec(
+      Relational.sellerStats,
+      Some(s"""
+        WITH a AS (
+          SELECT l_partkey AS sku, count(*) AS n_offers,
+                 min(l_extendedprice) AS min_price,
+                 max(l_extendedprice) AS max_price,
+                 median(l_extendedprice) AS median_price,
+                 sum(CAST(l_extendedprice AS $D)) AS sp,
+                 sum(CAST(l_extendedprice * l_extendedprice AS $D)) AS sp2
+          FROM lineitem GROUP BY l_partkey)
+        SELECT sku, n_offers, min_price, max_price, spread, median_price,
+               avg_price, stddev_price,
+               CAST(round((1.0 - least(1.0, stddev_price / min_price)) * 100)
+                 AS BIGINT) AS stability
+        FROM (
+          SELECT sku, n_offers, min_price, max_price,
+                 max_price - min_price AS spread, median_price,
+                 CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE) AS avg_price,
+                 round(sqrt(greatest(0.0,
+                   CAST(sp2 AS DOUBLE) / CAST(n_offers AS DOUBLE)
+                   - (CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE))
+                     * (CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE)))), 6) AS stddev_price
+          FROM a)
+        ORDER BY sku""")),
+
+    "q_unique_suppliers_per_brand" -> Spec(
+      Relational.uniqueSuppliersPerBrand,
+      Some("""
+        SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    "q_global_analytics" -> Spec(
+      Relational.globalAnalytics,
+      Some(s"""
+        WITH s AS (
+          SELECT l_partkey AS sku,
+                 min(l_extendedprice) AS min_price,
+                 max(l_extendedprice) - min(l_extendedprice) AS spread
+          FROM lineitem GROUP BY l_partkey)
+        SELECT count(*) AS n_skus,
+               ${sumDec("spread")} / CAST(count(*) AS DOUBLE) AS avg_spread,
+               median(spread) AS median_spread,
+               max(spread) AS max_spread,
+               CAST(sum(CASE WHEN spread <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS tight_share,
+               min(min_price) AS best_entry_price
+        FROM s""")),
+
+    "q_delta_vs_min" -> Spec(
+      Relational.deltaVsMin,
+      Some("""
+        SELECT l_orderkey, l_linenumber, sku, price, min_price,
+               price - min_price AS delta,
+               round((price - min_price) / min_price * 100.0, 4) AS delta_pct
+        FROM (SELECT l_orderkey, l_linenumber, l_partkey AS sku,
+                     l_extendedprice AS price,
+                     min(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
+              FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    "q_top3_cheapest_per_sku" -> Spec(
+      Relational.top3CheapestPerSku,
+      Some("""
+        SELECT l_partkey AS sku, rank, l_suppkey AS seller, l_extendedprice AS price
+        FROM (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rank
+              FROM lineitem)
+        WHERE rank <= 3 ORDER BY sku, rank""")),
+
+    "q_size_recommend" -> Spec(
+      Relational.sizeRecommend,
+      Some("""
+        WITH chart(h_min, h_max, w_min, w_max, size) AS (
+          VALUES (140,155,40,55,'XS'), (150,165,50,65,'S'), (160,175,60,75,'M'),
+                 (170,185,70,85,'L'), (180,195,80,95,'XL'), (190,210,90,120,'XXL')),
+        cust AS (
+          SELECT c_custkey, CAST(150 + c_custkey % 50 AS INT) AS height,
+                 CAST(50 + c_custkey % 60 AS INT) AS weight
+          FROM customer),
+        cand AS (
+          SELECT c_custkey, height, weight, size,
+                 -(abs((h_min + h_max) / 2.0 - height)
+                   + abs((w_min + w_max) / 2.0 - weight)) AS score
+          FROM cust JOIN chart
+            ON height BETWEEN h_min AND h_max AND weight BETWEEN w_min AND w_max),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY c_custkey
+                      ORDER BY score DESC, size) AS rn
+          FROM cand),
+        agg AS (
+          SELECT c_custkey,
+                 max(CASE WHEN rn = 1 THEN size END) AS best_size,
+                 count(*) AS n_candidates,
+                 coalesce(string_agg(CASE WHEN rn BETWEEN 2 AND 4 THEN size END,
+                   ',' ORDER BY rn), '') AS alt_sizes
+          FROM ranked GROUP BY c_custkey)
+        SELECT c.c_custkey, height, weight,
+               coalesce(best_size, 'NONE') AS best_size,
+               coalesce(n_candidates, 0) AS n_candidates,
+               coalesce(alt_sizes, '') AS alt_sizes
+        FROM cust c LEFT JOIN agg USING (c_custkey)
+        ORDER BY c_custkey""")),
+
+    "q_sliding_undercut" -> Spec(
+      Relational.slidingUndercut,
+      Some("""
+        WITH b AS (
+          SELECT event_id, user_id,
+                 CASE WHEN value <= min(value) OVER (PARTITION BY user_id) + 50.0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS undercut
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, undercut,
+                 CAST(sum(undercut) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sliding_hits
+          FROM b)
+        SELECT event_id, user_id, undercut, sliding_hits,
+               sliding_hits >= 3 AS is_bot
+        FROM s ORDER BY user_id, event_id""")),
+
+    "q_dedup_merge" -> Spec(
+      Relational.dedupMerge,
+      Some("""
+        SELECT l_partkey AS sku, l_suppkey AS seller,
+               min(l_extendedprice) AS best_price,
+               strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship_date,
+               count(*) AS n_merged
+        FROM lineitem GROUP BY l_partkey, l_suppkey ORDER BY sku, seller""")),
+
+    "q_first_order_per_customer_day" -> Spec(
+      Relational.firstOrderPerCustomerDay,
+      Some("""
+        SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               min(o_orderkey) AS first_order, count(*) AS n_dups
+        FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m-%d')
+        ORDER BY o_custkey, order_date""")),
+
+    "q_union_all_flags" -> Spec(
+      Relational.unionAllFlags,
+      Some(s"""
+        SELECT l_returnflag, count(*) AS n, ${sumDec("l_quantity")} AS sum_qty
+        FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A'
+              UNION ALL
+              SELECT * FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q_customers_without_orders" -> Spec(
+      Relational.customersWithoutOrders,
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    "q_orders_with_customer_name" -> Spec(
+      Relational.ordersWithCustomerName,
+      Some("""
+        SELECT o_orderkey,
+               coalesce(c_name, 'UNKNOWN-' || CAST(o_custkey AS VARCHAR)) AS cust_name,
+               o_totalprice
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
+    "q_target_prices" -> Spec(
+      Relational.targetPrices,
+      Some("""
+        WITH comp AS (
+          SELECT l_partkey, min(l_extendedprice) AS lowest_comp
+          FROM lineitem GROUP BY l_partkey),
+        t AS (
+          SELECT p_partkey, p_retailprice, lowest_comp,
+                 CASE WHEN lowest_comp IS NULL
+                      THEN least(greatest(p_retailprice, round(p_retailprice * 0.8, 2)),
+                                 round(p_retailprice * 1.2, 2))
+                      ELSE least(greatest(lowest_comp - 50.0, round(p_retailprice * 0.8, 2)),
+                                 round(p_retailprice * 1.2, 2)) END AS tgt
+          FROM part LEFT JOIN comp ON p_partkey = l_partkey)
+        SELECT p_partkey AS sku, p_retailprice AS current_price, lowest_comp,
+               CASE WHEN abs(tgt - p_retailprice) <= 50.0 THEN p_retailprice
+                    ELSE tgt END AS target_price
+        FROM t ORDER BY sku""")),
+
+    "q_bot_flags" -> Spec(
+      Relational.botFlags,
+      Some("""
+        WITH offers AS (
+          SELECT l_partkey AS sku, l_suppkey AS seller, min(l_extendedprice) AS price
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        g AS (
+          SELECT sku, min(price) AS mn, median(price) AS md
+          FROM offers GROUP BY sku)
+        SELECT o.sku AS sku, o.seller, o.price,
+               ((o.price - g.mn >= 0 AND o.price - g.mn <= 100.0)
+                OR (o.price - g.mn >= 0 AND (o.price - g.mn) / g.mn <= 0.0025))
+               AND (g.md - g.mn <= 3000.0) AS is_bot
+        FROM offers o JOIN g ON o.sku = g.sku ORDER BY sku, seller""")),
+
+    "q_price_floor" -> Spec(
+      Relational.priceFloor,
+      Some("""
+        WITH offers AS (
+          SELECT l_partkey AS sku, l_suppkey AS seller, min(l_extendedprice) AS price
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        g AS (
+          SELECT sku, min(price) AS mn, median(price) AS md
+          FROM offers GROUP BY sku),
+        f AS (
+          SELECT o.sku AS sku, o.price,
+                 ((o.price - g.mn >= 0 AND o.price - g.mn <= 100.0)
+                  OR (o.price - g.mn >= 0 AND (o.price - g.mn) / g.mn <= 0.0025))
+                 AND (g.md - g.mn <= 3000.0) AS is_bot
+          FROM offers o JOIN g ON o.sku = g.sku)
+        SELECT sku,
+               CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
+               min(price) AS min_price,
+               CASE WHEN CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) >= 2
+                    THEN greatest(0.0, min(price) - 200.0) ELSE min(price) END
+                 AS predicted_min_24h,
+               CASE WHEN CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) >= 2
+                    THEN greatest(0.0, min(price) - 400.0) ELSE min(price) END
+                 AS predicted_min_7d
+        FROM f GROUP BY sku ORDER BY sku"""))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map { case (k, s) => k -> s.builder }
+
+  def oracleSql: Map[String, String] =
+    specs.collect { case (k, Spec(_, Some(sql))) =>
+      k -> sql.stripMargin.linesIterator.map(_.trim).mkString(" ").trim
+    }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev/smoke entrypoint: runs the flagship `SparkEntry.entry` slice the way
+  * the driver's t1 smoke does, prints row count and (optionally, with
+  * args(0) == a query name or "entry") the formatted physical plan — the
+  * feedback loop for keeping plans broadcast/pushdown-shaped.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    args.headOption match {
+      case Some(q) if q != "entry" =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.explain("formatted")
+        println(s"SMOKE $q rows=${df.count()}")
+      case _ =>
+        val df = SparkEntry.entry(spark)
+        df.explain("formatted")
+        println(s"SMOKE entry rows=${df.count()}")
+        df.show(5, truncate = false)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.F
+
+/** Relational operator catalog (SURVEY.md §2.2–§2.6) re-expressed as lazy
+  * Spark plans over the canonical tables.
+  *
+  * Design rules applied throughout (these are the 100 TB rules, not
+  * small-data conveniences):
+  *   - Aggregations sum fixed-scale decimals (exact, associative) so
+  *     map-side partial aggregation and AQE re-planning cannot change
+  *     results; doubles are derived after the exact sums (see [[F.dec]]).
+  *   - Dimension sides of joins (`part`, settings, size chart) are
+  *     broadcast — no shuffle of the fact table for lookup enrichment.
+  *   - Every query ends in a deterministic ORDER BY so results are
+  *     reproducible and comparable across engines.
+  *   - No UDFs: everything is built-in Catalyst expressions and stays in
+  *     whole-stage codegen.
+  */
+object Relational {
+
+  private def li(spark: SparkSession, dir: String) = Tables.load(spark, dir, "lineitem")
+  private def part(spark: SparkSession, dir: String) = Tables.load(spark, dir, "part")
+  private def ord(spark: SparkSession, dir: String) = Tables.load(spark, dir, "orders")
+  private def cust(spark: SparkSession, dir: String) = Tables.load(spark, dir, "customer")
+  private def ev(spark: SparkSession, dir: String) = Tables.load(spark, dir, "events")
+
+  /** A1/A2/A6 + X3 — pricing summary: grouped exact sums + derived stats.
+    * Mirrors the reference's KPI aggregations (scripts/dashboard.py:27-56).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(F.dec(col("l_quantity"))).as("sq"),
+        sum(F.dec(col("l_extendedprice"))).as("sg"),
+        sum(F.dec(col("net"))).as("sn"),
+        sum(F.dec(col("l_extendedprice") * col("l_extendedprice"))).as("sg2"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sg").cast("double").as("sum_gross"),
+        col("sn").cast("double").as("sum_net"),
+        F.avgFromSums(col("sg"), col("n_rows")).as("avg_price"),
+        F.stddevPopFromSums(col("sg"), col("sg2"), col("n_rows")).as("stddev_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3/J1/X1/X3 — the flagship "margin by SKU" slice
+    * (reference scripts/dashboard.py:67-73 + etl_sales.py:28-33,61-66):
+    * enrich the fact table with a broadcast dimension, derive the tiered
+    * delivery fee and net revenue, aggregate per SKU, rank by margin.
+    */
+  def marginBySku(spark: SparkSession, dir: String): DataFrame = {
+    val fee = F.deliveryFee(col("l_extendedprice"), col("p_size") * lit(0.3))
+    li(spark, dir)
+      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("net",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) - fee)
+      .groupBy(col("l_partkey").as("sku"))
+      .agg(sum(F.dec(col("net"))).as("m"), count(lit(1)).as("n_lines"))
+      .select(col("sku"), col("m").cast("double").as("margin_kzt"), col("n_lines"))
+      .orderBy(desc("margin_kzt"), asc("sku"))
+  }
+
+  /** F2/A1/W1 — daily demand over the trailing 30-day window anchored at
+    * max(ship date) (reference scripts/dashboard.py:35-36). The scalar
+    * anchor is a 1-row aggregate broadcast-cross-joined in, so the filter
+    * still pushes into the scan at any scale (no driver collect).
+    */
+  def dailyDemand(spark: SparkSession, dir: String): DataFrame = {
+    val l = li(spark, dir)
+    val anchor = l.agg(max(col("l_shipdate")).as("anchor"))
+    l.crossJoin(broadcast(anchor))
+      .filter(col("l_shipdate") >= col("anchor") - expr("INTERVAL 30 DAY"))
+      .groupBy(col("l_partkey").as("sku"))
+      .agg(sum(F.dec(col("l_quantity"))).as("sq"))
+      .select(col("sku"), (col("sq").cast("double") / 30.0).as("daily_demand"))
+      .orderBy("sku")
+  }
+
+  /** J3/X2/F9/O1 — inventory panel: stock ⟕ demand, reorder point, flag,
+    * sort urgent-first (reference scripts/dashboard.py:35-46).
+    */
+  def inventoryReorder(spark: SparkSession, dir: String): DataFrame = {
+    val demand = dailyDemand(spark, dir)
+    val stock = part(spark, dir)
+      .select(col("p_partkey").as("sku"),
+        (col("p_size") * 10).cast("long").as("qty_on_hand"))
+    val dd = coalesce(col("daily_demand"), lit(0.0))
+    stock.join(demand, Seq("sku"), "left")
+      .select(
+        col("sku"), col("qty_on_hand"),
+        dd.as("daily_demand"),
+        F.reorderPoint(dd, leadDays = 14).cast("long").as("reorder_point"),
+        (col("qty_on_hand") <= F.reorderPoint(dd, leadDays = 14)).as("need_reorder"))
+      .orderBy(desc("need_reorder"), asc("sku"))
+  }
+
+  /** A4/W4 — value_counts head-N with deterministic tie-break
+    * (reference scripts/etl_catalog_simple.py:138-147).
+    */
+  def brandValueCounts(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("p_brand"))
+      .limit(5)
+
+  /** A5/F9 — conditional counts per group
+    * (reference enhanced_catalog_parser.py:263-275, pricebot stats/route.ts:28-33).
+    */
+  def conditionalCounts(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(F.dec(col("o_totalprice"))).as("st"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_open"),
+        col("n_finished"), col("st").cast("double").as("sum_total"))
+      .orderBy("o_orderpriority")
+
+  /** A6 — global scalar KPIs (reference scripts/dashboard.py:27-32). */
+  def globalKpis(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(F.dec(col("o_totalprice"))).as("st"))
+      .select(col("n_orders"), col("n_customers"),
+        col("st").cast("double").as("revenue"),
+        F.avgFromSums(col("st"), col("n_orders")).as("avg_order_value"))
+
+  /** A7/X21 — per-group order-statistics block: min/max/exact-median/avg/
+    * stddev_pop/spread + stability score (reference server/scrape.ts:710-718,
+    * 749-754). Exact median via `median` (not approx) per SURVEY §7 risk (a).
+    */
+  def sellerStats(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .groupBy(col("l_partkey").as("sku"))
+      .agg(
+        count(lit(1)).as("n_offers"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        median(col("l_extendedprice")).as("median_price"),
+        sum(F.dec(col("l_extendedprice"))).as("sp"),
+        sum(F.dec(col("l_extendedprice") * col("l_extendedprice"))).as("sp2"))
+      .select(
+        col("sku"), col("n_offers"), col("min_price"), col("max_price"),
+        (col("max_price") - col("min_price")).as("spread"),
+        col("median_price"),
+        F.avgFromSums(col("sp"), col("n_offers")).as("avg_price"),
+        F.stddevPopFromSums(col("sp"), col("sp2"), col("n_offers")).as("stddev_price"))
+      .withColumn("stability",
+        F.stabilityScore(col("stddev_price"), col("min_price")))
+      .orderBy("sku")
+
+  /** A8 — count-distinct sellers per group (reference KpiCards.tsx:16-21).
+    * Exact here; at 100 TB swap to approx_count_distinct where tolerable.
+    */
+  def uniqueSuppliersPerBrand(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
+  /** A9 — global analytics over per-group spreads: second-level aggregate
+    * (reference README.md:61-72, AnalyticsPanel.tsx:9-36).
+    */
+  def globalAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val stats = sellerStats(spark, dir)
+    stats.agg(
+        count(lit(1)).as("n_skus"),
+        sum(F.dec(col("spread"))).as("ss"),
+        median(col("spread")).as("median_spread"),
+        max(col("spread")).as("max_spread"),
+        sum(when(col("spread") <= 1000.0, 1L).otherwise(0L)).as("n_tight"),
+        min(col("min_price")).as("best_entry_price"))
+      .select(
+        col("n_skus"),
+        F.avgFromSums(col("ss"), col("n_skus")).as("avg_spread"),
+        col("median_spread"), col("max_spread"),
+        (col("n_tight").cast("double") / col("n_skus").cast("double")).as("tight_share"),
+        col("best_entry_price"))
+  }
+
+  /** W2 — per-row delta vs group minimum (reference SellersTable.tsx:21-36,
+    * scrape.ts:721-723). Window min, no self-join.
+    */
+  def deltaVsMin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    li(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("sku"),
+        col("l_extendedprice").as("price"),
+        min(col("l_extendedprice")).over(w).as("min_price"))
+      .withColumn("delta", col("price") - col("min_price"))
+      .withColumn("delta_pct",
+        round(col("delta") / col("min_price") * 100.0, 4))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** W3 — top-k cheapest per group via row_number (reference
+    * price_watch.ts:66). Fully deterministic ordering keys.
+    */
+  def top3CheapestPerSku(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+    li(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_partkey").as("sku"), col("rank"),
+        col("l_suppkey").as("seller"), col("l_extendedprice").as("price"))
+      .orderBy("sku", "rank")
+  }
+
+  /** J8/W5 — range join + best-match + top-3 alternatives (reference
+    * size_recommendation_engine.py:165-227). The size chart is a tiny
+    * broadcast dimension; the range predicate runs as a broadcast
+    * nested-loop join — the scalable plan for fact×tiny-theta-dim.
+    */
+  def sizeRecommend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chart = Seq(
+      (140, 155, 40, 55, "XS"), (150, 165, 50, 65, "S"),
+      (160, 175, 60, 75, "M"), (170, 185, 70, 85, "L"),
+      (180, 195, 80, 95, "XL"), (190, 210, 90, 120, "XXL"))
+      .toDF("h_min", "h_max", "w_min", "w_max", "size")
+    val customers = cust(spark, dir).select(
+      col("c_custkey"),
+      (lit(150) + col("c_custkey") % 50).cast("int").as("height"),
+      (lit(50) + col("c_custkey") % 60).cast("int").as("weight"))
+    val score =
+      -(abs((col("h_min") + col("h_max")) / 2.0 - col("height")) +
+        abs((col("w_min") + col("w_max")) / 2.0 - col("weight")))
+    val cand = customers
+      .join(broadcast(chart),
+        col("height").between(col("h_min"), col("h_max")) &&
+          col("weight").between(col("w_min"), col("w_max")))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(desc("score"), asc("size"))
+    val ranked = cand.withColumn("rn", row_number().over(w))
+    val agg = ranked.groupBy("c_custkey").agg(
+      max(when(col("rn") === 1, col("size"))).as("best_size"),
+      count(lit(1)).as("n_candidates"),
+      concat_ws(",",
+        transform(
+          slice(array_sort(collect_list(struct(col("rn"), col("size")))), 2, 3),
+          x => x.getField("size"))).as("alt_sizes"))
+    customers.join(agg, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("height"), col("weight"),
+        coalesce(col("best_size"), lit("NONE")).as("best_size"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("alt_sizes"), lit("")).as("alt_sizes"))
+      .orderBy("c_custkey")
+  }
+
+  /** W6/X22 — sliding count over the last 5 observations per key: the
+    * batch form of the streaming bot detector (reference
+    * price_watch.ts:31-52). Frame = ROWS BETWEEN 4 PRECEDING AND CURRENT.
+    */
+  def slidingUndercut(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val seq5 = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, 0)
+    ev(spark, dir)
+      .withColumn("min_value", min(col("value")).over(byUser))
+      .withColumn("undercut",
+        when(col("value") <= col("min_value") + 50.0, 1L).otherwise(0L))
+      .withColumn("sliding_hits", sum(col("undercut")).over(seq5))
+      .withColumn("is_bot", col("sliding_hits") >= 3)
+      .select("event_id", "user_id", "undercut", "sliding_hits", "is_bot")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** D2/O2 — group-dedup with merge policy: per key keep lowest price +
+    * earliest date (reference server/scrape.ts:543-563).
+    */
+  def dedupMerge(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .groupBy(col("l_partkey").as("sku"), col("l_suppkey").as("seller"))
+      .agg(
+        min(col("l_extendedprice")).as("best_price"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship_date"),
+        count(lit(1)).as("n_merged"))
+      .orderBy("sku", "seller")
+
+  /** D1/D3 — keyed dedup, deterministic first-wins via min(key)
+    * (reference etl_purchases.py:55, scrape.ts:324,339).
+    */
+  def firstOrderPerCustomerDay(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .groupBy(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(min(col("o_orderkey")).as("first_order"), count(lit(1)).as("n_dups"))
+      .orderBy("o_custkey", "order_date")
+
+  /** U1 — union-all of homogeneous slices then aggregate
+    * (reference etl_sales.py:41-73 per-file concat).
+    */
+  def unionAllFlags(spark: SparkSession, dir: String): DataFrame = {
+    val l = li(spark, dir)
+    l.filter(col("l_returnflag") === "A")
+      .unionByName(l.filter(col("l_returnflag") === "R"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(F.dec(col("l_quantity"))).as("sq"))
+      .select(col("l_returnflag"), col("n"), col("sq").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** J5/F6 — anti-join: keys absent from the other side (reference
+    * etl_catalog_api.py:235-244 new-product detection).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    cust(spark, dir)
+      .join(ord(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** J1/J2 — left join + coalesce fallback key (reference
+    * etl_sales.py:64-65).
+    */
+  def ordersWithCustomerName(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .join(broadcast(cust(spark, dir)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_name"),
+          concat(lit("UNKNOWN-"), col("o_custkey").cast("string"))).as("cust_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** X18/J6/A10 — pricebot target price with clamping + hysteresis
+    * (reference PRICEBOT_SPEC_V2.md:96-98, run/route.ts:25-41).
+    */
+  def targetPrices(spark: SparkSession, dir: String): DataFrame = {
+    val comp = li(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("lowest_comp"))
+    part(spark, dir)
+      .join(comp, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey").as("sku"),
+        col("p_retailprice").as("current_price"),
+        col("lowest_comp"),
+        F.targetPrice(
+          col("p_retailprice"), col("lowest_comp"),
+          round(col("p_retailprice") * 0.8, 2),
+          round(col("p_retailprice") * 1.2, 2),
+          lit(50.0)).as("target_price"))
+      .orderBy("sku")
+  }
+
+  /** X19 — bot-flag heuristic over deduped per-seller offers (reference
+    * server/scrape.ts:719-732); thresholds scaled to the testdata's price
+    * range, structure identical.
+    */
+  def botFlags(spark: SparkSession, dir: String): DataFrame = {
+    val offers = li(spark, dir)
+      .groupBy(col("l_partkey").as("sku"), col("l_suppkey").as("seller"))
+      .agg(min(col("l_extendedprice")).as("price"))
+    val g = offers.groupBy("sku")
+      .agg(min(col("price")).as("mn"), median(col("price")).as("md"))
+    offers.join(g, Seq("sku"))
+      .select(col("sku"), col("seller"), col("price"),
+        F.isPriceBot(col("price"), col("mn"), col("md"),
+          nearAbs = 100.0, nearPct = 0.0025, tight = 3000.0).as("is_bot"))
+      .orderBy("sku", "seller")
+  }
+
+  /** X20 — price-floor prediction from bot density (reference
+    * server/scrape.ts:735-747).
+    */
+  def priceFloor(spark: SparkSession, dir: String): DataFrame =
+    botFlags(spark, dir)
+      .groupBy("sku")
+      .agg(
+        sum(when(col("is_bot"), 1L).otherwise(0L)).as("n_bots"),
+        min(col("price")).as("min_price"))
+      .select(col("sku"), col("n_bots"), col("min_price"),
+        when(col("n_bots") >= 2, greatest(lit(0.0), col("min_price") - 200.0))
+          .otherwise(col("min_price")).as("predicted_min_24h"),
+        when(col("n_bots") >= 2, greatest(lit(0.0), col("min_price") - 400.0))
+          .otherwise(col("min_price")).as("predicted_min_7d"))
+      .orderBy("sku")
+}
