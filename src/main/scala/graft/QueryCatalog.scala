@@ -22,6 +22,9 @@ object QueryCatalog {
 
   private val D = "DECIMAL(20,4)"
   private def sumDec(x: String) = s"CAST(sum(CAST($x AS $D)) AS DOUBLE)"
+  // Half-up rounding via pure IEEE ops — must stay in lockstep with
+  // F.roundHalfUp (engine-native round() diverges at .5 boundaries).
+  private def rnd(x: String, s: Int) = s"floor(($x) * 1e$s + 0.5) / 1e$s"
 
   val specs: Map[String, Spec] = Map(
 
@@ -39,11 +42,11 @@ object QueryCatalog {
                CAST(sq AS DOUBLE) AS sum_qty,
                CAST(sg AS DOUBLE) AS sum_gross,
                CAST(sn AS DOUBLE) AS sum_net,
-               CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_price,
-               round(sqrt(greatest(0.0,
+               ${rnd("CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS avg_price,
+               ${rnd("""sqrt(greatest(0.0,
                  CAST(sg2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
                  - (CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE))
-                   * (CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE)))), 6) AS stddev_price
+                   * (CAST(sg AS DOUBLE) / CAST(n_rows AS DOUBLE))))""", 6)} AS stddev_price
         FROM a ORDER BY l_returnflag, l_linestatus""")),
 
     "q_margin_by_sku" -> Spec(
@@ -64,7 +67,7 @@ object QueryCatalog {
     "q_daily_demand" -> Spec(
       Relational.dailyDemand,
       Some(s"""
-        SELECT l_partkey AS sku, ${sumDec("l_quantity")} / 30.0 AS daily_demand
+        SELECT l_partkey AS sku, ${rnd(s"${sumDec("l_quantity")} / 30.0", 6)} AS daily_demand
         FROM lineitem
         WHERE l_shipdate >= (SELECT max(l_shipdate) FROM lineitem) - INTERVAL 30 DAY
         GROUP BY l_partkey ORDER BY sku""")),
@@ -73,7 +76,7 @@ object QueryCatalog {
       Relational.inventoryReorder,
       Some(s"""
         WITH demand AS (
-          SELECT l_partkey AS sku, ${sumDec("l_quantity")} / 30.0 AS daily_demand
+          SELECT l_partkey AS sku, ${rnd(s"${sumDec("l_quantity")} / 30.0", 6)} AS daily_demand
           FROM lineitem
           WHERE l_shipdate >= (SELECT max(l_shipdate) FROM lineitem) - INTERVAL 30 DAY
           GROUP BY l_partkey),
@@ -109,7 +112,7 @@ object QueryCatalog {
         SELECT count(*) AS n_orders,
                count(DISTINCT o_custkey) AS n_customers,
                ${sumDec("o_totalprice")} AS revenue,
-               ${sumDec("o_totalprice")} / CAST(count(*) AS DOUBLE) AS avg_order_value
+               ${rnd(s"${sumDec("o_totalprice")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_order_value
         FROM orders""")),
 
     "q_seller_stats" -> Spec(
@@ -125,16 +128,16 @@ object QueryCatalog {
           FROM lineitem GROUP BY l_partkey)
         SELECT sku, n_offers, min_price, max_price, spread, median_price,
                avg_price, stddev_price,
-               CAST(round((1.0 - least(1.0, stddev_price / min_price)) * 100)
+               CAST(${rnd("(1.0 - least(1.0, stddev_price / min_price)) * 100", 0)}
                  AS BIGINT) AS stability
         FROM (
           SELECT sku, n_offers, min_price, max_price,
                  max_price - min_price AS spread, median_price,
-                 CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE) AS avg_price,
-                 round(sqrt(greatest(0.0,
+                 ${rnd("CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE)", 6)} AS avg_price,
+                 ${rnd("""sqrt(greatest(0.0,
                    CAST(sp2 AS DOUBLE) / CAST(n_offers AS DOUBLE)
                    - (CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE))
-                     * (CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE)))), 6) AS stddev_price
+                     * (CAST(sp AS DOUBLE) / CAST(n_offers AS DOUBLE))))""", 6)} AS stddev_price
           FROM a)
         ORDER BY sku""")),
 
@@ -154,20 +157,20 @@ object QueryCatalog {
                  max(l_extendedprice) - min(l_extendedprice) AS spread
           FROM lineitem GROUP BY l_partkey)
         SELECT count(*) AS n_skus,
-               ${sumDec("spread")} / CAST(count(*) AS DOUBLE) AS avg_spread,
+               ${rnd(s"${sumDec("spread")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_spread,
                median(spread) AS median_spread,
                max(spread) AS max_spread,
-               CAST(sum(CASE WHEN spread <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS tight_share,
+               ${rnd("""CAST(sum(CASE WHEN spread <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)""", 6)} AS tight_share,
                min(min_price) AS best_entry_price
         FROM s""")),
 
     "q_delta_vs_min" -> Spec(
       Relational.deltaVsMin,
-      Some("""
+      Some(s"""
         SELECT l_orderkey, l_linenumber, sku, price, min_price,
                price - min_price AS delta,
-               round((price - min_price) / min_price * 100.0, 4) AS delta_pct
+               ${rnd("(price - min_price) / min_price * 100.0", 4)} AS delta_pct
         FROM (SELECT l_orderkey, l_linenumber, l_partkey AS sku,
                      l_extendedprice AS price,
                      min(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
@@ -265,7 +268,9 @@ object QueryCatalog {
       Relational.customersWithoutOrders,
       Some("""
         SELECT c_custkey, c_name, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY)
         ORDER BY c_custkey""")),
 
     "q_orders_with_customer_name" -> Spec(
@@ -279,17 +284,17 @@ object QueryCatalog {
 
     "q_target_prices" -> Spec(
       Relational.targetPrices,
-      Some("""
+      Some(s"""
         WITH comp AS (
           SELECT l_partkey, min(l_extendedprice) AS lowest_comp
           FROM lineitem GROUP BY l_partkey),
         t AS (
           SELECT p_partkey, p_retailprice, lowest_comp,
                  CASE WHEN lowest_comp IS NULL
-                      THEN least(greatest(p_retailprice, round(p_retailprice * 0.8, 2)),
-                                 round(p_retailprice * 1.2, 2))
-                      ELSE least(greatest(lowest_comp - 50.0, round(p_retailprice * 0.8, 2)),
-                                 round(p_retailprice * 1.2, 2)) END AS tgt
+                      THEN least(greatest(p_retailprice, ${rnd("p_retailprice * 0.8", 2)}),
+                                 ${rnd("p_retailprice * 1.2", 2)})
+                      ELSE least(greatest(lowest_comp - 50.0, ${rnd("p_retailprice * 0.8", 2)}),
+                                 ${rnd("p_retailprice * 1.2", 2)}) END AS tgt
           FROM part LEFT JOIN comp ON p_partkey = l_partkey)
         SELECT p_partkey AS sku, p_retailprice AS current_price, lowest_comp,
                CASE WHEN abs(tgt - p_retailprice) <= 50.0 THEN p_retailprice
@@ -307,7 +312,8 @@ object QueryCatalog {
           FROM offers GROUP BY sku)
         SELECT o.sku AS sku, o.seller, o.price,
                ((o.price - g.mn >= 0 AND o.price - g.mn <= 100.0)
-                OR (o.price - g.mn >= 0 AND (o.price - g.mn) / g.mn <= 0.0025))
+                OR (o.price - g.mn >= 0 AND
+                    (CASE WHEN g.mn > 0 THEN (o.price - g.mn) / g.mn ELSE 0 END) <= 0.0025))
                AND (g.md - g.mn <= 3000.0) AS is_bot
         FROM offers o JOIN g ON o.sku = g.sku ORDER BY sku, seller""")),
 
@@ -323,7 +329,8 @@ object QueryCatalog {
         f AS (
           SELECT o.sku AS sku, o.price,
                  ((o.price - g.mn >= 0 AND o.price - g.mn <= 100.0)
-                  OR (o.price - g.mn >= 0 AND (o.price - g.mn) / g.mn <= 0.0025))
+                  OR (o.price - g.mn >= 0 AND
+                      (CASE WHEN g.mn > 0 THEN (o.price - g.mn) / g.mn ELSE 0 END) <= 0.0025))
                  AND (g.md - g.mn <= 3000.0) AS is_bot
           FROM offers o JOIN g ON o.sku = g.sku)
         SELECT sku,

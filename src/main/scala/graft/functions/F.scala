@@ -24,19 +24,36 @@ object F {
     */
   def dec(c: Column): Column = c.cast(DecimalType(20, 4))
 
-  /** Mean derived from an exact decimal sum: sum(dec(x)) / n. */
+  /** Half-up rounding via pure IEEE ops: floor(x*10^s + 0.5)/10^s.
+    *
+    * Engine-native `round` differs at exact .5 boundaries (Spark rounds
+    * the decimal expansion HALF_UP, DuckDB the binary double — observed
+    * divergence: 66894.5471875 → ...188 vs ...187). This formula is only
+    * multiply/add/floor/divide on doubles, which IEEE 754 fully
+    * determines, so any two engines agree bit-for-bit. Valid while
+    * |x|*10^s < 2^53.
+    */
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * lit(p) + lit(0.5)).cast("double") / lit(p)
+  }
+
+  /** Mean derived from an exact decimal sum: sum(dec(x)) / n, rounded to
+    * 6 via [[roundHalfUp]] — unrounded derived doubles flake the
+    * cross-engine gate at larger scale factors.
+    */
   def avgFromSums(sumDec: Column, n: Column): Column =
-    sumDec.cast("double") / n.cast("double")
+    roundHalfUp(sumDec.cast("double") / n.cast("double"), 6)
 
   /** Population stddev derived from exact sums:
-    * round(sqrt(max(0, sumsq/n - (sum/n)^2)), 6). Deterministic under
-    * reordering; rounded because decimal→double casts of sums whose scaled
-    * integer exceeds 2^53 are not correctly rounded in every engine.
+    * roundHalfUp(sqrt(max(0, sumsq/n - (sum/n)^2)), 6). Deterministic
+    * under reordering; rounded because decimal→double casts of sums whose
+    * scaled integer exceeds 2^53 are not correctly rounded in every engine.
     */
   def stddevPopFromSums(sumDec: Column, sumSqDec: Column, n: Column): Column = {
     val nd = n.cast("double")
     val mean = sumDec.cast("double") / nd
-    round(sqrt(greatest(lit(0.0), sumSqDec.cast("double") / nd - mean * mean)), 6)
+    roundHalfUp(sqrt(greatest(lit(0.0), sumSqDec.cast("double") / nd - mean * mean)), 6)
   }
 
   /** X1 — tiered delivery fee (reference scripts/etl_sales.py:28-33):
@@ -105,10 +122,12 @@ object F {
   }
 
   /** X21 — price stability score (reference server/scrape.ts:749-754):
-    * round((1 - min(1, stddev/min)) * 100).
+    * round((1 - min(1, stddev/min)) * 100). TS Math.round is half-up =
+    * floor(x + 0.5), which [[roundHalfUp]] at scale 0 reproduces exactly.
     */
   def stabilityScore(stddev: Column, minPrice: Column): Column =
-    round((lit(1.0) - least(lit(1.0), stddev / minPrice)) * 100).cast(LongType)
+    roundHalfUp((lit(1.0) - least(lit(1.0), stddev / minPrice)) * 100, 0)
+      .cast(LongType)
 
   /** X19 — price-bot heuristic (reference server/scrape.ts:719-732), with
     * thresholds as parameters: delta = price - groupMin; bot when
@@ -118,7 +137,14 @@ object F {
                  nearAbs: Double, nearPct: Double, tight: Double): Column = {
     val delta = price - groupMin
     val nearMin = delta >= 0 && delta <= nearAbs
-    val nearPctC = delta >= 0 && (delta.cast("double") / groupMin.cast("double")) <= nearPct
+    // Reference guards the ratio (`min > 0 ? delta/min : 0`, scrape.ts:723):
+    // at min = 0 an unguarded Divide is NULL in Spark but inf in IEEE
+    // engines, diverging cross-engine. pct = 0 when min <= 0, and
+    // 0 <= nearPct always holds, so the branch reduces to delta >= 0.
+    val pctOk = when(groupMin > 0,
+      delta.cast("double") / groupMin.cast("double") <= nearPct)
+      .otherwise(lit(true))
+    val nearPctC = delta >= 0 && pctOk
     (nearMin || nearPctC) && (groupMedian - groupMin <= tight)
   }
 }

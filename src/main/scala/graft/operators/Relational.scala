@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Out, Tables}
 import graft.functions.F
 
 /** Relational operator catalog (SURVEY.md §2.2–§2.6) re-expressed as lazy
@@ -17,8 +17,13 @@ import graft.functions.F
   *     results; doubles are derived after the exact sums (see [[F.dec]]).
   *   - Dimension sides of joins (`part`, settings, size chart) are
   *     broadcast — no shuffle of the fact table for lookup enrichment.
-  *   - Every query ends in a deterministic ORDER BY so results are
-  *     reproducible and comparable across engines.
+  *   - Per-group statistics needed alongside row detail are WINDOW
+  *     aggregates, never aggregate-then-rejoin: a window reuses the
+  *     shuffle the grouping already paid; a rejoin pays it twice plus a
+  *     join.
+  *   - Terminal ORDER BYs run only under `graft.sort.results` (see
+  *     [[graft.Out.sorted]]): they exist for deterministic verify dumps,
+  *     not as part of the engine's work.
   *   - No UDFs: everything is built-in Catalyst expressions and stays in
   *     whole-stage codegen.
   */
@@ -33,8 +38,8 @@ object Relational {
   /** A1/A2/A6 + X3 — pricing summary: grouped exact sums + derived stats.
     * Mirrors the reference's KPI aggregations (scripts/dashboard.py:27-56).
     */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
-    li(spark, dir)
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val r = li(spark, dir)
       .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -50,7 +55,8 @@ object Relational {
         col("sn").cast("double").as("sum_net"),
         F.avgFromSums(col("sg"), col("n_rows")).as("avg_price"),
         F.stddevPopFromSums(col("sg"), col("sg2"), col("n_rows")).as("stddev_price"))
-      .orderBy("l_returnflag", "l_linestatus")
+    Out.sorted(r)(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** A3/J1/X1/X3 — the flagship "margin by SKU" slice
     * (reference scripts/dashboard.py:67-73 + etl_sales.py:28-33,61-66):
@@ -59,30 +65,33 @@ object Relational {
     */
   def marginBySku(spark: SparkSession, dir: String): DataFrame = {
     val fee = F.deliveryFee(col("l_extendedprice"), col("p_size") * lit(0.3))
-    li(spark, dir)
+    val r = li(spark, dir)
       .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
-      .withColumn("net",
-        col("l_extendedprice") * (lit(1.0) - col("l_discount")) - fee)
+      .withColumn("net", F.netRevenue(col("l_extendedprice"), col("l_discount"), fee))
       .groupBy(col("l_partkey").as("sku"))
       .agg(sum(F.dec(col("net"))).as("m"), count(lit(1)).as("n_lines"))
       .select(col("sku"), col("m").cast("double").as("margin_kzt"), col("n_lines"))
-      .orderBy(desc("margin_kzt"), asc("sku"))
+    Out.sorted(r)(desc("margin_kzt"), asc("sku"))
   }
 
   /** F2/A1/W1 — daily demand over the trailing 30-day window anchored at
     * max(ship date) (reference scripts/dashboard.py:35-36). The scalar
-    * anchor is a 1-row aggregate broadcast-cross-joined in, so the filter
-    * still pushes into the scan at any scale (no driver collect).
+    * anchor is a 1-row aggregate broadcast-cross-joined in — no driver
+    * collect. The anchor pass re-scans lineitem, but column pruning means
+    * it reads ONE column; at any scale that is the cheapest correct way to
+    * get a data-dependent filter bound (a full-table window max would
+    * shuffle everything to compute the same scalar).
     */
   def dailyDemand(spark: SparkSession, dir: String): DataFrame = {
     val l = li(spark, dir)
     val anchor = l.agg(max(col("l_shipdate")).as("anchor"))
-    l.crossJoin(broadcast(anchor))
+    val r = l.crossJoin(broadcast(anchor))
       .filter(col("l_shipdate") >= col("anchor") - expr("INTERVAL 30 DAY"))
       .groupBy(col("l_partkey").as("sku"))
       .agg(sum(F.dec(col("l_quantity"))).as("sq"))
-      .select(col("sku"), (col("sq").cast("double") / 30.0).as("daily_demand"))
-      .orderBy("sku")
+      .select(col("sku"),
+        F.roundHalfUp(col("sq").cast("double") / 30.0, 6).as("daily_demand"))
+    Out.sorted(r)(col("sku"))
   }
 
   /** J3/X2/F9/O1 — inventory panel: stock ⟕ demand, reorder point, flag,
@@ -94,17 +103,18 @@ object Relational {
       .select(col("p_partkey").as("sku"),
         (col("p_size") * 10).cast("long").as("qty_on_hand"))
     val dd = coalesce(col("daily_demand"), lit(0.0))
-    stock.join(demand, Seq("sku"), "left")
+    val r = stock.join(demand, Seq("sku"), "left")
       .select(
         col("sku"), col("qty_on_hand"),
         dd.as("daily_demand"),
         F.reorderPoint(dd, leadDays = 14).cast("long").as("reorder_point"),
         (col("qty_on_hand") <= F.reorderPoint(dd, leadDays = 14)).as("need_reorder"))
-      .orderBy(desc("need_reorder"), asc("sku"))
+    Out.sorted(r)(desc("need_reorder"), asc("sku"))
   }
 
   /** A4/W4 — value_counts head-N with deterministic tie-break
-    * (reference scripts/etl_catalog_simple.py:138-147).
+    * (reference scripts/etl_catalog_simple.py:138-147). The sort feeds a
+    * LIMIT so it runs as TakeOrdered (no global sort) — kept unconditional.
     */
   def brandValueCounts(spark: SparkSession, dir: String): DataFrame =
     part(spark, dir)
@@ -115,8 +125,8 @@ object Relational {
   /** A5/F9 — conditional counts per group
     * (reference enhanced_catalog_parser.py:263-275, pricebot stats/route.ts:28-33).
     */
-  def conditionalCounts(spark: SparkSession, dir: String): DataFrame =
-    ord(spark, dir)
+  def conditionalCounts(spark: SparkSession, dir: String): DataFrame = {
+    val r = ord(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -125,7 +135,8 @@ object Relational {
         sum(F.dec(col("o_totalprice"))).as("st"))
       .select(col("o_orderpriority"), col("n_orders"), col("n_open"),
         col("n_finished"), col("st").cast("double").as("sum_total"))
-      .orderBy("o_orderpriority")
+    Out.sorted(r)(col("o_orderpriority"))
+  }
 
   /** A6 — global scalar KPIs (reference scripts/dashboard.py:27-32). */
   def globalKpis(spark: SparkSession, dir: String): DataFrame =
@@ -142,8 +153,8 @@ object Relational {
     * stddev_pop/spread + stability score (reference server/scrape.ts:710-718,
     * 749-754). Exact median via `median` (not approx) per SURVEY §7 risk (a).
     */
-  def sellerStats(spark: SparkSession, dir: String): DataFrame =
-    li(spark, dir)
+  def sellerStats(spark: SparkSession, dir: String): DataFrame = {
+    val r = li(spark, dir)
       .groupBy(col("l_partkey").as("sku"))
       .agg(
         count(lit(1)).as("n_offers"),
@@ -160,18 +171,20 @@ object Relational {
         F.stddevPopFromSums(col("sp"), col("sp2"), col("n_offers")).as("stddev_price"))
       .withColumn("stability",
         F.stabilityScore(col("stddev_price"), col("min_price")))
-      .orderBy("sku")
+    Out.sorted(r)(col("sku"))
+  }
 
   /** A8 — count-distinct sellers per group (reference KpiCards.tsx:16-21).
     * Exact here; at 100 TB swap to approx_count_distinct where tolerable.
     */
-  def uniqueSuppliersPerBrand(spark: SparkSession, dir: String): DataFrame =
-    li(spark, dir)
+  def uniqueSuppliersPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val r = li(spark, dir)
       .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_lines"))
-      .orderBy("p_brand")
+    Out.sorted(r)(col("p_brand"))
+  }
 
   /** A9 — global analytics over per-group spreads: second-level aggregate
     * (reference README.md:61-72, AnalyticsPanel.tsx:9-36).
@@ -189,7 +202,8 @@ object Relational {
         col("n_skus"),
         F.avgFromSums(col("ss"), col("n_skus")).as("avg_spread"),
         col("median_spread"), col("max_spread"),
-        (col("n_tight").cast("double") / col("n_skus").cast("double")).as("tight_share"),
+        F.roundHalfUp(col("n_tight").cast("double") / col("n_skus").cast("double"), 6)
+          .as("tight_share"),
         col("best_entry_price"))
   }
 
@@ -198,15 +212,15 @@ object Relational {
     */
   def deltaVsMin(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_partkey"))
-    li(spark, dir)
+    val r = li(spark, dir)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("sku"),
         col("l_extendedprice").as("price"),
         min(col("l_extendedprice")).over(w).as("min_price"))
       .withColumn("delta", col("price") - col("min_price"))
       .withColumn("delta_pct",
-        round(col("delta") / col("min_price") * 100.0, 4))
-      .orderBy("l_orderkey", "l_linenumber")
+        F.roundHalfUp(col("delta") / col("min_price") * 100.0, 4))
+    Out.sorted(r)(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** W3 — top-k cheapest per group via row_number (reference
@@ -216,12 +230,12 @@ object Relational {
     val w = Window.partitionBy(col("l_partkey"))
       .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc,
         col("l_orderkey").asc, col("l_linenumber").asc)
-    li(spark, dir)
+    val r = li(spark, dir)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("l_partkey").as("sku"), col("rank"),
         col("l_suppkey").as("seller"), col("l_extendedprice").as("price"))
-      .orderBy("sku", "rank")
+    Out.sorted(r)(col("sku"), col("rank"))
   }
 
   /** J8/W5 — range join + best-match + top-3 alternatives (reference
@@ -258,12 +272,12 @@ object Relational {
         transform(
           slice(array_sort(collect_list(struct(col("rn"), col("size")))), 2, 3),
           x => x.getField("size"))).as("alt_sizes"))
-    customers.join(agg, Seq("c_custkey"), "left")
+    val r = customers.join(agg, Seq("c_custkey"), "left")
       .select(col("c_custkey"), col("height"), col("weight"),
         coalesce(col("best_size"), lit("NONE")).as("best_size"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("alt_sizes"), lit("")).as("alt_sizes"))
-      .orderBy("c_custkey")
+    Out.sorted(r)(col("c_custkey"))
   }
 
   /** W6/X22 — sliding count over the last 5 observations per key: the
@@ -271,68 +285,90 @@ object Relational {
     * price_watch.ts:31-52). Frame = ROWS BETWEEN 4 PRECEDING AND CURRENT.
     */
   def slidingUndercut(spark: SparkSession, dir: String): DataFrame = {
+    val r = slidingUndercutOver(ev(spark, dir))
+    Out.sorted(r)(col("user_id"), col("event_id"))
+  }
+
+  /** Core of [[slidingUndercut]], reused by the streaming batch-equivalence
+    * test: works over any frame with (event_id, user_id, value).
+    */
+  def slidingUndercutOver(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val seq5 = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(-4, 0)
-    ev(spark, dir)
+    events
       .withColumn("min_value", min(col("value")).over(byUser))
       .withColumn("undercut",
         when(col("value") <= col("min_value") + 50.0, 1L).otherwise(0L))
       .withColumn("sliding_hits", sum(col("undercut")).over(seq5))
       .withColumn("is_bot", col("sliding_hits") >= 3)
       .select("event_id", "user_id", "undercut", "sliding_hits", "is_bot")
-      .orderBy("user_id", "event_id")
   }
 
   /** D2/O2 — group-dedup with merge policy: per key keep lowest price +
     * earliest date (reference server/scrape.ts:543-563).
     */
-  def dedupMerge(spark: SparkSession, dir: String): DataFrame =
-    li(spark, dir)
+  def dedupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val r = li(spark, dir)
       .groupBy(col("l_partkey").as("sku"), col("l_suppkey").as("seller"))
       .agg(
         min(col("l_extendedprice")).as("best_price"),
         date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship_date"),
         count(lit(1)).as("n_merged"))
-      .orderBy("sku", "seller")
+    Out.sorted(r)(col("sku"), col("seller"))
+  }
 
   /** D1/D3 — keyed dedup, deterministic first-wins via min(key)
-    * (reference etl_purchases.py:55, scrape.ts:324,339).
+    * (reference etl_purchases.py:55, scrape.ts:324,339). Groups on the
+    * NATIVE date and formats after the aggregate — grouping on a
+    * formatted string pays per-row formatting and a wider shuffle key.
     */
-  def firstOrderPerCustomerDay(spark: SparkSession, dir: String): DataFrame =
-    ord(spark, dir)
-      .groupBy(col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+  def firstOrderPerCustomerDay(spark: SparkSession, dir: String): DataFrame = {
+    val r = ord(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(min(col("o_orderkey")).as("first_order"), count(lit(1)).as("n_dups"))
-      .orderBy("o_custkey", "order_date")
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("first_order"), col("n_dups"))
+    Out.sorted(r)(col("o_custkey"), col("order_date"))
+  }
 
   /** U1 — union-all of homogeneous slices then aggregate
     * (reference etl_sales.py:41-73 per-file concat).
     */
   def unionAllFlags(spark: SparkSession, dir: String): DataFrame = {
     val l = li(spark, dir)
-    l.filter(col("l_returnflag") === "A")
+    val r = l.filter(col("l_returnflag") === "A")
       .unionByName(l.filter(col("l_returnflag") === "R"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum(F.dec(col("l_quantity"))).as("sq"))
       .select(col("l_returnflag"), col("n"), col("sq").cast("double").as("sum_qty"))
-      .orderBy("l_returnflag")
+    Out.sorted(r)(col("l_returnflag"))
   }
 
-  /** J5/F6 — anti-join: keys absent from the other side (reference
-    * etl_catalog_api.py:235-244 new-product detection).
+  /** J5/F6 — anti-join over a recent window: customers with no order in
+    * the trailing 90 days anchored at max(o_orderdate) (reference
+    * etl_catalog_api.py:235-244 new-product detection). The window makes
+    * the check non-vacuous on the testdata (every customer has SOME
+    * order, so an unfiltered anti-join returns 0 rows and verifies
+    * nothing).
     */
-  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
-    cust(spark, dir)
-      .join(ord(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    val recent = o.crossJoin(broadcast(anchor))
+      .filter(col("o_orderdate") >= col("anchor") - expr("INTERVAL 90 DAY"))
+    val r = cust(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy("c_custkey")
+    Out.sorted(r)(col("c_custkey"))
+  }
 
   /** J1/J2 — left join + coalesce fallback key (reference
     * etl_sales.py:64-65).
     */
-  def ordersWithCustomerName(spark: SparkSession, dir: String): DataFrame =
-    ord(spark, dir)
+  def ordersWithCustomerName(spark: SparkSession, dir: String): DataFrame = {
+    val r = ord(spark, dir)
       .join(broadcast(cust(spark, dir)),
         col("o_custkey") === col("c_custkey"), "left")
       .select(
@@ -340,7 +376,8 @@ object Relational {
         coalesce(col("c_name"),
           concat(lit("UNKNOWN-"), col("o_custkey").cast("string"))).as("cust_name"),
         col("o_totalprice"))
-      .orderBy("o_orderkey")
+    Out.sorted(r)(col("o_orderkey"))
+  }
 
   /** X18/J6/A10 — pricebot target price with clamping + hysteresis
     * (reference PRICEBOT_SPEC_V2.md:96-98, run/route.ts:25-41).
@@ -349,7 +386,7 @@ object Relational {
     val comp = li(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(min(col("l_extendedprice")).as("lowest_comp"))
-    part(spark, dir)
+    val r = part(spark, dir)
       .join(comp, col("p_partkey") === col("l_partkey"), "left")
       .select(
         col("p_partkey").as("sku"),
@@ -357,10 +394,30 @@ object Relational {
         col("lowest_comp"),
         F.targetPrice(
           col("p_retailprice"), col("lowest_comp"),
-          round(col("p_retailprice") * 0.8, 2),
-          round(col("p_retailprice") * 1.2, 2),
+          F.roundHalfUp(col("p_retailprice") * 0.8, 2),
+          F.roundHalfUp(col("p_retailprice") * 1.2, 2),
           lit(50.0)).as("target_price"))
-      .orderBy("sku")
+    Out.sorted(r)(col("sku"))
+  }
+
+  /** Shared offers pipeline for X19/X20: dedup to per-(sku, seller) best
+    * price, then per-sku min/median as WINDOW aggregates over the deduped
+    * frame. One shuffle for the dedup, one for the window — the round-1
+    * aggregate-then-rejoin shape paid three shuffles plus a join, and was
+    * the most expensive query in the bench. The subsequent groupBy("sku")
+    * in [[priceFloor]] reuses the window's hash partitioning (no new
+    * exchange).
+    */
+  private def offersWithBotFlags(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("sku"))
+    li(spark, dir)
+      .groupBy(col("l_partkey").as("sku"), col("l_suppkey").as("seller"))
+      .agg(min(col("l_extendedprice")).as("price"))
+      .withColumn("mn", min(col("price")).over(w))
+      .withColumn("md", median(col("price")).over(w))
+      .withColumn("is_bot",
+        F.isPriceBot(col("price"), col("mn"), col("md"),
+          nearAbs = 100.0, nearPct = 0.0025, tight = 3000.0))
   }
 
   /** X19 — bot-flag heuristic over deduped per-seller offers (reference
@@ -368,23 +425,17 @@ object Relational {
     * range, structure identical.
     */
   def botFlags(spark: SparkSession, dir: String): DataFrame = {
-    val offers = li(spark, dir)
-      .groupBy(col("l_partkey").as("sku"), col("l_suppkey").as("seller"))
-      .agg(min(col("l_extendedprice")).as("price"))
-    val g = offers.groupBy("sku")
-      .agg(min(col("price")).as("mn"), median(col("price")).as("md"))
-    offers.join(g, Seq("sku"))
-      .select(col("sku"), col("seller"), col("price"),
-        F.isPriceBot(col("price"), col("mn"), col("md"),
-          nearAbs = 100.0, nearPct = 0.0025, tight = 3000.0).as("is_bot"))
-      .orderBy("sku", "seller")
+    val r = offersWithBotFlags(spark, dir)
+      .select("sku", "seller", "price", "is_bot")
+    Out.sorted(r)(col("sku"), col("seller"))
   }
 
   /** X20 — price-floor prediction from bot density (reference
-    * server/scrape.ts:735-747).
+    * server/scrape.ts:735-747). Continues the [[offersWithBotFlags]]
+    * pipeline without re-deriving it.
     */
-  def priceFloor(spark: SparkSession, dir: String): DataFrame =
-    botFlags(spark, dir)
+  def priceFloor(spark: SparkSession, dir: String): DataFrame = {
+    val r = offersWithBotFlags(spark, dir)
       .groupBy("sku")
       .agg(
         sum(when(col("is_bot"), 1L).otherwise(0L)).as("n_bots"),
@@ -394,5 +445,6 @@ object Relational {
           .otherwise(col("min_price")).as("predicted_min_24h"),
         when(col("n_bots") >= 2, greatest(lit(0.0), col("min_price") - 400.0))
           .otherwise(col("min_price")).as("predicted_min_7d"))
-      .orderBy("sku")
+    Out.sorted(r)(col("sku"))
+  }
 }
