@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -342,7 +342,170 @@ object QueryCatalog {
                CASE WHEN CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) >= 2
                     THEN greatest(0.0, min(price) - 400.0) ELSE min(price) END
                  AS predicted_min_7d
-        FROM f GROUP BY sku ORDER BY sku"""))
+        FROM f GROUP BY sku ORDER BY sku""")),
+
+    // ── LLM-data-pipeline suite (documents + embeddings) ──────────────
+    // Oracle hashes are md5-based on both engines; the SQL below is
+    // GENERATED from the same constants (TextOps.MinhashK/Bands/…,
+    // VectorOps.planeInts) the Spark plans use, so banding, signatures
+    // and hyperplanes match bit-for-bit.
+
+    "q_doc_token_stats" -> Spec(
+      TextOps.tokenStats,
+      Some(s"""
+        SELECT doc_id, lang,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+               ${rnd("CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS ttr,
+               ${rnd("CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS avg_token_len
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+        ORDER BY doc_id""")),
+
+    "q_doc_lang_stats" -> Spec(
+      TextOps.langStats,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        s"""
+        WITH perdoc AS (
+          SELECT lang, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 ${rnd(s"CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} AS stop_ratio
+          FROM (SELECT lang, source, string_split(text, ' ') AS ws FROM documents)),
+        bylang AS (
+          SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 sum(CAST(stop_ratio AS DECIMAL(20,10))) AS sr
+          FROM perdoc GROUP BY lang),
+        tfc AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        tcnt AS (SELECT lang, token, count(*) AS c FROM tfc GROUP BY lang, token),
+        top AS (
+          SELECT lang, token AS top_token, c AS top_token_count
+          FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn
+                FROM tcnt)
+          WHERE rn = 1)
+        SELECT b.lang, n_docs, n_sources, total_tokens,
+               ${rnd("CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS avg_tokens,
+               ${rnd("CAST(sr AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS avg_stop_ratio,
+               top_token, top_token_count
+        FROM bylang b JOIN top USING (lang) ORDER BY lang"""
+      }),
+
+    "q_doc_exact_dedup" -> Spec(
+      TextOps.exactDedup,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, md5(text) AS content_hash,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash
+          FROM documents)
+        SELECT bow_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_docs,
+               count(DISTINCT content_hash) AS n_distinct_texts,
+               count(DISTINCT lang) AS n_langs
+        FROM t GROUP BY bow_hash ORDER BY canonical_doc_id""")),
+
+    "q_doc_fingerprint" -> Spec(
+      TextOps.fingerprints,
+      Some("""
+        SELECT doc_id, md5(text) AS content_hash,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash,
+               coalesce(list_aggregate(list_transform(sh, s -> md5(s)), 'min'), '') AS min_shingle_hash
+        FROM (SELECT doc_id, text,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])
+                          ELSE CAST([] AS VARCHAR[]) END AS sh
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
+        ORDER BY doc_id""")),
+
+    "q_doc_minhash_neardup" -> Spec(
+      TextOps.minhashNearDup,
+      Some {
+        val r = TextOps.RowsPerBand
+        val mhCols = (0 until TextOps.MinhashK)
+          .map(p => s"list_aggregate(list_transform(sh, s -> md5('$p:' || s)), 'min') AS mh$p")
+          .mkString(", ")
+        val bandList = (0 until TextOps.Bands)
+          .map(b => "md5(" + (0 until r).map(i => s"mh${b * r + i}").mkString(" || ") + ")")
+          .mkString("[", ", ", "]")
+        s"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          WHERE len(ws) >= 3),
+        mh AS (SELECT doc_id, sh, $mhCols FROM base),
+        bands AS (
+          SELECT doc_id, unnest($bandList) AS band_hash,
+                 generate_subscripts($bandList, 1) AS band_idx
+          FROM mh),
+        cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared_bands
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+        j AS (
+          SELECT doc_a, doc_b, n_shared_bands,
+                 ${rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)", 6)} AS jaccard
+          FROM cand JOIN base a ON doc_a = a.doc_id JOIN base b ON doc_b = b.doc_id)
+        SELECT doc_a, doc_b, n_shared_bands, jaccard FROM j
+        WHERE jaccard >= ${TextOps.JaccardThreshold}
+        ORDER BY doc_a, doc_b"""
+      }),
+
+    "q_doc_simhash" -> Spec(
+      TextOps.simhash,
+      Some {
+        val sums = (0 until TextOps.SimhashBits)
+          .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(", ")
+        val fp = (0 until TextOps.SimhashBits)
+          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hv FROM t),
+        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens, $sums
+              FROM h GROUP BY doc_id)
+        SELECT doc_id, n_distinct_tokens, CAST($fp AS BIGINT) AS simhash
+        FROM s ORDER BY doc_id"""
+      }),
+
+    "q_ann_topk" -> Spec(
+      VectorOps.annBruteForce,
+      Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                   WHERE vec_id < ${VectorOps.NQueries}),
+        s AS (SELECT q_id, e.vec_id AS neighbor_id,
+                     ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+              FROM q, embeddings e WHERE e.vec_id <> q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
+        ORDER BY q_id, rank""")),
+
+    "q_ann_lsh" -> Spec(
+      VectorOps.annLsh,
+      Some {
+        val bucketExpr = (0 until VectorOps.NPlanes).map { p =>
+          val arr = VectorOps.planeInts(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b
+              WHERE vec_id < ${VectorOps.NQueries}),
+        s AS (SELECT q_id, bucket, e.vec_id AS neighbor_id,
+                     ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+              FROM q JOIN b e USING (bucket) WHERE e.vec_id <> q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT q_id, bucket, rank, neighbor_id, cos_sim FROM r
+        WHERE rank <= ${VectorOps.TopKLsh}
+        ORDER BY q_id, rank"""
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Out, Tables}
+import graft.functions.F
+
+/** Similarity search over the `embeddings` table (64-dim unit-norm
+  * float vectors): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design:
+  *   - The dot product is a sequential fold over zip_with — pure
+  *     whole-stage-codegen expressions, no UDF. Left-to-right IEEE
+  *     summation is deterministic, so any engine reproduces it
+  *     bit-for-bit (the DuckDB oracle's list_dot_product is verified to
+  *     fold identically).
+  *   - Brute force broadcasts the QUERY side (small) against the full
+  *     corpus: one scan, no shuffle of the corpus, top-k per query via
+  *     window rank. Right for "few queries × huge corpus".
+  *   - The LSH variant buckets every vector by the sign pattern of
+  *     [[Planes]] projections and joins queries to candidates ON THE
+  *     BUCKET KEY — at 100 TB no stage is all-pairs, and the bucket join
+  *     shuffles each side once. Recall is tuned by planes-per-table and
+  *     multi-probe; the harness uses 4 planes / 16 buckets, sized to the
+  *     testdata.
+  *   - Ranking ties are broken on (rounded similarity, neighbor id), so
+  *     ordering is reproducible across engines even where float noise
+  *     could reorder near-equal similarities.
+  */
+object VectorOps {
+
+  /** Number of query vectors (vec_id < NQueries) and neighbors returned. */
+  val NQueries = 8
+  val TopK = 10
+  val TopKLsh = 5
+
+  /** Random-hyperplane count (bucket space = 2^NPlanes). */
+  val NPlanes = 4
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane coefficients, derived from
+    * md5("p_d") so they are reproducible anywhere: integer k in
+    * [-500, 500], used as the double k/500.0. Exposed as integers so the
+    * SQL oracle can embed the exact same "k/500.0" expression.
+    */
+  lazy val planeInts: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(NPlanes, Dim) { (p, d) =>
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1001 - 500).toInt
+    }
+  }
+
+  private def emb(spark: SparkSession, dir: String) =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Sequential-fold dot product of two float arrays, in doubles. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ANN baseline — exact brute-force cosine top-k: for each query vector
+    * (vec_id < [[NQueries]]) the [[TopK]] nearest neighbors by cosine
+    * (vectors are unit-norm, so cosine = dot).
+    */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val r = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** Sign-pattern LSH bucket id of an embedding column. */
+  private def bucketOf(e: Column): Column =
+    (0 until NPlanes).map { p =>
+      val plane = array(planeInts(p).map(k => lit(k / 500.0)): _*)
+      when(dot(e, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN scale path — LSH-bucketed cosine top-k: bucket all vectors by
+    * hyperplane sign pattern, join queries to same-bucket candidates,
+    * rank within bucket. The join key is the bucket id — candidate
+    * generation never compares a query to vectors outside its bucket.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val sims = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val r = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopKLsh)
+      .select("q_id", "bucket", "rank", "neighbor_id", "cos_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+}
