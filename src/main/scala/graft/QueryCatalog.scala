@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextOps, VectorOps}
+import graft.operators.{Ingestion, Relational, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -505,7 +505,59 @@ object QueryCatalog {
         SELECT q_id, bucket, rank, neighbor_id, cos_sim FROM r
         WHERE rank <= ${VectorOps.TopKLsh}
         ORDER BY q_id, rank"""
-      })
+      }),
+
+    // ── Ingestion layer (committed raw CSV fixtures) ──────────────────
+    // The oracle reads the SAME fixture files via DuckDB read_csv and
+    // replicates the cleaning chain (comma decimals, currency junk,
+    // day-first dates, coercion-to-null) expression for expression.
+
+    "q_ingest_orders" -> Spec(
+      Ingestion.ordersFromRaw,
+      Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('${Ingestion.FixturesDir}/raw_orders.csv',
+                                 delim=';', header=true, all_varchar=true)),
+        t AS (
+          SELECT TRY_CAST("№ заказа" AS BIGINT) AS order_id,
+                 coalesce(try_strptime(trim("Дата заказа"), '%d.%m.%Y'),
+                          try_strptime(trim("Дата заказа"), '%Y-%m-%d')) AS d,
+                 trim("Статус") AS status,
+                 upper(trim("Наименование товара")) AS sku_key,
+                 coalesce(nullif(trim("Количество"), ''), nullif(trim("Кол-во итого"), '')) AS qty_raw,
+                 TRY_CAST(regexp_replace(replace("Сумма", ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE) AS gross_d,
+                 TRY_CAST(regexp_replace(replace("Вес кг", ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE) AS w_kg
+          FROM raw)
+        SELECT order_id,
+               strftime(d, '%Y-%m-%d') AS order_date,
+               d IS NOT NULL AS date_ok,
+               status, sku_key,
+               coalesce(TRY_CAST(regexp_replace(qty_raw, '[^0-9]', '', 'g') AS INTEGER), 0) AS qty,
+               CAST(floor(gross_d) AS BIGINT) AS gross_price_kzt,
+               gross_d IS NOT NULL AS price_ok,
+               w_kg * 1000 AS weight_g
+        FROM t WHERE order_id IS NOT NULL ORDER BY order_id""")),
+
+    "q_ingest_catalog" -> Spec(
+      Ingestion.catalogFromRaw,
+      Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('${Ingestion.FixturesDir}/raw_catalog.csv',
+                                 delim=';', header=true, all_varchar=true)),
+        t AS (
+          SELECT nullif(trim("SKU_ID"), '') AS sku_id,
+                 "Store name" AS store,
+                 coalesce(nullif(trim(Brand), ''), '') AS brand,
+                 TRY_CAST(regexp_replace(replace("Weight_kg", ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE) AS weight_kg,
+                 TRY_CAST(regexp_replace(replace("Initial KSP Price", ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE) AS price_d,
+                 "Stock entered" AS stock_raw
+          FROM raw)
+        SELECT sku_id, store, brand, weight_kg,
+               CAST(floor(price_d) AS BIGINT) AS price_kzt,
+               coalesce(TRY_CAST(regexp_replace(stock_raw, '[^0-9]', '', 'g') AS INTEGER), 0) AS stock,
+               (CASE WHEN weight_kg IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN price_d IS NULL THEN 1 ELSE 0 END) AS n_warnings
+        FROM t WHERE sku_id IS NOT NULL ORDER BY sku_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -83,26 +83,42 @@ object F {
     gross * (lit(1.0) - feePct) - deliveryCost
 
   /** X4 — clean_weight (reference enhanced_catalog_parser.py:27-40):
-    * comma→dot, strip non-[0-9.], cast-or-null.
+    * comma→dot, strip non-[0-9.], cast-or-null. try_cast = pandas
+    * `errors='coerce'` and stays null-on-garbage under ANSI mode.
     */
   def cleanWeight(raw: Column): Column =
-    regexp_replace(regexp_replace(raw, ",", "."), "[^0-9.]", "").cast("double")
+    regexp_replace(regexp_replace(raw, ",", "."), "[^0-9.]", "").try_cast("double")
 
   /** X5 — clean_price (reference enhanced_catalog_parser.py:43-54):
-    * strip non-[0-9.] → integral KZT or null.
+    * comma-decimal aware, strip currency/space → integral KZT or null.
+    * The reference truncates (`int(float(s))`), so the long cast is an
+    * explicit floor — engines disagree on double→int rounding otherwise.
     */
   def cleanPrice(raw: Column): Column =
-    regexp_replace(raw, "[^0-9.]", "").cast("double").cast(LongType)
+    floor(cleanWeight(raw)).try_cast(LongType)
 
   /** X6 — clean_stock (reference enhanced_catalog_parser.py:57-67):
     * strip non-digits → int, default 0.
     */
   def cleanStock(raw: Column): Column =
-    coalesce(regexp_replace(raw, "[^0-9]", "").cast("int"), lit(0))
+    coalesce(regexp_replace(raw, "[^0-9]", "").try_cast("int"), lit(0))
+
+  /** X7 — key normalization (reference etl_sales.py:18,62,65):
+    * trim + uppercase. */
+  def normKey(raw: Column): Column = upper(trim(raw))
+
+  /** X8 — day-first date parse with coercion (reference
+    * etl_sales.py:59-60, etl_purchases.py:46-47): try d.M.yyyy (padded
+    * or not), fall back to ISO, null on garbage (`errors='coerce'`).
+    */
+  def dayFirstDate(raw: Column): Column =
+    coalesce(
+      try_to_timestamp(trim(raw), lit("d.M.yyyy")),
+      try_to_timestamp(trim(raw), lit("yyyy-M-d"))).cast("date")
 
   /** X11 — price text → number (reference server/parse.ts:17-18). */
   def priceTextToLong(raw: Column): Column =
-    regexp_replace(raw, "[^0-9]", "").cast(LongType)
+    regexp_replace(raw, "[^0-9]", "").try_cast(LongType)
 
   /** X12 — trailing id from href (reference server/scrape.ts:39-42). */
   def idFromHref(href: Column): Column =

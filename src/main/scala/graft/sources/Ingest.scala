@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion layer (SURVEY.md §2.1 S4/S5 + §2.2 P1/P2/F13): raw
+  * semicolon-CSV readers with header normalization and rename maps.
+  *
+  * The reference starts every ETL run here (`etl_sales.py:12-13,45-54`,
+  * `etl_purchases.py:32-43`, `enhanced_catalog_parser.py:151-157`):
+  * supplier files arrive with Russian/supplier-specific headers,
+  * comma-decimal numbers and junk rows, and are normalized into the
+  * canonical schema before anything else runs.
+  *
+  * Scale notes: Spark's CSV reader is splittable for uncompressed files,
+  * so a 100 TB landing directory parallelizes by 128 MB splits for free;
+  * all-string ingest + explicit typed cleaning keeps bad records as
+  * nulls (never task failures), which is the only workable contract when
+  * one bad row in a billion must not kill the job.
+  */
+object Ingest {
+
+  /** S4 — semicolon-CSV, all columns as raw strings, malformed rows
+    * dropped (reference `pd.read_csv(sep=';', dtype=str,
+    * on_bad_lines='skip')`, etl_sales.py:12-13).
+    */
+  def readSemicolonCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", ";")
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** P1 — header normalization: trim, lowercase, whitespace→underscore
+    * (reference etl_sales.py:45).
+    */
+  def normalizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c =>
+      c.trim.toLowerCase.replaceAll("\\s+", "_")): _*)
+
+  /** P2/F13 — rename-map projection with duplicate-target fallback:
+    * each canonical column is the first non-null/non-empty of its
+    * candidate source columns (reference etl_purchases.py:32-43, where
+    * both `Qty` and `Total_model_order_qty` feed `qty`;
+    * offers/route.ts:72-95 key-flexible resolution).
+    *
+    * Missing candidate columns are skipped, so one mapping serves
+    * several supplier layouts.
+    */
+  def renameWithFallback(df: DataFrame, mapping: Seq[(String, Seq[String])]): DataFrame = {
+    val present = df.columns.toSet
+    val cols = mapping.map { case (target, candidates) =>
+      val cands = candidates.filter(present)
+      require(cands.nonEmpty, s"no candidate of $candidates present for $target")
+      coalesce(cands.map(c => nullIfEmpty(col(c))): _*).as(target)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Empty-string → null, so CSV empties behave like missing values in
+    * fallback chains (F4 semantics).
+    */
+  def nullIfEmpty(c: Column): Column = when(trim(c) === "", null).otherwise(c)
+
+  /** S5 — typed CSV reader (reference etl_stock.py:16): explicit schema,
+    * no inference pass (an inference pass is a full extra scan at scale).
+    */
+  def readTypedCsv(spark: SparkSession, path: String, ddl: String,
+                   sep: String = ","): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .schema(ddl)
+      .csv(path)
+}
