@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ingestion, Relational, TextOps, VectorOps}
+import graft.functions.Html
+import graft.operators.{Ingestion, Parsing, Relational, SellerMerge, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -507,6 +508,47 @@ object QueryCatalog {
         ORDER BY q_id, rank"""
       }),
 
+    "q_running_undercut" -> Spec(
+      Relational.runningUndercut,
+      Some("""
+        WITH b AS (
+          SELECT event_id, user_id, value,
+                 min(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_min
+          FROM events),
+        c AS (
+          SELECT event_id, user_id,
+                 CASE WHEN value <= running_min + 50.0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS undercut
+          FROM b),
+        s AS (
+          SELECT event_id, user_id, undercut,
+                 CAST(sum(undercut) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sliding_hits
+          FROM c)
+        SELECT event_id, user_id, undercut, sliding_hits,
+               sliding_hits >= 3 AS is_bot
+        FROM s ORDER BY user_id, event_id""")),
+
+    "q_dedup_policy" -> Spec(
+      SellerMerge.dedupPolicy,
+      Some("""
+        WITH obs AS (
+          SELECT l_partkey AS sku,
+                 l_orderkey * 10 + l_linenumber AS seq,
+                 CASE WHEN l_linenumber % 2 = 1 THEN upper(s_name) ELSE s_name END AS name_raw,
+                 l_extendedprice AS price,
+                 CASE WHEN l_returnflag = 'N' THEN '' ELSE 'return-' || l_returnflag END AS delivery
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT sku, lower(trim(name_raw)) AS seller_key,
+               arg_min(name_raw, seq) AS seller_name,
+               min(price) AS best_price,
+               arg_min(delivery,
+                 CASE WHEN delivery = '' THEN 9223372036854775806 ELSE seq END) AS delivery,
+               count(*) AS n_merged
+        FROM obs GROUP BY sku, lower(trim(name_raw))
+        ORDER BY sku, seller_key""")),
+
     // ── Ingestion layer (committed raw CSV fixtures) ──────────────────
     // The oracle reads the SAME fixture files via DuckDB read_csv and
     // replicates the cleaning chain (comma decimals, currency junk,
@@ -557,7 +599,55 @@ object QueryCatalog {
                coalesce(TRY_CAST(regexp_replace(stock_raw, '[^0-9]', '', 'g') AS INTEGER), 0) AS stock,
                (CASE WHEN weight_kg IS NULL THEN 1 ELSE 0 END
                 + CASE WHEN price_d IS NULL THEN 1 ELSE 0 END) AS n_warnings
-        FROM t WHERE sku_id IS NOT NULL ORDER BY sku_id"""))
+        FROM t WHERE sku_id IS NOT NULL ORDER BY sku_id""")),
+
+    // ── Parser pack (committed golden HTML fixture) ───────────────────
+
+    "q_parse_sellers" -> Spec(
+      Parsing.parseSellers,
+      Some {
+        val monthCase = Html.RuMonths
+          .map { case (n, m) => s"WHEN mon = '$n' THEN $m" }
+          .mkString("CASE ", " ", " ELSE NULL END")
+        s"""
+        WITH chunks AS (
+          SELECT unnest(string_split(content, '<li')) AS chunk,
+                 generate_subscripts(string_split(content, '<li'), 1) AS row_idx
+          FROM read_text('${Ingestion.FixturesDir}/product_page.html')),
+        f AS (SELECT row_idx, chunk FROM chunks WHERE chunk LIKE '%seller-row%'),
+        x AS (
+          SELECT CAST(row_idx AS INTEGER) AS row_idx,
+                 trim(regexp_extract(chunk, 'class="name">([^<]*)<', 1)) AS seller,
+                 TRY_CAST(regexp_replace(regexp_extract(chunk, 'class="price">([^<]*)<', 1), '[^0-9]', '', 'g') AS BIGINT) AS price,
+                 regexp_extract(regexp_extract(chunk, 'class="delivery">([^<]*)<', 1), '([0-9]{1,2})', 1) AS d,
+                 regexp_extract(regexp_extract(chunk, 'class="delivery">([^<]*)<', 1), '([а-яё]+)', 1) AS mon
+          FROM f),
+        y AS (
+          SELECT row_idx, seller, price,
+                 strftime(try_strptime(d || '.' || CAST(($monthCase) AS VARCHAR) || '.2025', '%d.%m.%Y'), '%Y-%m-%d') AS delivery_date
+          FROM x)
+        SELECT row_idx, seller, price, delivery_date FROM y
+        WHERE price > 0 ORDER BY row_idx"""
+      }),
+
+    "q_extract_config" -> Spec(
+      Parsing.extractConfig,
+      Some {
+        val balanced3 = """BACKEND\.components\.configurator = (\{([^{}]|\{([^{}]|\{[^{}]*\})*\})*\})"""
+        s"""
+        WITH c AS (
+          SELECT regexp_extract(content, '$balanced3', 1) AS cfg
+          FROM read_text('${Ingestion.FixturesDir}/product_page.html'))
+        SELECT cfg AS config_json,
+               json_extract_string(cfg, '$$.title') AS title,
+               json_extract_string(cfg, '$$.meta.brand') AS brand,
+               CAST(json_array_length(cfg, '$$.variants') AS BIGINT) AS n_variants,
+               json_extract_string(cfg, '$$.variants[0].code') AS first_code,
+               TRY_CAST(regexp_extract(json_extract_string(cfg, '$$.variants[0].size'), '([0-9]{2,3})', 1) AS INTEGER) AS first_size_num,
+               concat(upper(substr(json_extract_string(cfg, '$$.color'), 1, 1)),
+                      substr(json_extract_string(cfg, '$$.color'), 2)) AS color
+        FROM c"""
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML / scraped-text parsing combinators (SURVEY.md §2.1 S10 + §2.7
+  * X9/X10/X13): the reference's row-splitting and Russian-date parsing
+  * (server/parse.ts:5-53, server/scrape.ts:399-432,510-532) as pure
+  * Catalyst expressions over captured page fixtures. The scraper itself
+  * (browser, network) is a source boundary outside the engine; the
+  * engine parses whatever the capture layer landed.
+  */
+object Html {
+
+  /** Russian month-name genitive → month number (scrape.ts:399-412). */
+  val RuMonths: Seq[(String, Int)] = Seq(
+    "января" -> 1, "февраля" -> 2, "марта" -> 3, "апреля" -> 4,
+    "мая" -> 5, "июня" -> 6, "июля" -> 7, "августа" -> 8,
+    "сентября" -> 9, "октября" -> 10, "ноября" -> 11, "декабря" -> 12)
+
+  /** X9 — `"12 сентября"` → date in `year` (null on unknown month /
+    * missing day). Map-literal lookup + regex — no UDF.
+    */
+  def ruMonthDate(text: Column, year: Int): Column = {
+    val monthMap = map(RuMonths.flatMap { case (n, m) =>
+      Seq(lit(n), lit(m)) }: _*)
+    val day = regexp_extract(text, "(\\d{1,2})", 1)
+    val monthName = regexp_extract(text, "([а-яё]+)", 1)
+    val month = element_at(monthMap, monthName)
+    when(day =!= "" && month.isNotNull,
+      F.dayFirstDate(concat(day, lit("."), month, lit(s".$year"))))
+      .otherwise(lit(null).cast("date"))
+  }
+
+  /** S10 — split an HTML page into candidate seller-row chunks:
+    * everything after each `<li` opening (parse.ts:5-16 splits on
+    * row-ish openers and filters to chunks that look like offers).
+    */
+  def sellerChunks(html: Column, rowClass: String): Column =
+    filter(split(html, "<li"), c => instr(c, rowClass) > 0)
+
+  /** Extract the text of `<span class="cls">…</span>` within a chunk. */
+  def spanText(chunk: Column, cls: String): Column =
+    regexp_extract(chunk, "class=\"" + cls + "\">([^<]*)<", 1)
+
+  /** X13 — numeric size from labels like `"42/M RUS"` (scrape.ts:510-516). */
+  def sizeNumber(label: Column): Column =
+    regexp_extract(label, "(\\d{2,3})", 1).try_cast("int")
+
+  /** X13/X14 — first-upper color normalization (scrape.ts:524-532,481). */
+  def colorCap(color: Column): Column = initcap(color)
+}

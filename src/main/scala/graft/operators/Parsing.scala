@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Out
+import graft.functions.{ExtractBalancedJson, F, Html}
+
+/** Fixture-driven HTML/embedded-JSON extraction pipelines (SURVEY.md
+  * S10/S12/X9/X11/X13/X15/X17/F5): the engine-side half of the
+  * reference's scrape path (server/parse.ts, server/scrape.ts:352-397),
+  * run over the committed own-authored golden page
+  * `fixtures/product_page.html`.
+  */
+object Parsing {
+
+  private def page(spark: SparkSession): DataFrame =
+    spark.read.option("wholetext", "true")
+      .text(s"${Ingestion.FixturesDir}/product_page.html")
+
+  /** S10/X9/X11/F5 — seller rows from page HTML: split to row chunks,
+    * extract name/price/delivery, parse the Russian month date, drop
+    * non-offers (positive-price filter, parse.ts:19).
+    */
+  def parseSellers(spark: SparkSession, dir: String): DataFrame = {
+    // number chunks BEFORE filtering so row_idx is the position in the
+    // raw page, matching the oracle's generate_subscripts numbering
+    val chunks = page(spark)
+      .select(posexplode(split(col("value"), "<li")).as(Seq("pos", "chunk")))
+      .filter(instr(col("chunk"), "seller-row") > 0)
+    val r = chunks.select(
+        (col("pos") + 1).as("row_idx"),
+        trim(Html.spanText(col("chunk"), "name")).as("seller"),
+        F.priceTextToLong(Html.spanText(col("chunk"), "price")).as("price"),
+        date_format(Html.ruMonthDate(Html.spanText(col("chunk"), "delivery"), 2025),
+          "yyyy-MM-dd").as("delivery_date"))
+      .filter(col("price") > 0)
+    Out.sorted(r)(col("row_idx"))
+  }
+
+  /** S12/X15/X17/X13/X14 — embedded configurator payload: balanced-JSON
+    * extraction via the native [[ExtractBalancedJson]] expression, then
+    * schema-flexible JSON probing of the parsed document.
+    */
+  def extractConfig(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = ExtractBalancedJson(spark, col("value"),
+      lit("BACKEND.components.configurator ="))
+    page(spark).select(
+      cfg.as("config_json"),
+      get_json_object(cfg, "$.title").as("title"),
+      get_json_object(cfg, "$.meta.brand").as("brand"),
+      json_array_length(get_json_object(cfg, "$.variants")).cast("long")
+        .as("n_variants"),
+      get_json_object(cfg, "$.variants[0].code").as("first_code"),
+      Html.sizeNumber(get_json_object(cfg, "$.variants[0].size"))
+        .as("first_size_num"),
+      Html.colorCap(get_json_object(cfg, "$.color")).as("color"))
+  }
+}

@@ -305,6 +305,28 @@ object Relational {
       .select("event_id", "user_id", "undercut", "sliding_hits", "is_bot")
   }
 
+  /** T3 batch form — running-min undercut: each observation compared to
+    * the lowest value seen SO FAR for its user (the reference's stream
+    * semantics, price_watch.ts:40-46), sliding last-5 window, bot flag.
+    * This is the exact batch equivalent of
+    * [[graft.streaming.WatchStream.detectBots]]; the streaming suite
+    * asserts equality of the two.
+    */
+  def runningUndercut(spark: SparkSession, dir: String): DataFrame = {
+    val runMin = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val seq5 = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, 0)
+    val r = ev(spark, dir)
+      .withColumn("running_min", min(col("value")).over(runMin))
+      .withColumn("undercut",
+        when(col("value") <= col("running_min") + 50.0, 1L).otherwise(0L))
+      .withColumn("sliding_hits", sum(col("undercut")).over(seq5))
+      .withColumn("is_bot", col("sliding_hits") >= 3)
+      .select("event_id", "user_id", "undercut", "sliding_hits", "is_bot")
+    Out.sorted(r)(col("user_id"), col("event_id"))
+  }
+
   /** D2/O2 — group-dedup with merge policy: per key keep lowest price +
     * earliest date (reference server/scrape.ts:543-563).
     */

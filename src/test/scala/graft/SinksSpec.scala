@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+
+/** Sink contracts, above all the reference's idempotency rule:
+  * "rerunning must not duplicate data" (.cursor/rules/one.mdc:12).
+  */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("t").toString
+
+  test("upsertByKey is idempotent: rerunning the same batch changes nothing") {
+    val path = tmp("upsert")
+    val batch = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    Sinks.upsertByKey(batch, path, Seq("k"))
+    Sinks.upsertByKey(batch, path, Seq("k"))   // rerun — must not duplicate
+    val out = spark.read.parquet(path)
+    assert(out.count() === 2)
+  }
+
+  test("upsertByKey replaces matched keys and keeps the rest") {
+    val path = tmp("upsert2")
+    Sinks.upsertByKey(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v"), path, Seq("k"))
+    Sinks.upsertByKey(
+      Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "name", "v"), path, Seq("k"))
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out === Map(
+      1L -> ("a", 10.0),    // untouched
+      2L -> ("b2", 25.0),   // replaced
+      3L -> ("c", 30.0)))   // inserted
+  }
+
+  test("exportCsv enforces the fixed column contract (PRICEBOT_SPEC_V2.md:84-90)") {
+    val path = tmp("csv")
+    val df = Seq((1L, "s1", 100.0)).toDF("productId", "sku", "price")
+    intercept[IllegalArgumentException] {
+      Sinks.exportCsv(df, path, Seq("productId", "sku", "price", "pricebot_status"))
+    }
+    Sinks.exportCsv(df, path, Seq("sku", "productId", "price"))
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.columns.toSeq === Seq("sku", "productId", "price"))
+    assert(back.count() === 1)
+  }
+
+  test("appendNdjsonPartitioned lands one directory per key and appends") {
+    val path = tmp("ndjson")
+    val b1 = Seq((1L, 5.0), (2L, 6.0)).toDF("user_id", "v")
+    Sinks.appendNdjsonPartitioned(b1, path, "user_id")
+    Sinks.appendNdjsonPartitioned(b1, path, "user_id")
+    val back = spark.read.json(path)
+    assert(back.count() === 4) // append semantics, partition dirs readable
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("user_id=")))
+  }
+}
