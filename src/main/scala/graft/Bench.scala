@@ -35,7 +35,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.sort.results", "false")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b limits the run (targeted perf iteration)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def run(name: String): Option[String] =
       try {
         SparkEntry.queries(name)(spark, sfDir)

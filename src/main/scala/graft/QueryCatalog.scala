@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Html
-import graft.operators.{Ingestion, Parsing, Relational, SellerMerge, TextOps, VectorOps}
+import graft.operators.{Fleet, Ingestion, Parsing, Relational, SellerMerge, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -26,6 +26,40 @@ object QueryCatalog {
   // Half-up rounding via pure IEEE ops — must stay in lockstep with
   // F.roundHalfUp (engine-native round() diverges at .5 boundaries).
   private def rnd(x: String, s: Int) = s"floor(($x) * 1e$s + 0.5) / 1e$s"
+
+  // Shared CTE chain of the size-recommendation pipeline (J8/W5); used
+  // by q_size_recommend and the X25 message-rendering query.
+  private val sizeCtes = """
+        chart(h_min, h_max, w_min, w_max, size) AS (
+          VALUES (140,155,40,55,'XS'), (150,165,50,65,'S'), (160,175,60,75,'M'),
+                 (170,185,70,85,'L'), (180,195,80,95,'XL'), (190,210,90,120,'XXL')),
+        cust AS (
+          SELECT c_custkey, CAST(150 + c_custkey % 50 AS INT) AS height,
+                 CAST(50 + c_custkey % 60 AS INT) AS weight
+          FROM customer),
+        cand AS (
+          SELECT c_custkey, height, weight, size,
+                 -(abs((h_min + h_max) / 2.0 - height)
+                   + abs((w_min + w_max) / 2.0 - weight)) AS score
+          FROM cust JOIN chart
+            ON height BETWEEN h_min AND h_max AND weight BETWEEN w_min AND w_max),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY c_custkey
+                      ORDER BY score DESC, size) AS rn
+          FROM cand),
+        agg AS (
+          SELECT c_custkey,
+                 max(CASE WHEN rn = 1 THEN size END) AS best_size,
+                 count(*) AS n_candidates,
+                 coalesce(string_agg(CASE WHEN rn BETWEEN 2 AND 4 THEN size END,
+                   ',' ORDER BY rn), '') AS alt_sizes
+          FROM ranked GROUP BY c_custkey),
+        rec AS (
+          SELECT c.c_custkey, height, weight,
+                 coalesce(best_size, 'NONE') AS best_size,
+                 coalesce(n_candidates, 0) AS n_candidates,
+                 coalesce(alt_sizes, '') AS alt_sizes
+          FROM cust c LEFT JOIN agg USING (c_custkey))"""
 
   val specs: Map[String, Spec] = Map(
 
@@ -190,37 +224,10 @@ object QueryCatalog {
 
     "q_size_recommend" -> Spec(
       Relational.sizeRecommend,
-      Some("""
-        WITH chart(h_min, h_max, w_min, w_max, size) AS (
-          VALUES (140,155,40,55,'XS'), (150,165,50,65,'S'), (160,175,60,75,'M'),
-                 (170,185,70,85,'L'), (180,195,80,95,'XL'), (190,210,90,120,'XXL')),
-        cust AS (
-          SELECT c_custkey, CAST(150 + c_custkey % 50 AS INT) AS height,
-                 CAST(50 + c_custkey % 60 AS INT) AS weight
-          FROM customer),
-        cand AS (
-          SELECT c_custkey, height, weight, size,
-                 -(abs((h_min + h_max) / 2.0 - height)
-                   + abs((w_min + w_max) / 2.0 - weight)) AS score
-          FROM cust JOIN chart
-            ON height BETWEEN h_min AND h_max AND weight BETWEEN w_min AND w_max),
-        ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY c_custkey
-                      ORDER BY score DESC, size) AS rn
-          FROM cand),
-        agg AS (
-          SELECT c_custkey,
-                 max(CASE WHEN rn = 1 THEN size END) AS best_size,
-                 count(*) AS n_candidates,
-                 coalesce(string_agg(CASE WHEN rn BETWEEN 2 AND 4 THEN size END,
-                   ',' ORDER BY rn), '') AS alt_sizes
-          FROM ranked GROUP BY c_custkey)
-        SELECT c.c_custkey, height, weight,
-               coalesce(best_size, 'NONE') AS best_size,
-               coalesce(n_candidates, 0) AS n_candidates,
-               coalesce(alt_sizes, '') AS alt_sizes
-        FROM cust c LEFT JOIN agg USING (c_custkey)
-        ORDER BY c_custkey""")),
+      Some(s"""
+        WITH $sizeCtes
+        SELECT c_custkey, height, weight, best_size, n_candidates, alt_sizes
+        FROM rec ORDER BY c_custkey""")),
 
     "q_sliding_undercut" -> Spec(
       Relational.slidingUndercut,
@@ -420,11 +427,14 @@ object QueryCatalog {
       TextOps.minhashNearDup,
       Some {
         val r = TextOps.RowsPerBand
-        val mhCols = (0 until TextOps.MinhashK)
-          .map(p => s"list_aggregate(list_transform(sh, s -> md5('$p:' || s)), 'min') AS mh$p")
+        val prime = TextOps.MinhashPrime
+        val mhCols = TextOps.minhashPerms.zipWithIndex
+          .map { case ((a, b), p) => s"min(($a * h + $b) % $prime) AS mh$p" }
           .mkString(", ")
         val bandList = (0 until TextOps.Bands)
-          .map(b => "md5(" + (0 until r).map(i => s"mh${b * r + i}").mkString(" || ") + ")")
+          .map(b => "md5(" + (0 until r)
+            .map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
+            .mkString(" || '_' || ") + ")")
           .mkString("[", ", ", "]")
         s"""
         WITH base AS (
@@ -432,7 +442,11 @@ object QueryCatalog {
                  list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
           WHERE len(ws) >= 3),
-        mh AS (SELECT doc_id, sh, $mhCols FROM base),
+        mh AS (SELECT doc_id, $mhCols
+               FROM (SELECT doc_id,
+                            CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $prime AS h
+                     FROM (SELECT doc_id, unnest(sh) AS shingle FROM base))
+               GROUP BY doc_id),
         bands AS (
           SELECT doc_id, unnest($bandList) AS band_hash,
                  generate_subscripts($bandList, 1) AS band_idx
@@ -647,7 +661,88 @@ object QueryCatalog {
                concat(upper(substr(json_extract_string(cfg, '$$.color'), 1, 1)),
                       substr(json_extract_string(cfg, '$$.color'), 2)) AS color
         FROM c"""
-      })
+      }),
+
+    // ── Fleet / glob / attribute / template operators ─────────────────
+
+    "q_glob_orders" -> Spec(
+      Fleet.globOrders,
+      Some(s"""
+        WITH raw AS (
+          SELECT regexp_extract(filename, '([^/]+)\\.csv', 1) AS source_file, qty, amount
+          FROM read_csv('${Ingestion.FixturesDir}/shards/*orders*.csv',
+                        delim=';', header=true, all_varchar=true, filename=true))
+        SELECT source_file, count(*) AS n_rows,
+               CAST(sum(coalesce(TRY_CAST(regexp_replace(qty, '[^0-9]', '', 'g') AS INTEGER), 0)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(coalesce(CAST(floor(TRY_CAST(regexp_replace(replace(amount, ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE)) AS BIGINT), 0) AS DECIMAL(20,4))) AS DOUBLE) AS sum_amount
+        FROM raw GROUP BY source_file ORDER BY source_file""")),
+
+    "q_fleet_stats" -> Spec(
+      Fleet.fleetStats,
+      Some("""
+        WITH offers AS (
+          SELECT l_partkey AS sku, count(DISTINCT l_suppkey) AS n_sellers,
+                 min(l_extendedprice) AS lowest_comp,
+                 max(CASE WHEN l_suppkey = 7 THEN 1 ELSE 0 END) AS has_us
+          FROM lineitem GROUP BY l_partkey),
+        st AS (
+          SELECT p_partkey AS sku, (p_partkey % 5 <> 0) AS active,
+                 CASE WHEN p_partkey % 7 = 0 THEN 0
+                      ELSE CAST(p_size * 10 AS BIGINT) END AS stock
+          FROM part)
+        SELECT count(*) AS total_skus,
+               CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS active_skus,
+               CAST(sum(CASE WHEN stock = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_stock,
+               CAST(sum(CASE WHEN n_sellers > 1 THEN 1 ELSE 0 END) AS BIGINT) AS competing_skus,
+               CAST(sum(has_us) AS BIGINT) AS skus_with_us,
+               CAST(sum(CAST(lowest_comp AS DECIMAL(20,4))) AS DOUBLE) AS sum_lowest
+        FROM offers JOIN st USING (sku)""")),
+
+    "q_color_size_sort" -> Spec(
+      Fleet.colorSizeSort,
+      Some("""
+        SELECT p_partkey, p_name,
+               CASE WHEN regexp_extract(p_name, '^([a-z]+) ', 1)
+                         IN ('red','blue','green','yellow','black','white')
+                    THEN regexp_extract(p_name, '^([a-z]+) ', 1)
+                    ELSE '' END AS color,
+               p_size AS size_num
+        FROM part ORDER BY color, size_num DESC, p_partkey""")),
+
+    "q_brand_attributes" -> Spec(
+      Fleet.brandAttributes,
+      Some("""
+        SELECT p_brand,
+               array_to_string(list_sort(list(DISTINCT p_type)), ',') AS types_all,
+               array_to_string(list_sort(list(DISTINCT CAST(p_size AS VARCHAR))), ',') AS sizes_all,
+               count(DISTINCT p_type) AS n_types
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    "q_event_props" -> Spec(
+      Fleet.eventProps,
+      Some(s"""
+        WITH t AS (
+          SELECT CASE event_type
+                   WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+                   WHEN 'signup' THEN 'conversion' WHEN 'purchase' THEN 'revenue'
+                   WHEN 'error' THEN 'ops' ELSE 'other' END AS event_class,
+                 TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+                 value
+          FROM events)
+        SELECT event_class, count(*) AS n_events,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               ${rnd(s"${sumDec("value")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_value
+        FROM t GROUP BY event_class ORDER BY event_class""")),
+
+    "q_size_messages" -> Spec(
+      Fleet.sizeMessages,
+      Some(s"""
+        WITH $sizeCtes
+        SELECT c_custkey,
+               printf('Customer %d: recommended size %s (alternatives: %s)',
+                      c_custkey, best_size,
+                      CASE WHEN alt_sizes = '' THEN 'none' ELSE alt_sizes END) AS message
+        FROM rec ORDER BY c_custkey"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -74,7 +74,12 @@ object SellerMerge {
     */
   def dedupPolicy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // single-row-group testdata -> repartition before the typed
+    // pipeline so encoder work and the merge spread across cores (the
+    // broadcast join preserves the partitioning; explicit count so AQE
+    // doesn't coalesce the small-in-bytes, heavy-in-CPU shuffle)
     val li = Tables.load(spark, dir, "lineitem")
+      .repartition(spark.sparkContext.defaultParallelism, col("l_partkey"))
     val sup = Tables.load(spark, dir, "supplier")
     val obs = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(

@@ -56,6 +56,22 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String) =
     Tables.load(spark, dir, "documents")
 
+  /** The testdata parquet ships as ONE row group, so Spark's scan gives
+    * one task and every per-doc map stage (shingling, k×md5, bit
+    * spreads) runs single-threaded no matter how many cores exist. For
+    * CPU-heavy text pipelines we pay one cheap shuffle of the raw docs
+    * to spread the compute — keyed by doc_id so every downstream
+    * per-doc groupBy reuses the partitioning, and with an EXPLICIT
+    * partition count: these shuffles are tiny in bytes but huge in
+    * downstream CPU per row, so AQE's size-based coalescing would fold
+    * them back into one partition. (At 100 TB the scan has thousands of
+    * splits and this repartition collapses into the partitioning the
+    * groupBy needs anyway.)
+    */
+  private def docsDistributed(spark: SparkSession, dir: String) =
+    docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   private val toks: Column = split(col("text"), " ")
 
   /** Word 3-gram shingle set of `text` (distinct, empty if < 3 words). */
@@ -148,7 +164,7 @@ object TextOps {
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val bow = concat_ws(" ", array_sort(array_distinct(toks)))
     val minShingle = array_min(transform(shingles, s => md5(s)))
-    val r = docs(spark, dir).select(
+    val r = docsDistributed(spark, dir).select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
       md5(bow).as("bow_hash"),
@@ -156,14 +172,52 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
-  /** MinHash signature columns mh0..mh{k-1}: per permutation p, the
-    * lexicographic minimum of md5("p:" + shingle) over the shingle set.
+  /** Mersenne prime modulus of the linear permutation family. */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic (a, b) coefficients of the k linear permutations
+    * h_p = (a_p·h + b_p) mod 2^31-1, derived from md5 so the oracle can
+    * embed identical literals. a is never 0.
     */
-  private def withMinhashes(base: DataFrame): DataFrame =
-    (0 until MinhashK).foldLeft(base) { (df, p) =>
-      df.withColumn(s"mh$p",
-        array_min(transform(col("shingles"), s => md5(concat(lit(s"$p:"), s)))))
+  lazy val minhashPerms: IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(MinhashK) { p =>
+      def word(tag: String): Long = {
+        val hex = md.digest(s"perm_${tag}_$p".getBytes("UTF-8"))
+          .take(7).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % MinhashPrime
+      }
+      (math.max(1L, word("a")), word("b"))
     }
+  }
+
+  /** MinHash signature mh0..mh{k-1}: one 60-bit md5 hash per shingle,
+    * then k linear permutations (a_p·h + b_p) mod 2^31-1 — the classic
+    * universal-hash family, and exact integer arithmetic any engine
+    * reproduces bit-for-bit.
+    *
+    * Plan-shape choices, each measured at sf0.1:
+    *   - explode → ONE groupBy with k flat min() aggregates, not k
+    *     chained array-transform projections (those overflow the
+    *     codegen method budget → interpreted fallback, 2.6× slower);
+    *   - NUMERIC minhashes: min(LONG) hash-aggregates with a primitive
+    *     buffer, while min(STRING) forces SortAggregate with a full
+    *     per-side sort of the exploded shingle rows (another 2.5×);
+    *   - ONE md5 digest per shingle, not k: the linear-permutation
+    *     family costs two multiplies per extra hash instead of a
+    *     digest (k× fewer md5 calls in the hot path).
+    */
+  private def minhashSignatures(base: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+      .cast(LongType) % MinhashPrime
+    val mins = minhashPerms.zipWithIndex.map { case ((a, b), p) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"mh$p")
+    }
+    base.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
 
   /** Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard confirm
     * (threshold [[JaccardThreshold]] on word-3-shingle sets).
@@ -174,12 +228,20 @@ object TextOps {
     * expensive exact check runs only on banded candidates.
     */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
+    // persist: the shingle arrays feed the band self-join (twice) and
+    // both sides of the Jaccard confirm join — without it the whole
+    // shingle+k×md5 pipeline is recomputed four times (Spark reuses
+    // exchanges, not arbitrary identical subtrees). At warehouse scale
+    // the same role is played by materializing signatures to a table.
+    val base = docsDistributed(spark, dir)
       .select(col("doc_id"), shingles.as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sig = withMinhashes(base)
+      .persist()
+    val sig = minhashSignatures(base)
     val bandCols = (0 until Bands).map { b =>
-      md5(concat((0 until RowsPerBand).map(i => col(s"mh${b * RowsPerBand + i}")): _*))
+      md5(concat_ws("_",
+        (0 until RowsPerBand).map(i =>
+          col(s"mh${b * RowsPerBand + i}").cast("string")): _*))
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
@@ -210,7 +272,7 @@ object TextOps {
     * regardless of document size (the token explode combines map-side).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
+    val tok = docsDistributed(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
       .withColumn("hv", conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType))
     val bitSums = (0 until SimhashBits).map { j =>
