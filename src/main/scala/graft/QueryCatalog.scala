@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Html
-import graft.operators.{Fleet, Ingestion, Parsing, Relational, SellerMerge, TextOps, VectorOps}
+import graft.operators.{Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -742,7 +742,25 @@ object QueryCatalog {
                printf('Customer %d: recommended size %s (alternatives: %s)',
                       c_custkey, best_size,
                       CASE WHEN alt_sizes = '' THEN 'none' ELSE alt_sizes END) AS message
-        FROM rec ORDER BY c_custkey"""))
+        FROM rec ORDER BY c_custkey""")),
+
+    "q_media_stats" -> Spec(
+      Multimodal.mediaStats,
+      Some(s"""
+        WITH m AS (
+          SELECT CASE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 3
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 md5(CAST(encode(text) AS VARCHAR)) AS content_hash,
+                 CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
+                   / ${Multimodal.FrameBytes}) AS BIGINT) AS n_frames
+          FROM documents)
+        SELECT kind, count(*) AS n_items,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               ${rnd(s"${sumDec("n_bytes")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_bytes,
+               CAST(sum(n_frames) AS BIGINT) AS total_frames,
+               count(DISTINCT content_hash) AS n_distinct_contents
+        FROM m GROUP BY kind ORDER BY kind"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

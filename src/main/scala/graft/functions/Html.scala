@@ -24,8 +24,11 @@ object Html {
   def ruMonthDate(text: Column, year: Int): Column = {
     val monthMap = map(RuMonths.flatMap { case (n, m) =>
       Seq(lit(n), lit(m)) }: _*)
-    val day = regexp_extract(text, "(\\d{1,2})", 1)
-    val monthName = regexp_extract(text, "([а-яё]+)", 1)
+    // one combined pattern: the month name must FOLLOW the day number
+    // ("Постамат: 12 сентября" would otherwise match "остамат" as the
+    // first lowercase-cyrillic run)
+    val day = regexp_extract(text, "(\\d{1,2})\\s*([а-яё]+)", 1)
+    val monthName = regexp_extract(text, "(\\d{1,2})\\s*([а-яё]+)", 2)
     val month = element_at(monthMap, monthName)
     when(day =!= "" && month.isNotNull,
       F.dayFirstDate(concat(day, lit("."), month, lit(s".$year"))))
@@ -42,6 +45,24 @@ object Html {
   /** Extract the text of `<span class="cls">…</span>` within a chunk. */
   def spanText(chunk: Column, cls: String): Column =
     regexp_extract(chunk, "class=\"" + cls + "\">([^<]*)<", 1)
+
+  /** X10 — delivery-text normalization (scrape.ts:414-432): from a
+    * multi-line delivery blurb, pick the postamat and courier lines,
+    * parse their Russian dates, emit the reference's compact
+    * `"postamat - <date>, delivery - <date>"` form ("—" when absent).
+    * Pure higher-order array expressions — no UDF.
+    */
+  def normalizeDeliveryText(text: Column, year: Int): Column = {
+    val lines = split(text, "\n")
+    // try_element_at: the filtered array is empty when no line matches,
+    // and plain element_at throws under ANSI mode
+    def firstLineWith(needle: String): Column =
+      try_element_at(filter(lines, l => instr(lower(l), needle) > 0), lit(1))
+    def fmt(line: Column): Column =
+      coalesce(date_format(ruMonthDate(line, year), "d.M.yyyy"), lit("—"))
+    format_string("postamat - %s, delivery - %s",
+      fmt(firstLineWith("постамат")), fmt(firstLineWith("доставка")))
+  }
 
   /** X13 — numeric size from labels like `"42/M RUS"` (scrape.ts:510-516). */
   def sizeNumber(label: Column): Column =

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Out, Tables}
+import graft.functions.F
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` columns with typed metadata, plus decode / thumbnail /
+  * frame-sample / feature-extract stages.
+  *
+  * The engine treats media EXACTLY as a 100 TB pipeline must: bytes are
+  * an opaque binary column co-partitioned with their metadata; every
+  * transformation is either a pure column expression (lengths, slices,
+  * hashes, chunk counts) or a `mapPartitions` stage whose per-batch
+  * shape (Iterator→Iterator, no per-row session state) is the real
+  * contract. The actual CODEC is stubbed: this container has no
+  * image/audio libraries, so [[MediaCodec.decodeStub]] derives
+  * deterministic fake pixels/metadata from the bytes. Swapping in a real
+  * decoder changes one function, not the plumbing, partitioning or
+  * schema.
+  *
+  * The media corpus itself is synthesized from `documents` (text bytes
+  * as payload) — deterministic, so the DuckDB oracle can reproduce the
+  * byte-level stats.
+  */
+object Multimodal {
+
+  /** Payload bytes per synthetic video "frame" (chunked slices). */
+  val FrameBytes = 64
+
+  /** Typed media row for the mapPartitions stage. */
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded feature row (stub codec output). */
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Long,
+                          width: Int, height: Int, feature: Array[Float])
+
+  /** The stubbed codec boundary. A production build replaces these with
+    * real decoders (JPEG/PNG, PCM, frame demux); signatures and
+    * determinism contracts stay identical.
+    */
+  object MediaCodec {
+    /** STUB decode: metadata derived deterministically from the bytes —
+      * stands in for reading an image header.
+      */
+    def decodeStub(content: Array[Byte]): (Int, Int) = {
+      val n = content.length
+      (32 + n % 97, 32 + (n * 31) % 89)
+    }
+
+    /** STUB feature extractor: 8 floats folded from the byte stream —
+      * stands in for an embedding model forward pass. Deterministic in
+      * the content.
+      */
+    def featureStub(content: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](8)
+      var i = 0
+      while (i < content.length) {
+        acc(i % 8) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Synthetic media corpus over `documents`: payload = UTF-8 bytes of
+    * the text, modality from the source shard. Binary column + typed
+    * metadata, one row per media object.
+    */
+  def media(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val kind = element_at(
+      map(lit(0), lit("image"), lit(1), lit("audio"), lit(2), lit("video")),
+      srcNum % 3)
+    Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        col("doc_id").as("media_id"),
+        kind.as("kind"),
+        encode(col("text"), "UTF-8").as("content"))
+  }
+
+  /** Thumbnail stage (resize stand-in): truncate payload to `bytes` —
+    * a pure binary column expression, no UDF.
+    */
+  def thumbnail(content: org.apache.spark.sql.Column, bytes: Int): org.apache.spark.sql.Column =
+    substring(content, 1, bytes)
+
+  /** Frame sampling (video stand-in): chunk the payload into
+    * [[FrameBytes]]-sized frames and keep every `step`-th — pure
+    * higher-order array expressions over the binary column.
+    */
+  def sampleFrames(content: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column = {
+    val nFrames = ceil(octet_length(content).cast("double") / FrameBytes).cast(LongType)
+    val frames = transform(sequence(lit(0L), nFrames - 1),
+      i => substring(content, (i * FrameBytes + 1).cast("int"), lit(FrameBytes)))
+    filter(frames, (_, i) => i % step === 0)
+  }
+
+  /** The mapPartitions decode stage: batched Iterator→Iterator with the
+    * codec stubbed. This is where a real pipeline amortizes model/codec
+    * init per PARTITION (not per row) — the shape that matters at scale.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: initialize decoder/model ONCE here, then stream
+      it.map { m =>
+        val (w, h) = MediaCodec.decodeStub(m.content)
+        MediaFeature(m.media_id, m.kind, m.content.length.toLong, w, h,
+          MediaCodec.featureStub(m.content))
+      }
+    }
+  }
+
+  /** Oracle-checked corpus stats over the binary column: per modality,
+    * item/byte/frame counts and content-hash distinct — the byte-level
+    * bookkeeping every media pipeline needs before any decode runs.
+    */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir)
+    val r = m.select(
+        col("kind"),
+        octet_length(col("content")).cast(LongType).as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        ceil(octet_length(col("content")).cast("double") / FrameBytes)
+          .cast(LongType).as("n_frames"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        F.avgFromSums(sum(F.dec(col("n_bytes"))), count(lit(1))).as("avg_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        countDistinct(col("content_hash")).as("n_distinct_contents"))
+    Out.sorted(r)(col("kind"))
+  }
+}

@@ -62,6 +62,20 @@ object Ingest {
     */
   def nullIfEmpty(c: Column): Column = when(trim(c) === "", null).otherwise(c)
 
+  /** S3 — newest-file selection by modification time (reference
+    * etl_stock.py:10-13 `max(glob, key=mtime)`): a driver-side Hadoop FS
+    * listing — file metadata, not data, so it stays O(files) on the
+    * driver at any data scale.
+    */
+  def newestFile(spark: SparkSession, globPath: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(globPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+    statuses.filter(_.isFile)
+      .sortBy(s => (s.getModificationTime, s.getPath.toString))
+      .lastOption.map(_.getPath.toString)
+  }
+
   /** S5 — typed CSV reader (reference etl_stock.py:16): explicit schema,
     * no inference pass (an inference pass is a full extra scan at scale).
     */

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: binary columns, frame chunking, the stubbed
+  * codec's determinism, and the mapPartitions batch shape.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  test("media corpus: binary payload with typed modality metadata") {
+    val m = Multimodal.media(spark, SparkT.Sf0001)
+    assert(m.schema("content").dataType.typeName === "binary")
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("thumbnail truncates payload; frame sampling chunks and strides") {
+    import spark.implicits._
+    val m = Multimodal.media(spark, SparkT.Sf0001).limit(20)
+    val r = m.select(
+        octet_length(col("content")).as("full"),
+        octet_length(Multimodal.thumbnail(col("content"), 50)).as("thumb"),
+        size(Multimodal.sampleFrames(col("content"), 1)).as("all_frames"),
+        size(Multimodal.sampleFrames(col("content"), 2)).as("half_frames"))
+      .as[(Int, Int, Int, Int)].collect()
+    r.foreach { case (full, thumb, allF, halfF) =>
+      assert(thumb === math.min(50, full))
+      assert(allF === math.ceil(full / Multimodal.FrameBytes.toDouble).toInt)
+      assert(halfF === (allF + 1) / 2)
+    }
+  }
+
+  test("decodeFeatures: mapPartitions stage is deterministic and typed") {
+    import spark.implicits._
+    val media = Multimodal.media(spark, SparkT.Sf0001).limit(10)
+      .as[Multimodal.MediaRow]
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length === 10)
+    f1.zip(f2).foreach { case (x, y) =>
+      assert(x.media_id === y.media_id)
+      assert(x.feature.toSeq === y.feature.toSeq)  // codec stub is deterministic
+      assert(x.feature.length === 8)
+      assert(x.width >= 32 && x.height >= 32)
+      assert(x.n_bytes > 0)
+    }
+  }
+}
