@@ -663,6 +663,26 @@ object QueryCatalog {
         FROM c"""
       }),
 
+    "q_config_variants" -> Spec(
+      Parsing.configVariants,
+      Some {
+        val balanced3 = """BACKEND\.components\.configurator = (\{([^{}]|\{([^{}]|\{[^{}]*\})*\})*\})"""
+        s"""
+        WITH c AS (
+          SELECT regexp_extract(content, '$balanced3', 1) AS cfg
+          FROM read_text('${Ingestion.FixturesDir}/product_page.html')),
+        i AS (
+          SELECT cfg, unnest(range(CAST(json_array_length(cfg, '$$.variants') AS INTEGER))) AS idx
+          FROM c)
+        SELECT CAST(idx + 1 AS INTEGER) AS variant_idx,
+               json_extract_string(cfg, '$$.variants[' || idx || '].code') AS code,
+               json_extract_string(cfg, '$$.variants[' || idx || '].size') AS size,
+               TRY_CAST(regexp_extract(json_extract_string(cfg, '$$.variants[' || idx || '].size'),
+                 '([0-9]{2,3})', 1) AS INTEGER) AS size_num,
+               CAST(json_extract(cfg, '$$.variants[' || idx || '].stock.count') AS INTEGER) AS stock_count
+        FROM i ORDER BY variant_idx"""
+      }),
+
     // ── Fleet / glob / attribute / template operators ─────────────────
 
     "q_glob_orders" -> Spec(

@@ -38,6 +38,29 @@ object Parsing {
     Out.sorted(r)(col("row_idx"))
   }
 
+  /** X16 — variant-matrix walk: parse the extracted configurator into a
+    * typed nested schema and flatten every variant to a row
+    * (scrape.ts:375-391 walks the matrix collecting code→size; with
+    * from_json the walk is explode over the typed array — no UDF).
+    */
+  def configVariants(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = ExtractBalancedJson(spark, col("value"),
+      lit("BACKEND.components.configurator ="))
+    val schema = "STRUCT<title: STRING, color: STRING, " +
+      "variants: ARRAY<STRUCT<code: STRING, size: STRING, " +
+      "stock: STRUCT<count: INT>>>, meta: STRUCT<brand: STRING>>"
+    val r = page(spark)
+      .select(from_json(cfg, schema, Map.empty[String, String]).as("c"))
+      .select(posexplode(col("c.variants")).as(Seq("idx", "v")))
+      .select(
+        (col("idx") + 1).as("variant_idx"),
+        col("v.code").as("code"),
+        col("v.size").as("size"),
+        Html.sizeNumber(col("v.size")).as("size_num"),
+        col("v.stock.count").as("stock_count"))
+    Out.sorted(r)(col("variant_idx"))
+  }
+
   /** S12/X15/X17/X13/X14 — embedded configurator payload: balanced-JSON
     * extraction via the native [[ExtractBalancedJson]] expression, then
     * schema-flexible JSON probing of the parsed document.

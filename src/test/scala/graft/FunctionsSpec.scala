@@ -120,6 +120,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("idFromHref extracts trailing numeric ids (scrape.ts:39-42)") {
+    val r = Seq("/p/shoes-alpha-12345/", "/p/shoes-999", "/p/no-id/x")
+      .toDF("h").select(F.idFromHref(col("h")).as("id"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq === Seq("12345", "999", ""))
+  }
+
   test("isPriceBot guards zero group-min (scrape.ts:723)") {
     val r = Seq((0.0, 0.0, 0.0), (100.0, 0.0, 0.0), (5000.0, 0.0, 0.0))
       .toDF("p", "mn", "md")

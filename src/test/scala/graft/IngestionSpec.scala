@@ -23,6 +23,15 @@ class IngestionSpec extends AnyFunSuite {
       val k = r.getAs[String]("sku_key"); k == k.trim && k == k.toUpperCase })
   }
 
+  test("typed CSV reader applies the explicit schema without inference (S5)") {
+    val df = graft.sources.Ingest.readTypedCsv(spark,
+      s"${Ingestion.FixturesDir}/shards/orders_2025_01.csv",
+      "id LONG, qty INT, amount STRING", sep = ";")
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("id", "long"), ("qty", "integer"), ("amount", "string")))
+    assert(df.count() === 3)
+  }
+
   test("catalog: empty SKU dropped, dirty numerics cleaned, warnings counted") {
     val rows = Ingestion.catalogFromRaw(spark, SparkT.Sf0001).collect()
     assert(rows.length === 32)                       // 36 rows, 4 empty SKU_ID
