@@ -412,16 +412,31 @@ object QueryCatalog {
 
     "q_doc_fingerprint" -> Spec(
       TextOps.fingerprints,
-      Some("""
+      Some(s"""
         SELECT doc_id, md5(text) AS content_hash,
                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash,
-               coalesce(list_aggregate(list_transform(sh, s -> md5(s)), 'min'), '') AS min_shingle_hash
-        FROM (SELECT doc_id, text,
+               coalesce(list_aggregate(list_transform(sh, s -> md5(s)), 'min'), '') AS min_shingle_hash,
+               list_reduce(
+                 list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % ${TextOps.MinhashPrime}),
+                 (acc, x) -> (acc * 31 + x) % ${TextOps.MinhashPrime}) AS rolling_hash
+        FROM (SELECT doc_id, text, ws,
                      CASE WHEN len(ws) >= 3
                           THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])
                           ELSE CAST([] AS VARCHAR[]) END AS sh
               FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
         ORDER BY doc_id""")),
+
+    "q_doc_subwords" -> Spec(
+      TextOps.subwordStats,
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS pieces
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(pieces) AS BIGINT) AS n_pieces,
+               CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+               ${rnd("CAST(list_sum(list_transform(pieces, x -> length(x))) AS DOUBLE) / CAST(len(pieces) AS DOUBLE)", 6)} AS avg_piece_len
+        FROM p ORDER BY doc_id""")),
 
     "q_doc_minhash_neardup" -> Spec(
       TextOps.minhashNearDup,
@@ -754,6 +769,17 @@ object QueryCatalog {
                ${rnd(s"${sumDec("value")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_value
         FROM t GROUP BY event_class ORDER BY event_class""")),
 
+    "q_event_windows" -> Spec(
+      Fleet.eventWindows,
+      Some(s"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               ${sumDec("value")} AS sum_value
+        FROM events
+        GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
+        ORDER BY window_start, event_type""")),
+
     "q_size_messages" -> Spec(
       Fleet.sizeMessages,
       Some(s"""
@@ -763,6 +789,44 @@ object QueryCatalog {
                       c_custkey, best_size,
                       CASE WHEN alt_sizes = '' THEN 'none' ELSE alt_sizes END) AS message
         FROM rec ORDER BY c_custkey""")),
+
+    "q_salted_sku_stats" -> Spec(
+      Relational.saltedSkuStats,
+      Some(s"""
+        SELECT l_partkey AS sku, count(*) AS n_lines,
+               ${sumDec("l_quantity")} AS sum_qty,
+               min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey ORDER BY sku""")),
+
+    "q_ann_ivf" -> Spec(
+      VectorOps.annIvf,
+      Some(s"""
+        WITH comp AS (
+          SELECT label, dim,
+                 ${rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings)
+          GROUP BY label, dim),
+        cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        cells AS (
+          SELECT q_id, q_emb, label,
+                 ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} AS cell_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} DESC, label) AS rn
+          FROM q, cent),
+        best AS (SELECT q_id, q_emb, label, cell_sim FROM cells WHERE rn = 1),
+        s AS (
+          SELECT q_id, b.label AS cell, cell_sim, e.vec_id AS neighbor_id,
+                 ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+          FROM best b JOIN embeddings e ON e.label = b.label
+          WHERE e.vec_id <> b.q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, cos_sim FROM r
+        WHERE rank <= ${VectorOps.TopKIvf} ORDER BY q_id, rank""")),
 
     "q_media_stats" -> Spec(
       Multimodal.mediaStats,

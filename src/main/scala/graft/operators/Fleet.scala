@@ -132,6 +132,16 @@ object Fleet {
     Out.sorted(r)(col("event_class"))
   }
 
+  /** Event-time tumbling windows, batch form (the streaming twin with a
+    * watermark lives in [[graft.streaming.EventWindows]]): hourly counts
+    * and exact value sums per event type.
+    */
+  def eventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.streaming.EventWindows.batchWithSums(
+      Tables.load(spark, dir, "events"))
+    Out.sorted(r)(col("window_start"), col("event_type"))
+  }
+
   /** X25 — template message rendering over the size recommendations
     * (reference size_recommendation_engine.py:279-301 WhatsApp text).
     */

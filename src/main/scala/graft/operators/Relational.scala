@@ -422,6 +422,33 @@ object Relational {
     Out.sorted(r)(col("sku"))
   }
 
+  /** Skew-safe two-phase (salted) aggregation: phase 1 aggregates on
+    * (key, salt) so a hot key's rows spread over `salts` reducers; phase
+    * 2 combines the partials per key. Results are identical to a direct
+    * groupBy — the point is the SHAPE: at 100 TB a single hot SKU
+    * funnels its whole row set through one reducer in the direct plan,
+    * while the salted plan bounds any reducer's load at hot/salts. The
+    * salt is derived from a second column (not random) so the query
+    * stays deterministic and retry-safe. Exposed as a query so the
+    * technique is oracle-verified equal to the plain aggregation.
+    */
+  def saltedSkuStats(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val phase1 = li(spark, dir)
+      .withColumn("salt", pmod(col("l_suppkey"), lit(salts)))
+      .groupBy(col("l_partkey"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(F.dec(col("l_quantity"))).as("pq"),
+        min(col("l_extendedprice")).as("pmin"))
+    val r = phase1.groupBy(col("l_partkey").as("sku"))
+      .agg(
+        sum(col("pn")).as("n_lines"),
+        sum(col("pq")).cast("double").as("sum_qty"),
+        min(col("pmin")).as("min_price"))
+    Out.sorted(r)(col("sku"))
+  }
+
   /** Shared offers pipeline for X19/X20: dedup to per-(sku, seller) best
     * price, then per-sku min/median as WINDOW aggregates over the deduped
     * frame. One shuffle for the dedup, one for the window — the round-1

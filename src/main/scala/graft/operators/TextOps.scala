@@ -157,18 +157,47 @@ object TextOps {
   }
 
   /** Per-document fingerprints: raw content hash, normalized bag-of-words
-    * hash, and the minimum shingle hash (winnowing-style representative).
-    * Pure map; the three hashes anchor exact dedup, normalized dedup and
-    * shingle-level containment respectively.
+    * hash, the minimum shingle hash (winnowing-style representative), and
+    * a POSITIONAL polynomial rolling hash (Horner fold over per-word
+    * hashes mod 2^31-1 — order-sensitive, unlike the bag hashes; two
+    * docs with the same words in different order differ here). All pure
+    * map-side expressions; the sequential fold is engine-reproducible.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val bow = concat_ws(" ", array_sort(array_distinct(toks)))
     val minShingle = array_min(transform(shingles, s => md5(s)))
+    val wordHashes = transform(toks,
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType) % MinhashPrime)
+    // Horner fold seeded from the FIRST element (matches engines whose
+    // reduce has no initial-value form)
+    val rolling = aggregate(
+      slice(wordHashes, lit(2), greatest(size(wordHashes) - 1, lit(0))),
+      element_at(wordHashes, 1),
+      (acc, x) => (acc * 31L + x) % MinhashPrime)
     val r = docsDistributed(spark, dir).select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
       md5(bow).as("bow_hash"),
-      coalesce(minShingle, lit("")).as("min_shingle_hash"))
+      coalesce(minShingle, lit("")).as("min_shingle_hash"),
+      rolling.as("rolling_hash"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** BPE-ish subword tokenization stats: pieces = maximal runs of
+    * letters / digits / single non-alphanumeric chars (the regex shape
+    * of byte-pair pretokenizers), counted per document. Pure map.
+    */
+  def subwordStats(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+    val sumLen = aggregate(transform(pieces, p => length(p)), lit(0),
+      (acc, x) => acc + x)
+    val r = docs(spark, dir).select(
+      col("doc_id"),
+      size(pieces).cast(LongType).as("n_pieces"),
+      size(array_distinct(pieces)).cast(LongType).as("n_distinct_pieces"),
+      F.roundHalfUp(sumLen.cast("double") / size(pieces).cast("double"), 6)
+        .as("avg_piece_len"))
     Out.sorted(r)(col("doc_id"))
   }
 

@@ -83,6 +83,53 @@ object VectorOps {
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 
+  /** IVF probe depth (cells searched per query) and in-cell k. */
+  val TopKIvf = 5
+
+  /** ANN scale path #2 — IVF (inverted-file) search: vectors are
+    * assigned to coarse cells, a query ranks cells by centroid
+    * similarity and searches only its best cell. The `label` column
+    * plays the coarse quantizer (at scale the cells come from k-means —
+    * the search-side plan is identical).
+    *
+    * Centroids are per-dimension means computed from exact decimal sums
+    * and rounded with [[graft.functions.F.roundHalfUp]] — a plain double
+    * mean is shuffle-order-dependent, which would make the cell ranking
+    * (and therefore the result set) nondeterministic across runs and
+    * engines.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val comp = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(F.avgFromSums(sum(col("v").cast("decimal(25,10)")), count(lit(1))).as("c"))
+    val centroids = comp.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cell_sim"), asc("label"))
+    val bestCell = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("label"),
+        F.roundHalfUp(dot(col("q_emb"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_emb"), col("label"), col("cell_sim"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val r = e.join(broadcast(bestCell), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label").as("cell"), col("cell_sim"),
+        col("vec_id").as("neighbor_id"),
+        F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= TopKIvf)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "cos_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
   /** Sign-pattern LSH bucket id of an embedding column. */
   private def bucketOf(e: Column): Column =
     (0 until NPlanes).map { p =>
