@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Physical-plan contracts — the properties that make these plans hold
+  * at 100 TB, asserted against the actual executed plan text so a
+  * refactor cannot silently regress them:
+  *   - filters and column selection reach the parquet scan
+  *     (PushedFilters / pruned ReadSchema);
+  *   - dimension joins broadcast (no fact-table shuffle for lookups);
+  *   - the hot paths stay inside whole-stage codegen.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.load(spark, SparkT.Sf0001, "lineitem")
+      .filter(col("l_returnflag") === "A")
+      .select("l_partkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double,l_returnflag:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side for lookups") {
+    val plan = planOf(Relational.marginBySku(spark, SparkT.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$plan")
+  }
+
+  test("aggregation pipeline: whole-stage codegen, hash agg, map-side combine") {
+    val plan = planOf(Relational.pricingSummary(spark, SparkT.Sf0001))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan text
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("bot-flag pipeline is window-based: no self-join, single agg chain") {
+    val plan = planOf(Relational.botFlags(spark, SparkT.Sf0001))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"aggregate-rejoin shape crept back in:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected window aggregates:\n$plan")
+  }
+}
