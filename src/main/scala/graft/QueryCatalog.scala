@@ -515,6 +515,27 @@ object QueryCatalog {
         SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
         ORDER BY q_id, rank""")),
 
+    "q_embed_neardup" -> Spec(
+      VectorOps.embedNearDup,
+      Some {
+        val bucketExpr = (0 until VectorOps.NPlanes).map { p =>
+          val arr = VectorOps.planeInts(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        val probeList = ("bucket" +: (0 until VectorOps.NPlanes)
+          .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+        s"""
+        WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
+                   FROM embeddings),
+        p AS (SELECT vec_id, embedding, unnest($probeList) AS probe_bucket FROM b),
+        s AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                     ${rnd("list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])", 6)} AS cos_sim
+              FROM p x JOIN b y ON x.probe_bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, cos_sim FROM s
+        WHERE cos_sim >= ${VectorOps.NearDupCosine}
+        ORDER BY vec_a, vec_b"""
+      }),
+
     "q_ann_lsh" -> Spec(
       VectorOps.annLsh,
       Some {

@@ -86,6 +86,38 @@ object VectorOps {
   /** IVF probe depth (cells searched per query) and in-cell k. */
   val TopKIvf = 5
 
+  /** Cosine threshold for embedding near-duplicate pairs. */
+  val NearDupCosine = 0.45
+
+  /** Embedding-cosine near-duplicate pairs at scale: candidates come
+    * from MULTI-PROBE LSH — each vector probes its own bucket plus all
+    * Hamming-distance-1 buckets, so a pair is compared iff their sign
+    * patterns differ in at most one hyperplane. No all-pairs stage; the
+    * exact cosine runs only on bucket-matched candidates. (Single-bucket
+    * LSH at this plane count has ~20% recall at cos 0.45; the H≤1 probe
+    * set roughly triples it. Recall tuning = planes/probes, and the
+    * oracle replicates the probing exactly, so the gate stays
+    * deterministic.)
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val b = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+    val probeList = array(
+      col("bucket") +: (0 until NPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val probes = b.select(col("vec_id"), col("embedding"),
+      explode(probeList).as("probe_bucket"))
+    val r = probes.as("x")
+      .join(b.as("y"),
+        col("x.probe_bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        F.roundHalfUp(dot(col("x.embedding"), col("y.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= NearDupCosine)
+    Out.sorted(r)(col("vec_a"), col("vec_b"))
+  }
+
   /** ANN scale path #2 — IVF (inverted-file) search: vectors are
     * assigned to coarse cells, a query ranks cells by centroid
     * similarity and searches only its best cell. The `label` column
