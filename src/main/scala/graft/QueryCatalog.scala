@@ -27,6 +27,51 @@ object QueryCatalog {
   // F.roundHalfUp (engine-native round() diverges at .5 boundaries).
   private def rnd(x: String, s: Int) = s"floor(($x) * 1e$s + 0.5) / 1e$s"
 
+  // Shared CTE chain of the banded-MinHash near-dup pipeline, generated
+  // from the SAME constants (TextOps.MinhashK/Bands/minhashPerms) the
+  // Spark plans use; ends in `pairs` (confirmed near-dup pairs). Used by
+  // q_doc_minhash_neardup and the clustering query.
+  private lazy val minhashPairCtes: String = {
+    val r = TextOps.RowsPerBand
+    val prime = TextOps.MinhashPrime
+    val mhCols = TextOps.minhashPerms.zipWithIndex
+      .map { case ((a, b), p) => s"min(($a * h + $b) % $prime) AS mh$p" }
+      .mkString(", ")
+    val bandList = (0 until TextOps.Bands)
+      .map(b => "md5(" + (0 until r)
+        .map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
+        .mkString(" || '_' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""base AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          WHERE len(ws) >= 3),
+        mh AS (SELECT doc_id, $mhCols
+               FROM (SELECT doc_id,
+                            CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $prime AS h
+                     FROM (SELECT doc_id, unnest(sh) AS shingle FROM base))
+               GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, unnest($bandList) AS band_hash,
+                 generate_subscripts($bandList, 1) AS band_idx
+          FROM mh),
+        cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared_bands
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+        j AS (
+          SELECT doc_a, doc_b, n_shared_bands,
+                 ${rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)", 6)} AS jaccard
+          FROM cand JOIN base a ON doc_a = a.doc_id JOIN base b ON doc_b = b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b, n_shared_bands, jaccard FROM j
+          WHERE jaccard >= ${TextOps.JaccardThreshold})"""
+  }
+
   // Shared CTE chain of the size-recommendation pipeline (J8/W5); used
   // by q_size_recommend and the X25 message-rendering query.
   private val sizeCtes = """
@@ -440,47 +485,27 @@ object QueryCatalog {
 
     "q_doc_minhash_neardup" -> Spec(
       TextOps.minhashNearDup,
-      Some {
-        val r = TextOps.RowsPerBand
-        val prime = TextOps.MinhashPrime
-        val mhCols = TextOps.minhashPerms.zipWithIndex
-          .map { case ((a, b), p) => s"min(($a * h + $b) % $prime) AS mh$p" }
-          .mkString(", ")
-        val bandList = (0 until TextOps.Bands)
-          .map(b => "md5(" + (0 until r)
-            .map(i => s"CAST(mh${b * r + i} AS VARCHAR)")
-            .mkString(" || '_' || ") + ")")
-          .mkString("[", ", ", "]")
-        s"""
-        WITH base AS (
-          SELECT doc_id,
-                 list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
-          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-          WHERE len(ws) >= 3),
-        mh AS (SELECT doc_id, $mhCols
-               FROM (SELECT doc_id,
-                            CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $prime AS h
-                     FROM (SELECT doc_id, unnest(sh) AS shingle FROM base))
-               GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, unnest($bandList) AS band_hash,
-                 generate_subscripts($bandList, 1) AS band_idx
-          FROM mh),
-        cand AS (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                 CAST(count(*) AS BIGINT) AS n_shared_bands
-          FROM bands x JOIN bands y
-            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-               AND x.doc_id < y.doc_id
-          GROUP BY x.doc_id, y.doc_id),
-        j AS (
-          SELECT doc_a, doc_b, n_shared_bands,
-                 ${rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)", 6)} AS jaccard
-          FROM cand JOIN base a ON doc_a = a.doc_id JOIN base b ON doc_b = b.doc_id)
-        SELECT doc_a, doc_b, n_shared_bands, jaccard FROM j
-        WHERE jaccard >= ${TextOps.JaccardThreshold}
-        ORDER BY doc_a, doc_b"""
-      }),
+      Some(s"""
+        WITH $minhashPairCtes
+        SELECT doc_a, doc_b, n_shared_bands, jaccard FROM pairs
+        ORDER BY doc_a, doc_b""")),
+
+    "q_neardup_clusters" -> Spec(
+      TextOps.nearDupClusters,
+      Some(s"""
+        WITH RECURSIVE $minhashPairCtes,
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+        members AS (SELECT DISTINCT a AS doc FROM e),
+        reach(a, b) AS (
+          SELECT doc, doc FROM members
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size
+        FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                          FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        ORDER BY doc_id""")),
 
     "q_doc_simhash" -> Spec(
       TextOps.simhash,

@@ -256,7 +256,13 @@ object TextOps {
     * two shingle sets → exact Jaccard filter. No stage is all-pairs; the
     * expensive exact check runs only on banded candidates.
     */
-  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(nearDupPairs(spark, dir))(col("doc_a"), col("doc_b"))
+
+  /** Unsorted confirmed near-dup pairs (shared by [[minhashNearDup]]
+    * and the clustering operator).
+    */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // persist: the shingle arrays feed the band self-join (twice) and
     // both sides of the Jaccard confirm join — without it the whole
     // shingle+k×md5 pipeline is recomputed four times (Spark reuses
@@ -283,13 +289,53 @@ object TextOps {
     val jac = F.roundHalfUp(
       size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
         size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
-    val r = cand
+    cand
       .join(base.as("a"), col("doc_a") === col("a.doc_id"))
       .join(base.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         jac.as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-    Out.sorted(r)(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the confirmed
+    * pair graph, labeling each member with the minimum doc id of its
+    * component — the step a dedup pipeline runs after pair detection to
+    * pick one canonical document per duplicate group.
+    *
+    * Iterative min-label propagation over the pair members only (the
+    * frame is |docs-in-pairs|, a tiny fraction of the corpus at any
+    * scale). The driver loop checks convergence with a scalar count per
+    * round — bounded by the graph diameter, and each round is one
+    * shuffle; at warehouse scale you would checkpoint the label frame
+    * every few rounds to cut lineage.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b").persist()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbor = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val r = labels.join(broadcast(sizes), Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
+    Out.sorted(r)(col("doc_id"))
   }
 
   /** SimHash fingerprint per document over distinct tokens: token hash =
