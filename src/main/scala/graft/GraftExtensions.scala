@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ExtractBalancedJson
+import graft.functions.{ExtractBalancedJson, VectorDot}
 
 /** Session-extension entry point: deploy the engine's custom functions
   * on any cluster session via
@@ -20,9 +20,14 @@ import graft.functions.ExtractBalancedJson
   * not an omission.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("extract_balanced_json"),
       new ExpressionInfo(classOf[ExtractBalancedJson].getName, "extract_balanced_json"),
       (exprs: Seq[Expression]) => ExtractBalancedJson(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+  }
 }

@@ -58,10 +58,14 @@ object VectorOps {
   private def emb(spark: SparkSession, dir: String) =
     Tables.load(spark, dir, "embeddings")
 
-  /** Sequential-fold dot product of two float arrays, in doubles. */
+  /** Left-to-right dot product in doubles — the native codegen
+    * [[graft.functions.VectorDot]] expression (bit-identical to a
+    * zip_with+aggregate fold, minus the interpreted HOF overhead that
+    * dominates candidate-join stages).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorDot(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** ANN baseline — exact brute-force cosine top-k: for each query vector
     * (vec_id < [[NQueries]]) the [[TopK]] nearest neighbors by cosine
