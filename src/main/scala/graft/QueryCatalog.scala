@@ -443,6 +443,53 @@ object QueryCatalog {
         FROM bylang b JOIN top USING (lang) ORDER BY lang"""
       }),
 
+    "q_doc_quality" -> Spec(
+      TextOps.qualityScores,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        val quality = rnd(
+          """0.4 * (least(1.0, n / 20.0) * least(1.0, 80.0 / greatest(n, 80.0)))
+             + 0.3 * (CASE WHEN nstop / n BETWEEN 0.02 AND 0.3 THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (nd / n)""", 6)
+        s"""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST(len(ws) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) AS nstop,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) AS nd
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+        SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+               ${rnd("nstop / n", 6)} AS stop_ratio,
+               ${rnd("nd / n", 6)} AS ttr,
+               $quality AS quality_score,
+               $quality >= 0.5 AS keep
+        FROM s ORDER BY doc_id"""
+      }),
+
+    "q_doc_langid" -> Spec(
+      TextOps.langId,
+      Some(s"""
+        WITH dt AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct([substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS tri
+          FROM documents WHERE length(text) >= 3),
+        prof AS (
+          SELECT plang, tri FROM (
+            SELECT lang AS plang, tri, count(*) AS c,
+                   row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS rn
+            FROM dt GROUP BY lang, tri)
+          WHERE rn <= ${TextOps.LangIdProfileSize}),
+        sc AS (
+          SELECT doc_id, lang, plang, count(*) AS overlap
+          FROM dt JOIN prof USING (tri) GROUP BY doc_id, lang, plang),
+        pred AS (
+          SELECT doc_id, lang, plang FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY overlap DESC, plang) AS rn FROM sc)
+          WHERE rn = 1)
+        SELECT lang AS actual_lang, plang AS predicted_lang, count(*) AS n_docs
+        FROM pred GROUP BY lang, plang ORDER BY actual_lang, predicted_lang""")),
+
     "q_doc_exact_dedup" -> Spec(
       TextOps.exactDedup,
       Some("""

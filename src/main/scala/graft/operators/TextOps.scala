@@ -102,6 +102,68 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
+  /** Per-document quality score (pretraining-data filtering heuristic):
+    * a weighted blend of length band, stopword ratio band and
+    * type-token ratio — the length/stopword/punct family of quality
+    * signals, as one deterministic score per doc. Pure map.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("double")
+    val nStop = size(filter(toks, t => Stopwords.map(t === _).reduce(_ || _)))
+      .cast("double")
+    val stopRatio = nStop / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    // length band: full credit in [20, 80] tokens, linear falloff outside
+    val lengthScore = least(lit(1.0), n / 20.0) * least(lit(1.0), lit(80.0) / greatest(n, lit(80.0)))
+    // stopword band: natural text sits in [0.02, 0.3]
+    val stopScore = when(stopRatio.between(0.02, 0.3), 1.0).otherwise(0.5)
+    val quality = F.roundHalfUp(
+      lit(0.4) * lengthScore + lit(0.3) * stopScore + lit(0.3) * ttr, 6)
+    val r = docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      n.cast(LongType).as("n_tokens"),
+      F.roundHalfUp(stopRatio, 6).as("stop_ratio"),
+      F.roundHalfUp(ttr, 6).as("ttr"),
+      quality.as("quality_score"),
+      (quality >= 0.5).as("keep"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Language-ID by character-trigram profiles (the classic n-gram
+    * heuristic): learn each language's top-[[LangIdProfileSize]]
+    * trigrams from the corpus, score every document by profile overlap,
+    * emit the confusion matrix of actual × predicted. Profiles are tiny
+    * and broadcast; the per-doc explode combines map-side.
+    * (On this synthetic corpus the languages share one vocabulary, so
+    * the matrix is near-uniform — the operator's machinery, not the
+    * corpus separability, is what the oracle checks.)
+    */
+  val LangIdProfileSize = 20
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val tri = array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3))))
+    val docTri = docs(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(tri).as("tri"))
+    val profiles = docTri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("plang").orderBy(desc("c"), asc("tri"))))
+      .filter(col("rn") <= LangIdProfileSize)
+      .select("plang", "tri")
+    val scores = docTri.join(broadcast(profiles), Seq("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("overlap"))
+    val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
+    val predicted = scores.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+    val r = predicted.groupBy(col("lang").as("actual_lang"),
+        col("plang").as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    Out.sorted(r)(col("actual_lang"), col("predicted_lang"))
+  }
+
   /** Corpus profile per language: doc/source counts, token volume,
     * stopword-ratio quality signal, and the most frequent token
     * (deterministic tie-break). Two shuffles (doc-level agg + token
