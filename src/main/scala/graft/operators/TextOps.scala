@@ -143,9 +143,14 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val tri = array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
       i => col("text").substr(i, lit(3))))
-    val docTri = docs(spark, dir)
+    // persisted: feeds both profile learning and per-doc scoring — the
+    // char-trigram explode is the expensive stage, and Spark would
+    // recompute it per consumer (subtree reuse only happens at
+    // exchanges)
+    val docTri = docsDistributed(spark, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), explode(tri).as("tri"))
+      .persist()
     val profiles = docTri.groupBy(col("lang").as("plang"), col("tri"))
       .agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
