@@ -81,4 +81,13 @@ object Sinks {
   /** K6 — JSON document sink (reference pricebot.json settings store). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed table sink: pre-shuffles on the join key at WRITE time so
+    * every later join/aggregation on that key reads exchange-free (the
+    * co-location contract BucketedJoinSpec pins). The sortBy makes the
+    * buckets merge-join-ready without a sort at read.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
 }

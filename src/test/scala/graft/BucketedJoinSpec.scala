@@ -13,12 +13,10 @@ class BucketedJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkT.spark
 
   test("join on the bucket key runs without any exchange") {
-    Tables.load(spark, SparkT.Sf0001, "lineitem")
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_bucketed")
-    Tables.load(spark, SparkT.Sf0001, "orders")
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_bucketed")
+    graft.sources.Sinks.writeBucketed(
+      Tables.load(spark, SparkT.Sf0001, "lineitem"), "li_bucketed", "l_orderkey", 4)
+    graft.sources.Sinks.writeBucketed(
+      Tables.load(spark, SparkT.Sf0001, "orders"), "ord_bucketed", "o_orderkey", 4)
 
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
