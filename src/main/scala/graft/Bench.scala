@@ -35,6 +35,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // default 100-entry codegen class cache thrashes across a
+      // 50+-query sweep: the heavy generated stages (16-column minhash
+      // aggregate) get evicted between warmup and measurement and pay
+      // janino + JIT again on every run — observed 5x on the LSH
+      // queries. Size it to hold the whole catalog.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.sort.results", "false")
@@ -52,13 +58,22 @@ object Bench {
         Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
 
+    // Untimed per-run hygiene: several builders persist() working
+    // frames they cannot safely unpersist themselves (lazy consumers),
+    // and ~150 query executions of accumulated cached blocks degraded
+    // late queries up to 12x. Clear the cache between runs — but do NOT
+    // force GC: a full GC unloads JIT-compiled generated classes, which
+    // re-interprets every heavy codegen stage on the next run.
+    def hygiene(): Unit = spark.catalog.clearCache()
+
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      names.foreach(run)
+      names.foreach { n => hygiene(); run(n) }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timed = names.map { name =>
       val secs = (1 to repeats).map { _ =>
+        hygiene()
         val t0 = System.nanoTime()
         val err = run(name)
         val sec = (System.nanoTime() - t0) / 1e9
