@@ -630,6 +630,39 @@ object QueryCatalog {
         ORDER BY q_id, rank"""
       }),
 
+    "q_attractiveness" -> Spec(
+      Relational.attractiveness,
+      Some(s"""
+        WITH offers AS (
+          SELECT l_partkey AS sku, l_suppkey AS seller, min(l_extendedprice) AS price
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        g AS (
+          SELECT sku, seller, price,
+                 min(price) OVER (PARTITION BY sku) AS mn,
+                 median(price) OVER (PARTITION BY sku) AS md
+          FROM offers),
+        f AS (
+          SELECT sku, price,
+                 ((price - mn >= 0 AND price - mn <= 100.0)
+                  OR (price - mn >= 0 AND
+                      (CASE WHEN mn > 0 THEN (price - mn) / mn ELSE 0 END) <= 0.0025))
+                 AND (md - mn <= 3000.0) AS is_bot
+          FROM g),
+        per AS (
+          SELECT sku, count(*) AS n_sellers,
+                 CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
+                 max(price) - min(price) AS spread
+          FROM f GROUP BY sku),
+        a AS (SELECT median(spread) AS med_spread FROM per)
+        SELECT sku, n_sellers, n_bots, spread,
+               ${rnd("CAST(n_bots AS DOUBLE) / CAST(n_sellers AS DOUBLE)", 6)} AS bot_share,
+               ${rnd("""0.4 * ((CASE WHEN med_spread > 0
+                                     THEN least(spread / med_spread, 2.0)
+                                     ELSE 0.0 END) / 2.0)
+                 + 0.3 * (1.0 - CAST(n_bots AS DOUBLE) / CAST(n_sellers AS DOUBLE))
+                 + 0.3 / (1.0 + CAST(n_sellers AS DOUBLE) / 10.0)""", 6)} AS attractiveness
+        FROM per, a ORDER BY sku""")),
+
     "q_running_undercut" -> Spec(
       Relational.runningUndercut,
       Some("""

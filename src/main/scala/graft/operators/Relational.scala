@@ -479,6 +479,38 @@ object Relational {
     Out.sorted(r)(col("sku"), col("seller"))
   }
 
+  /** A9 attractivenessIndex — per-SKU market-attractiveness blend
+    * (reference README.md:61-72; the implementing module is absent from
+    * the reference snapshot, so per SURVEY §7f the weights are
+    * ENGINE-DEFINED and documented here): wider-than-median spread is
+    * opportunity (+0.4, capped at 2× median), bot-free markets score
+    * higher (+0.3), and fewer competing sellers score higher (+0.3,
+    * hyperbolic in the seller count). No rating term — the testdata has
+    * no rating column. The global median-spread anchor is a 1-row
+    * broadcast, same pattern as [[dailyDemand]].
+    */
+  def attractiveness(spark: SparkSession, dir: String): DataFrame = {
+    val perSku = offersWithBotFlags(spark, dir)
+      .groupBy("sku")
+      .agg(
+        count(lit(1)).as("n_sellers"),
+        sum(when(col("is_bot"), 1L).otherwise(0L)).as("n_bots"),
+        (max(col("price")) - min(col("price"))).as("spread"))
+    val anchor = perSku.agg(median(col("spread")).as("med_spread"))
+    val spreadRatio = when(col("med_spread") > 0,
+      least(col("spread") / col("med_spread"), lit(2.0))).otherwise(lit(0.0))
+    val botShare = col("n_bots").cast("double") / col("n_sellers").cast("double")
+    val index = F.roundHalfUp(
+      lit(0.4) * (spreadRatio / 2.0) +
+        lit(0.3) * (lit(1.0) - botShare) +
+        lit(0.3) / (lit(1.0) + col("n_sellers").cast("double") / 10.0), 6)
+    val r = perSku.crossJoin(broadcast(anchor))
+      .select(col("sku"), col("n_sellers"), col("n_bots"), col("spread"),
+        F.roundHalfUp(botShare, 6).as("bot_share"),
+        index.as("attractiveness"))
+    Out.sorted(r)(col("sku"))
+  }
+
   /** X20 — price-floor prediction from bot density (reference
     * server/scrape.ts:735-747). Continues the [[offersWithBotFlags]]
     * pipeline without re-deriving it.
