@@ -31,6 +31,53 @@ class WatchStreamSpec extends AnyFunSuite {
     assert(got === batchExpected())
   }
 
+  test("idle state expires after the TTL and the window restarts (T6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val landing = Files.createTempDirectory("graft-ttl-landing").toString
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+
+    def capture(id: Int, events: Seq[(Long, Long, Double)]): Unit = {
+      val obs = events.map { case (e, u, v) =>
+        s"""{"event_id":$e,"user_id":$u,"value":$v}"""
+      }.mkString("[", ",", "]")
+      Files.writeString(new java.io.File(landing, s"cap_$id.json").toPath,
+        s"""{"capture_id":$id,"observations":$obs}""")
+    }
+
+    // batch 1: three undercuts -> sliding_hits reaches 3 (bot)
+    capture(0, Seq((1L, 99L, 10.0), (2L, 99L, 10.0), (3L, 99L, 10.0)))
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val q = WatchStream
+      .detectBots(WatchStream.flatten(WatchStream.readLanding(spark, landing)),
+        stateTtl = Some("3 seconds"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[WatchStream.BotOutput], _: Long) =>
+        batch.collect().foreach(o => out.synchronized {
+          out += ((o.event_id, o.sliding_hits, o.is_bot)) })
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      eventually(20000L) { out.synchronized(out.size) == 3 }
+      assert(out.synchronized(out.toSet) ===
+        Set((1L, 1L, false), (2L, 2L, false), (3L, 3L, true)))
+      Thread.sleep(5000L) // idle past the 3s TTL -> state removed
+      capture(1, Seq((10L, 99L, 10.0)))
+      eventually(20000L) { out.synchronized(out.size) == 4 }
+      // ring buffer restarted: hits = 1, not 4
+      assert(out.synchronized(out.last) === ((10L, 1L, false)))
+    } finally q.stop()
+  }
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+    assert(cond, "condition not met within timeout")
+  }
+
   test("streamed micro-batches reproduce the batch result exactly (T1-T4)") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-landing").toString
