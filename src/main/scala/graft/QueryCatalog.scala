@@ -630,6 +630,23 @@ object QueryCatalog {
         ORDER BY q_id, rank"""
       }),
 
+    "q_asof_attribution" -> Spec(
+      Relational.asOfAttribution,
+      Some("""
+        WITH t AS (
+          SELECT event_id, user_id, event_type, value,
+                 CASE WHEN event_type = 'click' THEN value END AS click_value
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        s AS (
+          SELECT event_id, user_id, event_type, value,
+                 last_value(click_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_value
+          FROM t)
+        SELECT event_id, user_id, value AS purchase_value, asof_click_value,
+               asof_click_value IS NOT NULL AS has_prior_click
+        FROM s WHERE event_type = 'purchase' ORDER BY event_id""")),
+
     "q_attractiveness" -> Spec(
       Relational.attractiveness,
       Some(s"""

@@ -422,6 +422,34 @@ object Relational {
     Out.sorted(r)(col("sku"))
   }
 
+  /** As-of join, composed from built-ins (the scalable form): for every
+    * purchase event, the value of the user's latest PRIOR click —
+    * attribution semantics. Instead of a range join (which explodes to
+    * per-pair comparison), both sides union into one frame and an
+    * ignore-nulls `last` window carries the most recent click forward:
+    * ONE shuffle by user, one sort, linear scan. This is the as-of
+    * pattern that survives 100 TB; Spark needs no custom operator for
+    * it (cf. SURVEY §4 — no custom strategy warranted).
+    */
+  def asOfAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val tagged = e
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        when(col("event_type") === "click", col("value")).as("click_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = tagged
+      .withColumn("asof_click_value",
+        last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("value").as("purchase_value"),
+        col("asof_click_value"),
+        col("asof_click_value").isNotNull.as("has_prior_click"))
+    Out.sorted(r)(col("event_id"))
+  }
+
   /** Skew-safe two-phase (salted) aggregation: phase 1 aggregates on
     * (key, salt) so a hot key's rows spread over `salts` reducers; phase
     * 2 combines the partials per key. Results are identical to a direct
