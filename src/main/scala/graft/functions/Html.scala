@@ -35,14 +35,10 @@ object Html {
       .otherwise(lit(null).cast("date"))
   }
 
-  /** S10 — split an HTML page into candidate seller-row chunks:
-    * everything after each `<li` opening (parse.ts:5-16 splits on
-    * row-ish openers and filters to chunks that look like offers).
+  /** Extract the text of `<span class="cls">…</span>` within a chunk
+    * (S10 row splitting itself lives in Parsing.parseSellers, where the
+    * chunks keep their page positions for deterministic row ids).
     */
-  def sellerChunks(html: Column, rowClass: String): Column =
-    filter(split(html, "<li"), c => instr(c, rowClass) > 0)
-
-  /** Extract the text of `<span class="cls">…</span>` within a chunk. */
   def spanText(chunk: Column, cls: String): Column =
     regexp_extract(chunk, "class=\"" + cls + "\">([^<]*)<", 1)
 

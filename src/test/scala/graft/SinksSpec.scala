@@ -51,6 +51,21 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() === 1)
   }
 
+  test("overwrite replaces, append accumulates, writeJson round-trips (K1/K3/K6)") {
+    val p1 = tmp("k1")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    Sinks.overwrite(df, p1)
+    Sinks.overwrite(df, p1)                       // full replace, not 2x
+    assert(spark.read.parquet(p1).count() === 1)
+    Sinks.append(df, p1)
+    assert(spark.read.parquet(p1).count() === 2)  // append accumulates
+    val p2 = tmp("k6")
+    Sinks.writeJson(df, p2)
+    val back = spark.read.json(p2).collect()
+    assert(back.map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq ===
+      Seq((1L, "a")))
+  }
+
   test("appendNdjsonPartitioned lands one directory per key and appends") {
     val path = tmp("ndjson")
     val b1 = Seq((1L, 5.0), (2L, 6.0)).toDF("user_id", "v")
