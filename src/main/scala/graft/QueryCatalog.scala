@@ -72,6 +72,25 @@ object QueryCatalog {
           WHERE jaccard >= ${TextOps.JaccardThreshold})"""
   }
 
+  // Shared CTE chain of the SimHash fingerprint computation, generated
+  // from TextOps.SimhashBits; ends in `sh(doc_id, n_distinct_tokens,
+  // simhash)`. Used by q_doc_simhash and the Hamming near-dup query.
+  private lazy val simhashCtes: String = {
+    val sums = (0 until TextOps.SimhashBits)
+      .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fp = (0 until TextOps.SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""t AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hv FROM t),
+        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens, $sums
+              FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, n_distinct_tokens, CAST($fp AS BIGINT) AS simhash FROM s)"""
+  }
+
   // Shared CTE chain of the size-recommendation pipeline (J8/W5); used
   // by q_size_recommend and the X25 message-rendering query.
   private val sizeCtes = """
@@ -556,22 +575,31 @@ object QueryCatalog {
 
     "q_doc_simhash" -> Spec(
       TextOps.simhash,
+      Some(s"""
+        WITH $simhashCtes
+        SELECT doc_id, n_distinct_tokens, simhash FROM sh ORDER BY doc_id""")),
+
+    "q_simhash_neardup" -> Spec(
+      TextOps.simhashNearDup,
       Some {
-        val sums = (0 until TextOps.SimhashBits)
-          .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-          .mkString(", ")
-        val fp = (0 until TextOps.SimhashBits)
-          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
+        val bandList = (0 until 4)
+          .map(b => s"(simhash >> ${8 * b}) & 255")
+          .mkString("[", ", ", "]")
         s"""
-        WITH t AS (
-          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-          FROM documents),
-        h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hv FROM t),
-        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens, $sums
-              FROM h GROUP BY doc_id)
-        SELECT doc_id, n_distinct_tokens, CAST($fp AS BIGINT) AS simhash
-        FROM s ORDER BY doc_id"""
+        WITH $simhashCtes,
+        bands AS (
+          SELECT doc_id, simhash, unnest($bandList) AS band_val,
+                 generate_subscripts($bandList, 1) AS band_idx
+          FROM sh)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id, x.simhash, y.simhash
+        HAVING bit_count(xor(x.simhash, y.simhash)) <= ${TextOps.SimhashMaxHamming}
+        ORDER BY doc_a, doc_b"""
       }),
 
     "q_ann_topk" -> Spec(

@@ -413,7 +413,13 @@ object TextOps {
     * per-bit row explosion, so the shuffle carries 32 longs per doc
     * regardless of document size (the token explode combines map-side).
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(simhashTable(spark, dir))(col("doc_id"))
+
+  /** Unsorted (doc_id, n_distinct_tokens, simhash) frame shared by the
+    * fingerprint dump and the Hamming near-dup pair search.
+    */
+  private def simhashTable(spark: SparkSession, dir: String): DataFrame = {
     val tok = docsDistributed(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
       .withColumn("hv", conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType))
@@ -426,8 +432,39 @@ object TextOps {
     val fp = (0 until SimhashBits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val r = agged.select(col("doc_id"), col("n_distinct_tokens"),
+    agged.select(col("doc_id"), col("n_distinct_tokens"),
       fp.cast(LongType).as("simhash"))
-    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Maximum Hamming distance for SimHash near-dup pairs. */
+  val SimhashMaxHamming = 3
+
+  /** SimHash near-duplicate pairs via the pigeonhole byte-band trick:
+    * the 32-bit fingerprint splits into 4 bytes, and any two
+    * fingerprints within Hamming distance 3 MUST agree on at least one
+    * byte — so the band self-join has EXACT recall at the threshold
+    * (unlike probabilistic MinHash banding) while never comparing docs
+    * that differ in every band. The exact bit_count(xor) filter runs
+    * only on banded candidates.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashTable(spark, dir)
+    val bandCols = (0 until 4).map { b =>
+      shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+    }
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val r = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        first(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+          .as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"),
+        col("n_shared_bands"))
+    Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 }
