@@ -383,6 +383,13 @@ object TextOps {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist()
+    // convergence metric: min-label propagation only ever DECREASES a
+    // label, so sum(cluster_id) is strictly monotone until fixpoint —
+    // one skinny aggregate per round instead of a join against the
+    // previous labels
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -392,11 +399,11 @@ object TextOps {
       val next = labels.unionByName(viaNeighbor)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       rounds += 1
     }
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Clustering semantics over the real corpus: components are labeled
+  * by their minimum doc id, transitive chains merge (multi-hop
+  * propagation), and every member's cluster id is a member of its own
+  * cluster.
+  */
+class NearDupClustersSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  test("components are min-labeled, closed, and chains merge transitively") {
+    val pairs = TextOps.minhashNearDup(spark, SparkT.Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = TextOps.nearDupClusters(spark, SparkT.Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
+
+    // every pair member appears; both endpoints share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split")
+    }
+    // label is the component minimum and itself a member
+    clusters.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keySet.min === label)
+      assert(members.contains(label))
+      members.values.foreach { case (_, size) => assert(size === members.size) }
+    }
+    // reference union-find over the pairs agrees exactly
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (doc, (label, _)) =>
+      assert(find(doc) === label, s"doc $doc: spark=$label union-find=${find(doc)}")
+    }
+  }
+}
