@@ -66,11 +66,14 @@ object Bench {
     // re-interprets every heavy codegen stage on the next run.
     def hygiene(): Unit = spark.catalog.clearCache()
 
+    // Warmup failures are NOT silent (r2 bench tail carried a stray
+    // stack trace with an empty errors map): anything thrown here is
+    // recorded with a "warmup:" prefix so the JSON names the culprit.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      names.foreach { n => hygiene(); run(n) }
+      names.foreach { n => hygiene(); run(n).foreach(e => errors(n) = s"warmup: $e") }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timed = names.map { name =>
       val secs = (1 to repeats).map { _ =>
         hygiene()
@@ -87,7 +90,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)},"errors":$errJson}""")
-    spark.stop()
+    // Audit fields: engine version + the configs that shape every plan,
+    // so a bench JSON is self-describing without the harness script.
+    val audit = Seq(
+      "spark_version" -> spark.version,
+      "master" -> spark.sparkContext.master,
+      "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "aqe" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "codegen_cache" -> spark.conf.get("spark.sql.codegen.cache.maxEntries"),
+      "repeats" -> repeats.toString
+    ).map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}""")
+    // A hung/failed shutdown must not turn a completed sweep into a
+    // non-zero exit or stderr noise after the JSON line.
+    try spark.stop() catch { case _: Throwable => () }
   }
 }

@@ -56,10 +56,19 @@ object QueryCatalog {
           SELECT doc_id, unnest($bandList) AS band_hash,
                  generate_subscripts($bandList, 1) AS band_idx
           FROM mh),
+        hot AS (
+          SELECT band_idx, band_hash FROM bands
+          GROUP BY band_idx, band_hash
+          HAVING count(*) > ${TextOps.MaxBandFrequency}),
+        kept AS (
+          SELECT b.* FROM bands b
+          WHERE NOT EXISTS (SELECT 1 FROM hot h
+                            WHERE h.band_idx = b.band_idx
+                              AND h.band_hash = b.band_hash)),
         cand AS (
           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                  CAST(count(*) AS BIGINT) AS n_shared_bands
-          FROM bands x JOIN bands y
+          FROM kept x JOIN kept y
             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
                AND x.doc_id < y.doc_id
           GROUP BY x.doc_id, y.doc_id),
@@ -71,6 +80,36 @@ object QueryCatalog {
           SELECT doc_a, doc_b, n_shared_bands, jaccard FROM j
           WHERE jaccard >= ${TextOps.JaccardThreshold})"""
   }
+
+  // IVF search oracle, parameterized by probe depth (shared by
+  // q_ann_ivf at nprobe=1 and q_ann_ivf_probe2).
+  private def ivfSql(nprobe: Int): String = s"""
+        WITH comp AS (
+          SELECT label, dim,
+                 ${rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings)
+          GROUP BY label, dim),
+        cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        cells AS (
+          SELECT q_id, q_emb, label,
+                 ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} AS cell_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} DESC, label) AS rn
+          FROM q, cent),
+        best AS (SELECT q_id, q_emb, label, cell_sim FROM cells WHERE rn <= $nprobe),
+        s AS (
+          SELECT q_id, b.label AS cell, cell_sim, e.vec_id AS neighbor_id,
+                 ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+          FROM best b JOIN embeddings e ON e.label = b.label
+          WHERE e.vec_id <> b.q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, cos_sim FROM r
+        WHERE rank <= ${VectorOps.TopKIvf} ORDER BY q_id, rank"""
 
   // Shared CTE chain of the SimHash fingerprint computation, generated
   // from TextOps.SimhashBits; ends in `sh(doc_id, n_distinct_tokens,
@@ -556,6 +595,22 @@ object QueryCatalog {
         SELECT doc_a, doc_b, n_shared_bands, jaccard FROM pairs
         ORDER BY doc_a, doc_b""")),
 
+    // band_idx - 1: generate_subscripts is 1-based, posexplode 0-based.
+    "q_minhash_band_stats" -> Spec(
+      TextOps.minhashBandStats,
+      Some(s"""
+        WITH $minhashPairCtes,
+        freq AS (
+          SELECT band_idx AS bi, band_hash, CAST(count(*) AS BIGINT) AS f
+          FROM bands GROUP BY band_idx, band_hash)
+        SELECT CAST(bi - 1 AS INTEGER) AS band_idx,
+               count(*) AS n_buckets,
+               CAST(sum(f) AS BIGINT) AS n_docs,
+               max(f) AS max_bucket,
+               CAST(sum(CASE WHEN f > ${TextOps.MaxBandFrequency} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+               CAST(sum(CASE WHEN f > ${TextOps.MaxBandFrequency} THEN f ELSE 0 END) AS BIGINT) AS n_docs_capped
+        FROM freq GROUP BY bi ORDER BY bi""")),
+
     "q_neardup_clusters" -> Spec(
       TextOps.nearDupClusters,
       Some(s"""
@@ -969,35 +1024,10 @@ object QueryCatalog {
                min(l_extendedprice) AS min_price
         FROM lineitem GROUP BY l_partkey ORDER BY sku""")),
 
-    "q_ann_ivf" -> Spec(
-      VectorOps.annIvf,
-      Some(s"""
-        WITH comp AS (
-          SELECT label, dim,
-                 ${rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS c
-          FROM (SELECT label, unnest(embedding) AS v,
-                       generate_subscripts(embedding, 1) AS dim
-                FROM embeddings)
-          GROUP BY label, dim),
-        cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label),
-        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-              WHERE vec_id < ${VectorOps.NQueries}),
-        cells AS (
-          SELECT q_id, q_emb, label,
-                 ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} AS cell_sim,
-                 row_number() OVER (PARTITION BY q_id
-                   ORDER BY ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} DESC, label) AS rn
-          FROM q, cent),
-        best AS (SELECT q_id, q_emb, label, cell_sim FROM cells WHERE rn = 1),
-        s AS (
-          SELECT q_id, b.label AS cell, cell_sim, e.vec_id AS neighbor_id,
-                 ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
-          FROM best b JOIN embeddings e ON e.label = b.label
-          WHERE e.vec_id <> b.q_id),
-        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
-        SELECT q_id, cell, cell_sim, rank, neighbor_id, cos_sim FROM r
-        WHERE rank <= ${VectorOps.TopKIvf} ORDER BY q_id, rank""")),
+    "q_ann_ivf" -> Spec(VectorOps.annIvf, Some(ivfSql(1))),
+
+    "q_ann_ivf_probe2" -> Spec(
+      VectorOps.annIvfProbe2, Some(ivfSql(VectorOps.IvfNProbe))),
 
     "q_media_stats" -> Spec(
       Multimodal.mediaStats,
@@ -1015,7 +1045,29 @@ object QueryCatalog {
                ${rnd(s"${sumDec("n_bytes")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_bytes,
                CAST(sum(n_frames) AS BIGINT) AS total_frames,
                count(DISTINCT content_hash) AS n_distinct_contents
-        FROM m GROUP BY kind ORDER BY kind"""))
+        FROM m GROUP BY kind ORDER BY kind""")),
+
+    "q_media_features" -> Spec(
+      Multimodal.mediaFeatures,
+      Some {
+        // The documents corpus is pure ASCII (verified at both SFs), so
+        // per-byte arithmetic over the payload is per-character ord().
+        val lanes = (0 until 8).map { j =>
+          s"CAST(coalesce(list_sum([ord(text[i]) FOR i IN range(1, CAST(strlen(text) AS INTEGER) + 1) IF (i - 1) % 8 = $j]), 0) AS BIGINT) AS lane$j"
+        }.mkString(",\n               ")
+        s"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 3
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 text, CAST(strlen(text) AS BIGINT) AS n_bytes
+          FROM documents)
+        SELECT media_id, kind, n_bytes,
+               CAST(32 + n_bytes % 97 AS INTEGER) AS width,
+               CAST(32 + (n_bytes * 31) % 89 AS INTEGER) AS height,
+               $lanes
+        FROM m ORDER BY media_id"""
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -51,19 +51,28 @@ object Multimodal {
       (32 + n % 97, 32 + (n * 31) % 89)
     }
 
-    /** STUB feature extractor: 8 floats folded from the byte stream —
-      * stands in for an embedding model forward pass. Deterministic in
-      * the content.
+    /** STUB feature lanes: integer sums of the byte stream folded into 8
+      * lanes (byte i lands in lane i%8) — exact integer arithmetic, so
+      * any engine reproduces them bit-for-bit (the oracle of
+      * q_media_features does).
       */
-    def featureStub(content: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](8)
+    def laneSums(content: Array[Byte]): Array[Long] = {
+      val acc = new Array[Long](8)
       var i = 0
       while (i < content.length) {
-        acc(i % 8) += (content(i) & 0xff) / 255.0f
+        acc(i % 8) += (content(i) & 0xff)
         i += 1
       }
       acc
     }
+
+    /** STUB feature extractor: the 8 integer lane sums scaled to floats —
+      * stands in for an embedding model forward pass. Deterministic in
+      * the content (a single float division per lane, so the float
+      * values are themselves reproducible from the exact lane sums).
+      */
+    def featureStub(content: Array[Byte]): Array[Float] =
+      laneSums(content).map(_ / 255.0f)
   }
 
   /** Synthetic media corpus over `documents`: payload = UTF-8 bytes of
@@ -114,6 +123,48 @@ object Multimodal {
           MediaCodec.featureStub(m.content))
       }
     }
+  }
+
+  /** Decoded media row with the exact integer lane sums (the
+    * oracle-checkable projection of the stub codec).
+    */
+  case class MediaDecoded(media_id: Long, kind: String, n_bytes: Long,
+                          width: Int, height: Int, lane_sums: Array[Long])
+
+  /** The decode stage with integer-exact outputs: same mapPartitions
+    * shape as [[decodeFeatures]], emitting the stub codec's metadata and
+    * lane sums so a SQL engine can replicate every value from the same
+    * payload bytes.
+    */
+  def decodeExact(media: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h) = MediaCodec.decodeStub(m.content)
+        MediaDecoded(m.media_id, m.kind, m.content.length.toLong, w, h,
+          MediaCodec.laneSums(m.content))
+      }
+    }
+  }
+
+  /** q_media_features — the ORACLE-CHECKED decode query: runs the
+    * mapPartitions codec stage over the full media corpus and projects
+    * its integer-exact outputs (dimensions + 8 feature lanes) per item.
+    * The stub codec is deterministic in the payload bytes, so DuckDB
+    * recomputes width/height/lane sums from the same text bytes and the
+    * hash gate covers the decode stage itself, not just its plumbing.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = media(spark, dir)
+      .select(col("media_id"), col("kind"), col("content"))
+      .as[MediaRow]
+    val lanes = (0 until 8).map(j =>
+      element_at(col("lane_sums"), j + 1).as(s"lane$j"))
+    val r = decodeExact(m).toDF()
+      .select(Seq(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height")) ++ lanes: _*)
+    Out.sorted(r)(col("media_id"))
   }
 
   /** Oracle-checked corpus stats over the binary column: per modality,

@@ -71,15 +71,16 @@ object SellerMerge {
     * (orderkey, linenumber) linearized, names carry deterministic case
     * noise, and return-flag "N" rows model an empty delivery string. The
     * oracle reproduces the policy with arg_min.
+    *
+    * The query path is pure built-ins — `min_by` over the same rank
+    * expressions the typed [[agg]] uses — so it stays in whole-stage
+    * codegen / HashAggregate with map-side partial aggregation (the
+    * typed-Aggregator formulation paid per-row encoder round-trips and
+    * ran ~10× slower). [[agg]] remains the reusable exact-policy API;
+    * SellerMergeSpec pins both formulations to the same result.
     */
   def dedupPolicy(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // single-row-group testdata -> repartition before the typed
-    // pipeline so encoder work and the merge spread across cores (the
-    // broadcast join preserves the partitioning; explicit count so AQE
-    // doesn't coalesce the small-in-bytes, heavy-in-CPU shuffle)
     val li = Tables.load(spark, dir, "lineitem")
-      .repartition(spark.sparkContext.defaultParallelism, col("l_partkey"))
     val sup = Tables.load(spark, dir, "supplier")
     val obs = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(
@@ -90,17 +91,27 @@ object SellerMerge {
         col("l_extendedprice").as("price"),
         when(col("l_returnflag") === "N", lit(""))
           .otherwise(concat(lit("return-"), col("l_returnflag"))).as("delivery"))
-    val merged = obs
-      .select(col("sku"), lower(trim(col("name_raw"))).as("seller_key"),
-        struct(col("seq"), col("name_raw"), col("price"), col("delivery")).as("o"))
-      .as[(Long, String, Obs)]
-      .groupByKey { case (sku, key, _) => (sku, key) }
-      .mapValues { case (_, _, o) => o }
-      .agg(agg.toColumn)
-      .map { case ((sku, key), m) =>
-        (sku, key, m.seller_name, m.best_price, m.delivery, m.n_merged)
-      }
-      .toDF("sku", "seller_key", "seller_name", "best_price", "delivery", "n_merged")
+    val merged = mergeBuiltin(obs)
     Out.sorted(merged)(col("sku"), col("seller_key"))
   }
+
+  /** Built-in-only D2 merge: same policy as [[agg]], expressed as
+    * `min_by`/`min` over (sku, lower(trim(name_raw))). Codegen-friendly
+    * (HashAggregate with partial agg); seq uniqueness makes every
+    * `min_by` deterministic, and the empty-delivery rank
+    * (Long.MaxValue-1) only ties when every delivery in the group is
+    * empty — where the tied values are all equal anyway.
+    */
+  def mergeBuiltin(obs: DataFrame): DataFrame =
+    obs
+      .withColumn("seller_key", lower(trim(col("name_raw"))))
+      .groupBy(col("sku"), col("seller_key"))
+      .agg(
+        min_by(col("name_raw"), col("seq")).as("seller_name"),
+        min(col("price")).as("best_price"),
+        min_by(col("delivery"),
+          when(col("delivery") === "", lit(Long.MaxValue - 1))
+            .otherwise(col("seq"))).as("delivery"),
+        count(lit(1)).as("n_merged"))
+      .select("sku", "seller_key", "seller_name", "best_price", "delivery", "n_merged")
 }

@@ -43,6 +43,21 @@ object TextOps {
   /** Near-dup confirmation threshold on exact shingle-set Jaccard. */
   val JaccardThreshold = 0.5
 
+  /** Hot-band frequency cap: LSH band buckets holding more than this
+    * many documents are DROPPED before the self-join. A bucket of f docs
+    * emits f²/2 candidate pairs, so one boilerplate-heavy bucket (every
+    * page sharing a template shingle block) turns the candidate join
+    * quadratic on a single key — the classic LSH skew killer at 100 TB.
+    * Buckets that hot carry no near-dup signal anyway (a band shared by
+    * thousands of docs identifies boilerplate, not duplication); capped
+    * docs still meet in their other, discriminative bands. The oracle
+    * CTE replicates the cap bit-for-bit, and on the testdata the cap
+    * provably does not bind (max observed bucket: 3 docs at sf0.01,
+    * 13 at sf0.1 — see MinhashBandCapSpec for the synthetic hot band
+    * where it does).
+    */
+  val MaxBandFrequency = 50
+
   /** SimHash width: 32 bits (hex chars 1-8 of md5), so every engine's
     * BIGINT arithmetic is exact and sign-free.
     */
@@ -146,27 +161,31 @@ object TextOps {
     // persisted: feeds both profile learning and per-doc scoring — the
     // char-trigram explode is the expensive stage, and Spark would
     // recompute it per consumer (subtree reuse only happens at
-    // exchanges)
+    // exchanges). Released before return: the tiny confusion matrix is
+    // materialized eagerly, then the cache entry is dropped, so library
+    // callers outside the harness never accumulate cached blocks.
     val docTri = docsDistributed(spark, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), explode(tri).as("tri"))
       .persist()
-    val profiles = docTri.groupBy(col("lang").as("plang"), col("tri"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("plang").orderBy(desc("c"), asc("tri"))))
-      .filter(col("rn") <= LangIdProfileSize)
-      .select("plang", "tri")
-    val scores = docTri.join(broadcast(profiles), Seq("tri"))
-      .groupBy(col("doc_id"), col("lang"), col("plang"))
-      .agg(count(lit(1)).as("overlap"))
-    val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
-    val predicted = scores.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-    val r = predicted.groupBy(col("lang").as("actual_lang"),
-        col("plang").as("predicted_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-    Out.sorted(r)(col("actual_lang"), col("predicted_lang"))
+    try {
+      val profiles = docTri.groupBy(col("lang").as("plang"), col("tri"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("plang").orderBy(desc("c"), asc("tri"))))
+        .filter(col("rn") <= LangIdProfileSize)
+        .select("plang", "tri")
+      val scores = docTri.join(broadcast(profiles), Seq("tri"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+      val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
+      val predicted = scores.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+      val r = predicted.groupBy(col("lang").as("actual_lang"),
+          col("plang").as("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      Out.eager(Out.sorted(r)(col("actual_lang"), col("predicted_lang")))
+    } finally docTri.unpersist()
   }
 
   /** Corpus profile per language: doc/source counts, token volume,
@@ -327,78 +346,156 @@ object TextOps {
     Out.sorted(nearDupPairs(spark, dir))(col("doc_a"), col("doc_b"))
 
   /** Unsorted confirmed near-dup pairs (shared by [[minhashNearDup]]
-    * and the clustering operator).
+    * and the clustering operator), eagerly materialized with the cached
+    * shingle base released before return.
     */
-  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the shingle arrays feed the band self-join (twice) and
-    // both sides of the Jaccard confirm join — without it the whole
-    // shingle+k×md5 pipeline is recomputed four times (Spark reuses
-    // exchanges, not arbitrary identical subtrees). At warehouse scale
-    // the same role is played by materializing signatures to a table.
-    val base = docsDistributed(spark, dir)
-      .select(col("doc_id"), shingles.as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist()
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsFrom(docsDistributed(spark, dir))
+
+  /** (doc_id, band_idx, band_hash) LSH band rows of a shingle base. */
+  private def bandsOf(base: DataFrame): DataFrame = {
     val sig = minhashSignatures(base)
     val bandCols = (0 until Bands).map { b =>
       md5(concat_ws("_",
         (0 until RowsPerBand).map(i =>
           col(s"mh${b * RowsPerBand + i}").cast("string")): _*))
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-    val jac = F.roundHalfUp(
-      size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-        size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
-    cand
-      .join(base.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(base.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-        jac.as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Shingle base of a documents frame (doc_id + non-empty shingle set). */
+  private def shingleBase(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), shingles.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Confirmed near-dup pairs of an arbitrary `documents`-shaped frame
+    * (testable entry point — MinhashBandCapSpec feeds a synthetic hot
+    * band through it).
+    */
+  private[graft] def nearDupPairsFrom(docsDf: DataFrame): DataFrame = {
+    // persist: the shingle arrays feed the band self-join (twice) and
+    // both sides of the Jaccard confirm join — without it the whole
+    // shingle+k×md5 pipeline is recomputed four times (Spark reuses
+    // exchanges, not arbitrary identical subtrees). At warehouse scale
+    // the same role is played by materializing signatures to a table.
+    // The confirmed pair set (small — candidates only) is materialized
+    // eagerly so the cache entry can be dropped before returning.
+    val base = shingleBase(docsDf).persist()
+    try {
+      val bands = bandsOf(base)
+      // Hot-band cap: the over-cap bucket list is tiny (usually empty),
+      // so it broadcasts and the filter is a cheap anti-join — no extra
+      // shuffle of the band rows.
+      val hot = bands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("f"))
+        .filter(col("f") > MaxBandFrequency)
+        .select("band_idx", "band_hash")
+      val kept = bands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+      val cand = kept.as("x").join(kept.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val jac = F.roundHalfUp(
+        size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
+      val pairs = cand
+        .join(base.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(base.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          jac.as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+      Out.eager(pairs)
+    } finally base.unpersist()
+  }
+
+  /** Band-occupancy profile of the MinHash-LSH index: per band, bucket
+    * and doc counts, the hottest bucket, and how many band rows the
+    * [[MaxBandFrequency]] cap drops — the observability query a dedup
+    * pipeline runs to know whether boilerplate skew is binding before
+    * the candidate join. One groupBy chain, oracle-replicated.
+    */
+  def minhashBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = shingleBase(docsDistributed(spark, dir))
+    val freq = bandsOf(base).groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("f"))
+    val r = freq.groupBy("band_idx").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("f")).as("n_docs"),
+      max(col("f")).as("max_bucket"),
+      sum(when(col("f") > MaxBandFrequency, lit(1L)).otherwise(lit(0L)))
+        .as("n_hot_buckets"),
+      sum(when(col("f") > MaxBandFrequency, col("f")).otherwise(lit(0L)))
+        .as("n_docs_capped"))
+    Out.sorted(r)(col("band_idx"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the confirmed
     * pair graph, labeling each member with the minimum doc id of its
     * component — the step a dedup pipeline runs after pair detection to
     * pick one canonical document per duplicate group.
-    *
-    * Iterative min-label propagation over the pair members only (the
-    * frame is |docs-in-pairs|, a tiny fraction of the corpus at any
-    * scale). The driver loop checks convergence with a scalar count per
-    * round — bounded by the graph diameter, and each round is one
-    * shuffle; at warehouse scale you would checkpoint the label frame
-    * every few rounds to cut lineage.
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b").persist()
+    val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b")
+    val (labels, _) = connectedComponents(pairs)
+    try {
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val r = labels.join(broadcast(sizes), Seq("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size")
+      Out.eager(Out.sorted(r)(col("doc_id")))
+    } finally labels.unpersist()
+  }
+
+  /** Min-label connected components over an undirected pair list
+    * (columns doc_a, doc_b), returning the persisted (doc_id,
+    * cluster_id=component-min) labeling and the round count.
+    *
+    * Each round does (1) min-label propagation over neighbors and
+    * (2) POINTER JUMPING — label := label(label) — so label information
+    * hops 2^r nodes after r rounds and convergence is O(log diameter),
+    * not O(diameter): a 200-node chain converges in 7 rounds where
+    * plain propagation needs 199 (NearDupClustersSpec pins this). The
+    * frame is |docs-in-pairs| — a tiny fraction of the corpus at any
+    * scale. Per round: two shuffles, one scalar to the driver
+    * (sum(cluster_id) is strictly monotone decreasing until fixpoint, so
+    * an unchanged sum IS convergence — no join against previous labels),
+    * and every third round the label frame is locally checkpointed to
+    * truncate the iterative lineage (otherwise each round's plan
+    * re-embeds all previous rounds and planning time itself becomes
+    * quadratic).
+    */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist()
-    // convergence metric: min-label propagation only ever DECREASES a
-    // label, so sum(cluster_id) is strictly monotone until fixpoint —
-    // one skinny aggregate per round instead of a join against the
-    // previous labels
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id"))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbor)
+      val propagated = labels.unionByName(viaNeighbor)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+      // pointer jump: every label value is itself a member doc_id, so
+      // self-join label→label-of-label; left join + coalesce keeps the
+      // step total even mid-convergence
+      val jumped = propagated.as("x").join(
+          propagated.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")).as("y"),
+          col("x.cluster_id") === col("y.p_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.cluster_id"),
+            coalesce(col("p_label"), col("x.cluster_id"))).as("cluster_id"))
+      val next =
+        (if ((rounds + 1) % 3 == 0) jumped.localCheckpoint(eager = false)
+         else jumped).persist()
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -406,10 +503,7 @@ object TextOps {
       prevSum = nextSum
       rounds += 1
     }
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    val r = labels.join(broadcast(sizes), Seq("cluster_id"))
-      .select("doc_id", "cluster_id", "cluster_size")
-    Out.sorted(r)(col("doc_id"))
+    (labels, rounds)
   }
 
   /** SimHash fingerprint per document over distinct tokens: token hash =

@@ -16,6 +16,17 @@ object Out {
     if (df.sparkSession.conf.get("graft.sort.results", "true").toBoolean)
       df.orderBy(cols: _*)
     else df
+
+  /** Eagerly materialize a (small) result so cached intermediates can be
+    * released before returning — the library-hygiene contract for
+    * operators that persist() working frames: callers get a frame backed
+    * by its own blocks, and the big intermediate cache entries are gone
+    * (`cacheManager` empty) the moment the builder returns. At warehouse
+    * scale the same role is played by writing the result to a table; the
+    * checkpoint blocks themselves are reclaimed by the ContextCleaner
+    * when the returned frame is dereferenced.
+    */
+  def eager(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 }
 
 /** Minimal JSON string escaping shared by Bench/Verify output writers.

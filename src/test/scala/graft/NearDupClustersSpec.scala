@@ -44,4 +44,32 @@ class NearDupClustersSpec extends AnyFunSuite {
       assert(find(doc) === label, s"doc $doc: spark=$label union-find=${find(doc)}")
     }
   }
+
+  test("long-path graph converges in O(log diameter) rounds (pointer jumping)") {
+    import spark.implicits._
+    // a 200-node chain: diameter 199. Plain min-propagation needs 199
+    // rounds; min-propagation + pointer jumping doubles the label hop
+    // distance per round, so convergence is logarithmic.
+    val chain = (0 until 199).map(i => (1000L + i, 1000L + i + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextOps.connectedComponents(chain, maxRounds = 30)
+    try {
+      val got = labels.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      assert(got.length === 200)
+      got.foreach { case (doc, label) => assert(label === 1000L, s"doc $doc") }
+      assert(rounds <= 8, s"took $rounds rounds")
+    } finally labels.unpersist()
+  }
+
+  test("two disjoint components never merge and each is min-labeled") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val (labels, _) = TextOps.connectedComponents(pairs)
+    try {
+      val got = labels.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally labels.unpersist()
+  }
 }

@@ -52,6 +52,36 @@ class SellerMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("built-in min_by query path equals the typed Aggregator policy") {
+    val spark = SparkT.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val obs = Seq.tabulate(400) { i =>
+      (1L + rnd.nextInt(5), // sku
+        i.toLong + 1,       // seq (unique)
+        s"${if (rnd.nextBoolean()) "Shop" else "SHOP"} ${rnd.nextInt(4)}",
+        (rnd.nextInt(1000) + 1).toDouble,
+        if (rnd.nextInt(3) == 0) "" else s"day-${rnd.nextInt(9)}")
+    }.toDF("sku", "seq", "name_raw", "price", "delivery")
+
+    val builtin = SellerMerge.mergeBuiltin(obs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), r.getDouble(3), r.getString(4), r.getLong(5))).toMap
+
+    val typed = obs.as[(Long, Long, String, Double, String)]
+      .map { case (sku, seq, n, p, d) =>
+        (sku, n.toLowerCase.trim, Obs(seq, n, p, d))
+      }
+      .groupByKey { case (sku, key, _) => (sku, key) }
+      .mapValues(_._3)
+      .agg(a.toColumn)
+      .collect().map { case ((sku, key), m) =>
+        (sku, key) -> (m.seller_name, m.best_price, m.delivery, m.n_merged)
+      }.toMap
+
+    assert(builtin === typed)
+  }
+
   test("reduce into non-empty buffer equals merge of singleton buffers") {
     val o1 = Obs(1, "X", 5.0, "")
     val o2 = Obs(2, "y", 3.0, "del")
