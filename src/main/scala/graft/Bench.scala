@@ -23,6 +23,20 @@ import org.apache.spark.sql.SparkSession
   *   - Terminal ORDER BYs are verify-only (graft.sort.results=false):
   *     globally sorting a fact-sized result is a scale anti-pattern the
   *     engine does not pay outside the correctness harness.
+  *
+  * Root cause of the round-2 "~8 s fixed floor" on trivial queries
+  * (q_conditional_counts 8.4 s, q_customers_without_orders 7.9 s,
+  * q_price_floor 14.0 s — all while <1.5 s in isolation): sweep decay,
+  * not the plans. Library builders persisted working frames without
+  * unpersisting (pre-withCached), so ~150 executions in, the block
+  * manager carried hundreds of stale cached partitions; eviction and
+  * block-manager bookkeeping then landed as multi-second scheduling
+  * stalls on whichever queries followed the heavy LSH/cluster group in
+  * sorted order — exactly the three flagged names. After the round-3
+  * try/finally unpersist hygiene the same sweep measures them at
+  * 0.29 s / 0.36 s / 0.78 s and the full 58-query total dropped
+  * 192.7 s -> ~64 s. Regression guard: CacheHygieneSpec asserts the
+  * cache is empty after each affected query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
