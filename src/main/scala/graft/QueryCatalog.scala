@@ -924,6 +924,49 @@ object QueryCatalog {
         FROM i ORDER BY variant_idx"""
       }),
 
+    // Unbounded-depth walk: the oracle mirrors the engine's DFS with a
+    // recursive CTE — children enumerated by zipped unnest (DuckDB's
+    // range() cannot take lateral args), path = zero-padded DFS
+    // position on both engines so arg_max(label, path) = last write in
+    // document order (the reference's out[pid] = label semantics).
+    "q_matrix_walk" -> Spec(
+      Parsing.matrixWalk,
+      Some(s"""
+        WITH RECURSIVE
+        src AS (
+          SELECT regexp_extract(content, 'BACKEND\\.components\\.configurator = (\\{.*\\});', 1) AS cfg
+          FROM read_text('${Ingestion.FixturesDir}/product_page_matrix.html')),
+        nodes(js, depth, path) AS (
+          SELECT unnest([json_extract(cfg, '$$.matrix[' || x || ']')
+                         FOR x IN range(CAST(coalesce(json_array_length(cfg, '$$.matrix'), 0) AS BIGINT))]),
+                 1,
+                 unnest([printf('%04d', x)
+                         FOR x IN range(CAST(coalesce(json_array_length(cfg, '$$.matrix'), 0) AS BIGINT))])
+          FROM src
+          UNION ALL
+          SELECT unnest([json_extract(n.js, '$$.matrix[' || x || ']')
+                         FOR x IN range(CAST(coalesce(json_array_length(n.js, '$$.matrix'), 0) AS BIGINT))]),
+                 n.depth + 1,
+                 unnest([n.path || '.' || printf('%04d', x)
+                         FOR x IN range(CAST(coalesce(json_array_length(n.js, '$$.matrix'), 0) AS BIGINT))])
+          FROM nodes n),
+        m AS (
+          SELECT js, depth, path,
+                 coalesce(nullif(json_extract_string(js, '$$.characteristic.title'), ''),
+                          json_extract_string(js, '$$.characteristic.id'), '') AS title,
+                 trim(coalesce(json_extract_string(js, '$$.characteristic.id'), '')) AS size_id,
+                 trim(coalesce(nullif(json_extract_string(js, '$$.characteristic.values[0].dimension'), ''),
+                               json_extract_string(js, '$$.characteristic.dimension'), '')) AS dim,
+                 json_extract_string(js, '$$.productCode') AS pid
+          FROM nodes),
+        hits AS (
+          SELECT pid, size_id || CASE WHEN dim <> '' THEN ' ' || dim ELSE '' END AS size_label, depth, path
+          FROM m
+          WHERE regexp_matches(title, '(?i)размер|size') AND nullif(pid, '') IS NOT NULL AND size_id <> '')
+        SELECT pid AS product_code, arg_max(size_label, path) AS size_label,
+               CAST(count(*) AS BIGINT) AS n_matches, CAST(max(depth) AS INTEGER) AS max_depth
+        FROM hits GROUP BY pid ORDER BY product_code""")),
+
     // ── Fleet / glob / attribute / template operators ─────────────────
 
     "q_glob_orders" -> Spec(

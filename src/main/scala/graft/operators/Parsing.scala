@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Out
-import graft.functions.{ExtractBalancedJson, F, Html}
+import graft.functions.{ExtractBalancedJson, F, Html, JsonMatrixWalk}
 
 /** Fixture-driven HTML/embedded-JSON extraction pipelines (SURVEY.md
   * S10/S12/X9/X11/X13/X15/X17/F5): the engine-side half of the
@@ -59,6 +59,34 @@ object Parsing {
         Html.sizeNumber(col("v.size")).as("size_num"),
         col("v.stock.count").as("stock_count"))
     Out.sorted(r)(col("variant_idx"))
+  }
+
+  private def pageMatrix(spark: SparkSession): DataFrame =
+    spark.read.option("wholetext", "true")
+      .text(s"${Ingestion.FixturesDir}/product_page_matrix.html")
+
+  /** X16 (unbounded) — recursive variant-matrix walk over the deep
+    * fixture page: [[JsonMatrixWalk]] DFS-walks the nested
+    * `configurator.matrix` tree to ANY depth (scrape.ts:373-391),
+    * closing the fixed-depth limitation of [[configVariants]]. The
+    * per-product `max_by(size_label, path)` reproduces the reference's
+    * last-write-wins `out[pid] = label` object assignment — `path` is
+    * zero-padded DFS position, so its lexicographic max IS the last
+    * write in document order. One row per product with its match count
+    * and deepest match level.
+    */
+  def matrixWalk(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = ExtractBalancedJson(spark, col("value"),
+      lit("BACKEND.components.configurator ="))
+    val hits = pageMatrix(spark)
+      .select(explode(JsonMatrixWalk(spark, cfg)).as("w"))
+      .select(col("w.product_code"), col("w.size_label"),
+        col("w.depth"), col("w.path"))
+    val r = hits.groupBy("product_code").agg(
+      max_by(col("size_label"), col("path")).as("size_label"),
+      count(lit(1)).as("n_matches"),
+      max(col("depth")).as("max_depth"))
+    Out.sorted(r)(col("product_code"))
   }
 
   /** S12/X15/X17/X13/X14 — embedded configurator payload: balanced-JSON

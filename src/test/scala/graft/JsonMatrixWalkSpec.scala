@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonMatrixWalk
+
+/** The unbounded-depth variant-matrix walk (SURVEY §2.7 X16,
+  * scrape.ts:373-391). The fixture page exercises the oracle-checked
+  * surface (q_matrix_walk); this spec proves the properties no fixed
+  * from_json schema can have: arbitrary nesting depth and the
+  * reference's exact emission/last-wins semantics.
+  */
+class JsonMatrixWalkSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  private def walkRows(json: String): Seq[(String, String, Int, String)] = {
+    import spark.implicits._
+    Seq(json).toDF("j")
+      .select(explode(JsonMatrixWalk(spark, col("j"))).as("w"))
+      .select("w.product_code", "w.size_label", "w.depth", "w.path")
+      .as[(String, String, Int, String)].collect().toSeq
+  }
+
+  test("walks to arbitrary depth (60 levels, far past any typed schema)") {
+    val depth = 60
+    val inner =
+      """{"characteristic": {"id": "XS", "title": "Размер"}, "productCode": "DEEP-60"}"""
+    val json = (1 until depth).foldLeft(inner) { (child, _) =>
+      s"""{"characteristic": {"id": "c", "title": "Цвет"}, "matrix": [$child]}"""
+    } match { case nested => s"""{"matrix": [$nested]}""" }
+    val rows = walkRows(json)
+    assert(rows == Seq(("DEEP-60", "XS", depth, Seq.fill(depth)("0000").mkString("."))))
+  }
+
+  test("emission rules match the reference walk") {
+    val json =
+      """{"matrix": [
+        |  {"characteristic": {"id": "38", "title": "Размер"}},
+        |  {"characteristic": {"id": "", "title": "size"}, "productCode": "P-EMPTY"},
+        |  {"characteristic": {"id": "39", "title": "Цвет"}, "productCode": "P-COLOR"},
+        |  {"characteristic": {"id": "size-40"}, "productCode": "P-IDFALL"},
+        |  {"characteristic": {"id": "41", "title": "Size",
+        |    "values": [{"dimension": "RU"}], "dimension": "EU"}, "productCode": "P-DIM"},
+        |  {"characteristic": {"id": "42", "title": "размер",
+        |    "values": [{"dimension": ""}], "dimension": "EU"}, "productCode": "P-FALLDIM"}
+        |]}""".stripMargin
+    val rows = walkRows(json).map(r => (r._1, r._2)).toSet
+    // no productCode and empty size id are skipped; non-size title is
+    // skipped; title falls back to id; values[0].dimension wins over
+    // characteristic.dimension, empty string falls through (JS ||)
+    assert(rows == Set(
+      ("P-IDFALL", "size-40"),
+      ("P-DIM", "41 RU"),
+      ("P-FALLDIM", "42 EU")))
+  }
+
+  test("path order is document order: duplicate codes resolve last-wins") {
+    val json =
+      """{"matrix": [
+        |  {"characteristic": {"id": "A", "title": "size"}, "productCode": "P", "matrix": [
+        |    {"characteristic": {"id": "B", "title": "size"}, "productCode": "P"},
+        |    {"characteristic": {"id": "C", "title": "size"}, "productCode": "P"}]},
+        |  {"characteristic": {"id": "D", "title": "size"}, "productCode": "P"}
+        |]}""".stripMargin
+    import spark.implicits._
+    val last = Seq(json).toDF("j")
+      .select(explode(JsonMatrixWalk(spark, col("j"))).as("w"))
+      .groupBy("w.product_code")
+      .agg(max_by(col("w.size_label"), col("w.path")).as("size_label"))
+      .as[(String, String)].collect().toSeq
+    assert(last == Seq(("P", "D"))) // DFS: A, B, C, then D — D is the last write
+  }
+
+  test("malformed and matrix-free JSON coerce to null/empty") {
+    val rows = walkRows("""{"title": "no matrix here"}""")
+    assert(rows.isEmpty)
+    import spark.implicits._
+    val nulls = Seq("{not json").toDF("j")
+      .select(JsonMatrixWalk(spark, col("j")).as("w"))
+      .filter(col("w").isNull).count()
+    assert(nulls == 1)
+  }
+}
