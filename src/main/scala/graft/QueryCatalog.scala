@@ -856,6 +856,64 @@ object QueryCatalog {
                 + CASE WHEN price_d IS NULL THEN 1 ELSE 0 END) AS n_warnings
         FROM t WHERE sku_id IS NOT NULL ORDER BY sku_id""")),
 
+    // ── Excel ingestion (S6; committed own-authored .xlsx fixtures with
+    //    semicolon-CSV twins written from the same row data) ───────────
+
+    "q_excel_orders" -> Spec(
+      Ingestion.ordersFromExcel,
+      Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('${Ingestion.FixturesDir}/xlsx/orders_twin.csv',
+                                 delim=';', header=true, all_varchar=true)),
+        t AS (
+          SELECT TRY_CAST("№ заказа" AS BIGINT) AS order_id,
+                 coalesce(try_strptime(trim("Дата поступления заказа"), '%d.%m.%Y'),
+                          try_strptime(trim("Дата поступления заказа"), '%Y-%m-%d')) AS d,
+                 coalesce(try_strptime(trim("Дата изменения статуса"), '%d.%m.%Y'),
+                          try_strptime(trim("Дата изменения статуса"), '%Y-%m-%d')) AS sd,
+                 nullif(trim("Статус"), '') AS status,
+                 nullif(trim("Название товара в Kaspi Магазине"), '') AS sku_name_raw,
+                 "Количество" AS qty_raw,
+                 TRY_CAST(regexp_replace(replace("Сумма", ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE) AS gross_d
+          FROM raw)
+        SELECT order_id,
+               strftime(d, '%Y-%m-%d') AS order_date,
+               strftime(sd, '%Y-%m-%d') AS status_date,
+               status, sku_name_raw,
+               coalesce(TRY_CAST(regexp_replace(qty_raw, '[^0-9]', '', 'g') AS INTEGER), 0) AS qty,
+               CAST(floor(gross_d) AS BIGINT) AS gross_price_kzt,
+               CAST(0.12 AS DOUBLE) AS kaspi_fee_pct
+        FROM t WHERE order_id IS NOT NULL ORDER BY order_id""")),
+
+    "q_excel_purchases" -> Spec(
+      Ingestion.purchasesFromExcel,
+      Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('${Ingestion.FixturesDir}/xlsx/purchase_twin.csv',
+                                 delim=';', header=true, all_varchar=true)),
+        t AS (
+          SELECT nullif(trim("PO_Id"), '') AS po_id,
+                 nullif(trim("SKU_KEY"), '') AS sku_key,
+                 coalesce(try_strptime(trim("PO_Date"), '%d.%m.%Y'),
+                          try_strptime(trim("PO_Date"), '%Y-%m-%d')) AS od,
+                 coalesce(try_strptime(trim("Ast_arrival_date"), '%d.%m.%Y'),
+                          try_strptime(trim("Ast_arrival_date"), '%Y-%m-%d')) AS ad,
+                 TRY_CAST("Qty" AS INTEGER) AS qty,
+                 TRY_CAST("Unit_COGS_KZT" AS DOUBLE) AS unit_cogs_kzt,
+                 TRY_CAST("Total_Model_DeliveryCost_KZT" AS DOUBLE) AS freight_kzt,
+                 TRY_CAST("Total_Model_FreightCost_KZT" AS DOUBLE) AS total_cogs_kzt,
+                 TRY_CAST("Paid" AS BOOLEAN) AS paid,
+                 "_file" AS f, TRY_CAST("_row" AS BIGINT) AS rr
+          FROM raw),
+        d AS (
+          SELECT *, row_number() OVER (PARTITION BY po_id, sku_key ORDER BY f, rr) AS rn
+          FROM t)
+        SELECT po_id, sku_key,
+               strftime(od, '%Y-%m-%d') AS order_date,
+               strftime(ad, '%Y-%m-%d') AS arrival_date,
+               qty, unit_cogs_kzt, freight_kzt, total_cogs_kzt, paid
+        FROM d WHERE rn = 1 ORDER BY po_id, sku_key""")),
+
     // ── Parser pack (committed golden HTML fixture) ───────────────────
 
     "q_parse_sellers" -> Spec(

@@ -1,11 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Out
 import graft.functions.F
-import graft.sources.Ingest
+import graft.sources.{Excel, Ingest}
 
 /** End-to-end ingestion pipelines over the committed raw CSV fixtures
   * (`fixtures/raw_orders.csv`, `fixtures/raw_catalog.csv`): the
@@ -87,5 +88,80 @@ object Ingestion {
         (when(weight.isNull, 1).otherwise(0) +
           when(price.isNull, 1).otherwise(0)).as("n_warnings"))
     Out.sorted(r)(col("sku_id"))
+  }
+
+  /** Excel orders ingestion (S1/S2/S6/P1/P2/X8): glob every
+    * `*rders*.xlsx` workbook, union, normalize Russian headers, type.
+    * Mirrors reference etl_sales.py:36-62 (read_excel → header
+    * normalize → rename → prune → day-first dates → constants) with the
+    * junk-row drop on the unparseable order id.
+    */
+  def ordersFromExcel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Ingest.normalizeHeaders(
+      Excel.readXlsx(spark, s"$FixturesDir/xlsx/*rders*.xlsx"))
+    val named = Ingest.renameWithFallback(raw, Seq(
+      "order_id_raw" -> Seq("№_заказа"),
+      "order_date_raw" -> Seq("дата_поступления_заказа"),
+      "sku_name_raw" -> Seq("название_товара_в_kaspi_магазине"),
+      "gross_raw" -> Seq("сумма"),
+      "status_date_raw" -> Seq("дата_изменения_статуса"),
+      "status_raw" -> Seq("статус"),
+      "qty_raw" -> Seq("количество")))
+    val d = F.dayFirstDate(col("order_date_raw"))
+    val sd = F.dayFirstDate(col("status_date_raw"))
+    val r = named
+      .select(
+        col("order_id_raw").try_cast("long").as("order_id"),
+        date_format(d, "yyyy-MM-dd").as("order_date"),
+        date_format(sd, "yyyy-MM-dd").as("status_date"),
+        trim(col("status_raw")).as("status"),
+        trim(col("sku_name_raw")).as("sku_name_raw"),
+        F.cleanStock(col("qty_raw")).as("qty"),
+        floor(F.cleanPrice(col("gross_raw"))).as("gross_price_kzt"),
+        lit(0.12).as("kaspi_fee_pct"))
+      .filter(col("order_id").isNotNull)
+    Out.sorted(r)(col("order_id"))
+  }
+
+  /** Excel purchases ingestion (S6/P2/F13/D1): supplier purchase
+    * workbook → canonical purchases. Exercises every non-string cell
+    * kind (date-styled serials, formula-cached values, booleans, error
+    * cells) and the reference's first-wins dedup on (po_id, sku_key)
+    * (etl_purchases.py:28-56) — "first" made deterministic by the
+    * reader's (_file, _row) provenance instead of pandas row order.
+    */
+  def purchasesFromExcel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Ingest.normalizeHeaders(
+      Excel.readXlsx(spark, s"$FixturesDir/xlsx/Purchase inquiry*.xlsx"))
+    val named = Ingest.renameWithFallback(raw, Seq(
+      "po_id" -> Seq("po_id"),
+      "sku_key" -> Seq("sku_key"),
+      "order_date_raw" -> Seq("po_date"),
+      "arrival_raw" -> Seq("ast_arrival_date"),
+      // duplicate-target fallback (etl_purchases.py:37-38)
+      "qty_raw" -> Seq("qty", "total_model_order_qty"),
+      "unit_raw" -> Seq("unit_cogs_kzt"),
+      "freight_raw" -> Seq("total_model_deliverycost_kzt"),
+      "total_raw" -> Seq("total_model_freightcost_kzt"),
+      "paid_raw" -> Seq("paid"),
+      "_file" -> Seq("_file"),
+      "_row" -> Seq("_row")))
+    val w = Window.partitionBy(col("po_id"), col("sku_key"))
+      .orderBy(col("_file"), col("_row"))
+    val r = named
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("po_id"), col("sku_key"),
+        // reader emits ISO for date-styled cells; dayFirstDate's ISO
+        // fallback re-parses + coerces garbage to null (errors='coerce')
+        date_format(F.dayFirstDate(col("order_date_raw")), "yyyy-MM-dd").as("order_date"),
+        date_format(F.dayFirstDate(col("arrival_raw")), "yyyy-MM-dd").as("arrival_date"),
+        col("qty_raw").try_cast("int").as("qty"),
+        col("unit_raw").try_cast("double").as("unit_cogs_kzt"),
+        col("freight_raw").try_cast("double").as("freight_kzt"),
+        col("total_raw").try_cast("double").as("total_cogs_kzt"),
+        col("paid_raw").try_cast("boolean").as("paid"))
+    Out.sorted(r)(col("po_id"), col("sku_key"))
   }
 }
