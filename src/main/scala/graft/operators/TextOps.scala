@@ -89,6 +89,14 @@ object TextOps {
 
   private val toks: Column = split(col("text"), " ")
 
+  /** Normalized-content dedup key of a `text` column: md5 of the sorted
+    * distinct bag of words — the exact key [[exactDedup]] groups on,
+    * shared with the streaming form (StreamDedup) so batch and stream
+    * agree byte-for-byte.
+    */
+  private[graft] def bowHash: Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
   /** Word 3-gram shingle set of `text` (distinct, empty if < 3 words). */
   private val shingles: Column = {
     val ws = toks
@@ -229,10 +237,9 @@ object TextOps {
     * the group size and how many byte-distinct texts the group merged.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val bow = concat_ws(" ", array_sort(array_distinct(toks)))
     val r = docs(spark, dir)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"),
-        md5(bow).as("bow_hash"))
+        bowHash.as("bow_hash"))
       .groupBy("bow_hash")
       .agg(
         min(col("doc_id")).as("canonical_doc_id"),

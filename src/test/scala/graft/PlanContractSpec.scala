@@ -53,4 +53,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
       s"expected window aggregates:\n$plan")
   }
+
+  test("xlsx ingest: per-file parallel parse, no exchange before the flatMap") {
+    val df = graft.sources.Excel.readXlsx(spark, s"${operators.Ingestion.FixturesDir}/xlsx/*rders*.xlsx")
+    val plan = planOf(df)
+    // the parse stage must consume the binaryFile scan directly — an
+    // exchange here would funnel whole workbooks through a shuffle
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in the xlsx scan:\n$plan")
+  }
+
+  test("offers fallback: priority filter and merge reuse one shuffle by product key") {
+    val plan = planOf(operators.Parsing.offersWithFallback(spark, SparkT.Sf0001))
+    // min-priority window partitions by product_id; the merge groupBy is
+    // (product_id, seller_key) — count the data exchanges stays bounded
+    // (window + final agg + terminal sort), i.e. no accidental extra
+    // repartitions of the offer rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"more exchanges than window+agg need:\n$plan")
+    assert(plan.contains("Window"), s"expected min-priority window:\n$plan")
+  }
 }
