@@ -698,6 +698,32 @@ object QueryCatalog {
         SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
         ORDER BY q_id, rank""")),
 
+    "q_ann_sq8" -> Spec(
+      VectorOps.annSq8,
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+        ex AS (
+          SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+        stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+        arr AS (
+          SELECT list(mn ORDER BY dim) AS mns, list(mx - mn ORDER BY dim) AS spans
+          FROM stats),
+        enc AS (
+          SELECT vec_id,
+                 [CASE WHEN spans[i] = 0 THEN mns[i]
+                       ELSE mns[i] + floor((emb[i] - mns[i]) / spans[i] * ${VectorOps.QLevels} + 0.5) * spans[i] / ${VectorOps.QLevels} END
+                  FOR i IN range(1, ${VectorOps.Dim + 1})] AS deq
+          FROM e, arr),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < ${VectorOps.NQueries}),
+        s AS (SELECT q_id, enc.vec_id AS neighbor_id,
+                     ${rnd("list_dot_product(q_emb, deq)", 6)} AS cos_sim
+              FROM enc, q WHERE enc.vec_id <> q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
+        ORDER BY q_id, rank""")),
+
     "q_embed_neardup" -> Spec(
       VectorOps.embedNearDup,
       Some {

