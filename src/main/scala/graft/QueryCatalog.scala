@@ -59,7 +59,7 @@ object QueryCatalog {
   // from the SAME constants (TextOps.MinhashK/Bands/minhashPerms) the
   // Spark plans use; ends in `pairs` (confirmed near-dup pairs). Used by
   // q_doc_minhash_neardup and the clustering query.
-  private lazy val minhashPairCtes: String = {
+  private def minhashPairCtes(src: String = "documents"): String = {
     val r = TextOps.RowsPerBand
     val prime = TextOps.MinhashPrime
     val mhCols = TextOps.minhashPerms.zipWithIndex
@@ -73,7 +73,7 @@ object QueryCatalog {
     s"""base AS (
           SELECT doc_id,
                  list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
-          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
           WHERE len(ws) >= 3),
         mh AS (SELECT doc_id, $mhCols
                FROM (SELECT doc_id,
@@ -619,7 +619,7 @@ object QueryCatalog {
     "q_doc_minhash_neardup" -> Spec(
       TextOps.minhashNearDup,
       Some(s"""
-        WITH $minhashPairCtes
+        WITH ${minhashPairCtes()}
         SELECT doc_a, doc_b, n_shared_bands, jaccard FROM pairs
         ORDER BY doc_a, doc_b""")),
 
@@ -627,7 +627,7 @@ object QueryCatalog {
     "q_minhash_band_stats" -> Spec(
       TextOps.minhashBandStats,
       Some(s"""
-        WITH $minhashPairCtes,
+        WITH ${minhashPairCtes()},
         freq AS (
           SELECT band_idx AS bi, band_hash, CAST(count(*) AS BIGINT) AS f
           FROM bands GROUP BY band_idx, band_hash)
@@ -642,7 +642,7 @@ object QueryCatalog {
     "q_neardup_clusters" -> Spec(
       TextOps.nearDupClusters,
       Some(s"""
-        WITH RECURSIVE $minhashPairCtes,
+        WITH RECURSIVE ${minhashPairCtes()},
         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
         members AS (SELECT DISTINCT a AS doc FROM e),
@@ -655,6 +655,38 @@ object QueryCatalog {
         FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
                           FROM comp GROUP BY cluster_id) s USING (cluster_id)
         ORDER BY doc_id""")),
+
+    "q_curation_funnel" -> Spec(
+      TextOps.curationFunnel,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        val quality = rnd(
+          """0.4 * (least(1.0, n / 20.0) * least(1.0, 80.0 / greatest(n, 80.0)))
+             + 0.3 * (CASE WHEN nstop / n BETWEEN 0.02 AND 0.3 THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (nd / n)""", 6)
+        s"""
+        WITH qv AS (
+          SELECT doc_id, text,
+                 CAST(len(ws) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) AS nstop,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) AS nd,
+                 md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bh
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+        flags0 AS (
+          SELECT doc_id, text, bh, ($quality >= 0.5) AS q_keep FROM qv),
+        flags AS (
+          SELECT *, (q_keep AND doc_id = min(CASE WHEN q_keep THEN doc_id END)
+                       OVER (PARTITION BY bh)) AS is_canon
+          FROM flags0),
+        survivors AS (SELECT doc_id, text FROM flags WHERE is_canon),
+        ${minhashPairCtes("survivors")},
+        losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+        SELECT CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(count(*) FILTER (WHERE f.q_keep) AS BIGINT) AS n_quality,
+               CAST(count(*) FILTER (WHERE f.is_canon) AS BIGINT) AS n_exact_canonical,
+               CAST(count(*) FILTER (WHERE f.is_canon AND l.doc_id IS NULL) AS BIGINT) AS n_curated
+        FROM flags f LEFT JOIN losers l ON f.doc_id = l.doc_id"""
+      }),
 
     "q_doc_simhash" -> Spec(
       TextOps.simhash,

@@ -130,7 +130,10 @@ object TextOps {
     * type-token ratio — the length/stopword/punct family of quality
     * signals, as one deterministic score per doc. Pure map.
     */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+  /** The quality score of a `text` column (shared by [[qualityScores]]
+    * and the curation funnel so the keep rule cannot drift).
+    */
+  private[graft] def qualityScore: Column = {
     val n = size(toks).cast("double")
     val nStop = size(filter(toks, t => Stopwords.map(t === _).reduce(_ || _)))
       .cast("double")
@@ -140,8 +143,20 @@ object TextOps {
     val lengthScore = least(lit(1.0), n / 20.0) * least(lit(1.0), lit(80.0) / greatest(n, lit(80.0)))
     // stopword band: natural text sits in [0.02, 0.3]
     val stopScore = when(stopRatio.between(0.02, 0.3), 1.0).otherwise(0.5)
-    val quality = F.roundHalfUp(
+    F.roundHalfUp(
       lit(0.4) * lengthScore + lit(0.3) * stopScore + lit(0.3) * ttr, 6)
+  }
+
+  /** Quality keep rule: score at or above 0.5. */
+  private[graft] def qualityKeep: Column = qualityScore >= 0.5
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("double")
+    val nStop = size(filter(toks, t => Stopwords.map(t === _).reduce(_ || _)))
+      .cast("double")
+    val stopRatio = nStop / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val quality = qualityScore
     val r = docs(spark, dir).select(
       col("doc_id"), col("lang"),
       n.cast(LongType).as("n_tokens"),
@@ -574,5 +589,39 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"),
         col("n_shared_bands"))
     Out.sorted(r)(col("doc_a"), col("doc_b"))
+  }
+
+  /** The end-to-end curation funnel — what the whole LLM-data suite is
+    * FOR, as one query: raw corpus → quality filter ([[qualityKeep]]) →
+    * exact dedup (keep each bag-of-words group's minimum-id survivor) →
+    * near-dup removal (drop every doc that banded-MinHash-confirms
+    * against a lower-id survivor). Emits the one-row stage-count report
+    * a curation run logs.
+    *
+    * Scale shape: stages 1–2 are ONE pass over the corpus (a quality
+    * flag column and a min-over-bowHash window — single shuffle); only
+    * confirmed-pair LOSERS are materialized (candidates only, never
+    * all-pairs), and the final counts are a single aggregate with
+    * conditional sums — no per-stage recount of the corpus.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bh")
+    val flags = docsDistributed(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("q_keep", qualityKeep)
+      .withColumn("bh", bowHash)
+      .withColumn("canon", min(when(col("q_keep"), col("doc_id"))).over(w))
+      .withColumn("is_canon", col("q_keep") && col("doc_id") === col("canon"))
+    val survivors = flags.filter(col("is_canon")).select("doc_id", "text")
+    val losers = nearDupPairsFrom(survivors)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_loser", lit(true))
+    flags.join(broadcast(losers), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_exact_canonical"),
+        sum(when(col("is_canon") && col("is_loser").isNull, 1L).otherwise(0L))
+          .as("n_curated"))
   }
 }
