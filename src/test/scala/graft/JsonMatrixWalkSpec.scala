@@ -81,4 +81,68 @@ class JsonMatrixWalkSpec extends AnyFunSuite {
       .filter(col("w").isNull).count()
     assert(nulls == 1)
   }
+
+  // Independent re-implementation of the reference walk semantics
+  // (scrape.ts:373-391) over a generated tree model, so the expression
+  // is pinned against a second implementation on random shapes.
+  private case class TNode(title: Option[String], id: Option[String],
+      chDim: Option[String], valDim: Option[String], pc: Option[String],
+      children: Seq[TNode])
+
+  private def toJson(n: TNode): String = {
+    val chFields = Seq(
+      n.title.map(t => s""""title": "$t""""),
+      n.id.map(i => s""""id": "$i""""),
+      n.chDim.map(d => s""""dimension": "$d""""),
+      n.valDim.map(v => s""""values": [{"dimension": "$v"}]""")).flatten
+    val fields = Seq(
+      Some(s""""characteristic": {${chFields.mkString(", ")}}"""),
+      n.pc.map(p => s""""productCode": "$p""""),
+      if (n.children.nonEmpty)
+        Some(s""""matrix": [${n.children.map(toJson).mkString(", ")}]""")
+      else None).flatten
+    s"{${fields.mkString(", ")}}"
+  }
+
+  private def modelWalk(root: Seq[TNode]): Seq[(String, String, Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, String)]
+    def visit(n: TNode, depth: Int, path: String): Unit = {
+      val title = n.title.filter(_.nonEmpty).getOrElse(n.id.getOrElse(""))
+      if (title.toLowerCase.contains("размер") || title.toLowerCase.contains("size")) {
+        val sizeId = n.id.getOrElse("").trim
+        val dim = n.valDim.filter(_.nonEmpty)
+          .getOrElse(n.chDim.getOrElse("")).trim
+        val pcTruthy = n.pc.exists(_.nonEmpty)
+        if (pcTruthy && sizeId.nonEmpty) {
+          val label = if (dim.nonEmpty) s"$sizeId $dim" else sizeId
+          out += ((n.pc.get, label, depth, path))
+        }
+      }
+      n.children.zipWithIndex.foreach { case (c, i) =>
+        visit(c, depth + 1, f"$path%s.$i%04d")
+      }
+    }
+    root.zipWithIndex.foreach { case (c, i) => visit(c, 1, f"$i%04d") }
+    out.toSeq
+  }
+
+  test("random trees match the independent model walk (property)") {
+    val rnd = new scala.util.Random(23)
+    val titles = Seq(Some("Размер"), Some("размер обуви"), Some("Цвет"),
+      Some("size"), Some("SIZE EU"), Some(""), None)
+    val ids = Seq(Some("XL"), Some("42"), Some("s"), Some(""), None)
+    val dims = Seq(Some("см"), Some("EU"), Some(""), None)
+    val pcs = Seq(Some("P-1"), Some("P-2"), Some("P-3"), Some(""), None)
+    def gen(depth: Int): TNode = TNode(
+      titles(rnd.nextInt(titles.size)), ids(rnd.nextInt(ids.size)),
+      dims(rnd.nextInt(dims.size)), dims(rnd.nextInt(dims.size)),
+      pcs(rnd.nextInt(pcs.size)),
+      if (depth >= 5) Nil
+      else Seq.fill(rnd.nextInt(3))(gen(depth + 1)))
+    (0 until 40).foreach { _ =>
+      val roots = Seq.fill(1 + rnd.nextInt(3))(gen(1))
+      val json = s"""{"matrix": [${roots.map(toJson).mkString(", ")}]}"""
+      assert(walkRows(json) == modelWalk(roots), s"tree: $json")
+    }
+  }
 }

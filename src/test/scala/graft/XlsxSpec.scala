@@ -158,6 +158,84 @@ class XlsxSpec extends AnyFunSuite {
     assert(first.getAs[String]("Unit_COGS_KZT") == "1234.5")
   }
 
+  // ── property tests (seeded-random, house style) ────────────────────
+
+  private def lettersOf(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val r = (i - 1) % 26
+      sb.insert(0, ('A' + r).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+
+  test("colIndex inverts letter encoding for any column (property)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val idx = rnd.nextInt(18278) // through ZZZ
+      assert(Xlsx.colIndex(s"${lettersOf(idx)}${1 + rnd.nextInt(99999)}") == idx)
+    }
+  }
+
+  test("serialToIso matches java.time date arithmetic (property)") {
+    val rnd = new scala.util.Random(13)
+    val epoch = java.time.LocalDate.of(1899, 12, 30)
+    (0 until 300).foreach { _ =>
+      val days = 61 + rnd.nextInt(80000)
+      assert(Xlsx.serialToIso(days.toString) == epoch.plusDays(days).toString)
+      // half-day fraction carries the time part
+      assert(Xlsx.serialToIso(s"$days.5") == s"${epoch.plusDays(days)} 12:00:00")
+    }
+  }
+
+  test("random sparse grids roundtrip through write+parse (property)") {
+    val rnd = new scala.util.Random(17)
+    (0 until 30).foreach { _ =>
+      val nRows = 1 + rnd.nextInt(8)
+      val nCols = 1 + rnd.nextInt(8)
+      // model: row -> col -> value (None = absent cell)
+      val grid = (1 to nRows).map { r =>
+        r -> (0 until nCols).map { c =>
+          c -> (rnd.nextInt(4) match {
+            case 0 => None
+            case 1 => Some(("num", (rnd.nextInt(100000) / 10.0).toString))
+            case 2 => Some(("inline", s"s${rnd.nextInt(1000)} текст"))
+            case 3 => Some(("shared", s"sh${rnd.nextInt(5)}"))
+          })
+        }.toMap
+      }.toMap
+      val sst = grid.values.flatMap(_.values.flatten)
+        .collect { case ("shared", v) => v }.toSeq.distinct
+      val sheetXml = grid.toSeq.sortBy(_._1).map { case (r, cols) =>
+        val cells = cols.toSeq.sortBy(_._1).flatMap { case (c, cell) =>
+          val ref = s"${lettersOf(c)}$r"
+          cell.map {
+            case ("num", v)    => s"""<c r="$ref"><v>$v</v></c>"""
+            case ("inline", v) => s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+            case ("shared", v) => s"""<c r="$ref" t="s"><v>${sst.indexOf(v)}</v></c>"""
+            case other         => fail(s"unexpected $other")
+          }
+        }
+        s"""<row r="$r">${cells.mkString}</row>"""
+      }.mkString("\n")
+      val parsed = Xlsx.parse(wb(sheetXml, sst = sst))
+      val byRow = parsed.map(sr => sr.rowNum -> sr.cells).toMap
+      grid.foreach { case (r, cols) =>
+        val present = cols.collect { case (c, Some(_)) => c }
+        if (present.isEmpty) assert(!byRow.contains(r.toLong) || byRow(r.toLong).forall(_ == null))
+        else {
+          val cells = byRow(r.toLong)
+          cols.foreach {
+            case (c, Some((_, v))) => assert(cells(c) == v, s"row $r col $c")
+            case (c, None) => assert(c >= cells.length || cells(c) == null, s"row $r col $c null")
+          }
+        }
+      }
+    }
+  }
+
   test("readXlsx fails fast on inconsistent headers across the glob") {
     val dir = Files.createTempDirectory("xlsx_mismatch").toFile
     try {
