@@ -730,6 +730,41 @@ object QueryCatalog {
         SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
         ORDER BY q_id, rank""")),
 
+    "q_ivf_kmeans" -> Spec(
+      VectorOps.ivfKmeans,
+      Some {
+        val mean = rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
+        val simOf = (cent: String) =>
+          rnd(s"list_dot_product(e.embedding::DOUBLE[], $cent.centroid::DOUBLE[])", 6)
+        def assignStep(cent: String, out: String) = s"""
+        $out AS (
+          SELECT vec_id, label, embedding, cluster, sim FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.cluster,
+                   ${simOf("c")} AS sim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${simOf("c")} DESC, c.cluster) AS rn
+            FROM embeddings e, $cent c)
+          WHERE rn = 1)"""
+        def centStep(src: String, comp: String, cent: String) = s"""
+        $comp AS (
+          SELECT cluster, dim, $mean AS c
+          FROM (SELECT cluster, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM $src)
+          GROUP BY cluster, dim),
+        $cent AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM $comp GROUP BY cluster)"""
+        s"""
+        WITH a0 AS (SELECT vec_id, label, embedding, label AS cluster FROM embeddings),
+        ${centStep("a0", "comp0", "cent0")},
+        ${assignStep("cent0", "a1")},
+        ${centStep("a1", "comp1", "cent1")},
+        ${assignStep("cent1", "a2")}
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+               ${rnd("CAST(sum(CAST(sim AS DECIMAL(20,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_cos,
+               CAST(count(*) FILTER (WHERE cluster <> label) AS BIGINT) AS n_moved
+        FROM a2 GROUP BY cluster ORDER BY cluster"""
+      }),
+
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,
       Some(s"""

@@ -210,6 +210,63 @@ object VectorOps {
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 
+  /** Lloyd iterations of the trained coarse quantizer (fixed, so the
+    * oracle can unroll them).
+    */
+  val KmeansIters = 2
+
+  /** Trained IVF coarse quantizer — [[KmeansIters]] Lloyd iterations
+    * refining the label seed: assign every vector to its
+    * highest-similarity centroid (ties to the smaller cluster id),
+    * recompute centroids as decimal-exact per-dimension means, repeat.
+    * Closes the "label plays the coarse quantizer" simplification of
+    * [[annIvf]]: the cells the search probes now come from the data.
+    *
+    * Scale shape per iteration: one broadcast of the k×dim centroid
+    * table against the corpus scan (no shuffle of the corpus for
+    * assignment) + one explode/groupBy for the mean update — the
+    * canonical distributed Lloyd step. Iterations are a FIXED small
+    * constant composed lazily; no driver-side convergence loop, so the
+    * whole refinement is one deterministic plan.
+    *
+    * Determinism: rounded similarities with id tie-breaks, decimal-exact
+    * means (shuffle-order-proof), fixed iteration count — the DuckDB
+    * oracle unrolls the identical two steps and the output hash-matches.
+    */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(F.avgFromSums(sum(col("v").cast("decimal(25,10)")), count(lit(1))).as("c"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cluster"))
+      e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("label"), col("cluster"),
+          F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "embedding", "label", "cluster", "sim")
+    }
+
+    var assigned = e.withColumn("cluster", col("label"))
+    (1 to KmeansIters).foreach { _ =>
+      assigned = assign(centroidsOf(assigned))
+    }
+    val r = assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_members"),
+      F.avgFromSums(sum(col("sim").cast("decimal(20,10)")), count(lit(1)))
+        .as("avg_cos"),
+      sum(when(col("cluster") =!= col("label"), 1L).otherwise(0L)).as("n_moved"))
+    Out.sorted(r)(col("cluster"))
+  }
+
   /** Quantization levels of the SQ8 path (8-bit codes). */
   val QLevels = 255
 
