@@ -1035,6 +1035,31 @@ object QueryCatalog {
                qty, unit_cogs_kzt, freight_kzt, total_cogs_kzt, paid
         FROM d WHERE rn = 1 ORDER BY po_id, sku_key""")),
 
+    "q_api_pages" -> Spec(
+      Ingestion.ordersFromApiPages,
+      Some(s"""
+        WITH p AS (
+          SELECT * FROM read_json('${Ingestion.FixturesDir}/api_pages/*.json',
+            columns={page_number: 'INTEGER', total_pages: 'INTEGER',
+                     total_count: 'INTEGER',
+                     data: 'STRUCT(order_id BIGINT, state VARCHAR, total_price DOUBLE)[]'})),
+        integ AS (
+          SELECT CAST(count(*) AS INTEGER) AS n_pages,
+                 CAST(count(DISTINCT page_number) AS INTEGER) AS d_pages,
+                 min(page_number) AS mn, max(page_number) AS mx,
+                 max(total_pages) AS tp,
+                 CAST(count(DISTINCT total_pages) AS INTEGER) AS dtp,
+                 max(total_count) AS tc
+          FROM p),
+        items AS (SELECT page_number, unnest(data) AS it FROM p),
+        ic AS (SELECT count(*) AS n_items FROM items)
+        SELECT it.order_id AS order_id, it.state AS state,
+               it.total_price AS total_price, page_number,
+               (n_pages = tp AND d_pages = n_pages AND mn = 0
+                  AND mx = tp - 1 AND dtp = 1) AS chain_ok,
+               (n_items = tc) AS count_ok
+        FROM items, integ, ic ORDER BY order_id""")),
+
     // ── Parser pack (committed golden HTML fixture) ───────────────────
 
     "q_parse_sellers" -> Spec(

@@ -123,6 +123,15 @@ object Ingestion {
     Out.sorted(r)(col("order_id"))
   }
 
+  /** S8 — landed paged-API orders, reassembled with chain-integrity
+    * flags (see [[Ingest.assembleApiPages]]).
+    */
+  def ordersFromApiPages(spark: SparkSession, dir: String): DataFrame = {
+    val r = Ingest.assembleApiPages(
+      Ingest.readApiPages(spark, s"$FixturesDir/api_pages/*.json"))
+    Out.sorted(r)(col("order_id"))
+  }
+
   /** Excel purchases ingestion (S6/P2/F13/D1): supplier purchase
     * workbook → canonical purchases. Exercises every non-string cell
     * kind (date-styled serials, formula-cached values, booleans, error

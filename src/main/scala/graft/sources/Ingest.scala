@@ -87,4 +87,50 @@ object Ingest {
       .option("mode", "DROPMALFORMED")
       .schema(ddl)
       .csv(path)
+
+  /** S8 (engine half) — landed paged-API responses, one JSON document
+    * per page file (the reference's client pages the orders API with
+    * `page[size]`≤100 and tenacity retries, etl_catalog_api.py:39-51 +
+    * kaspi api docs:96-99; fetching/retry is the client boundary — the
+    * engine ingests whatever landed). Explicit schema: no inference
+    * pass over the landing directory.
+    */
+  def readApiPages(spark: SparkSession, glob: String): DataFrame =
+    spark.read
+      .schema("page_number INT, total_pages INT, total_count INT, " +
+        "data ARRAY<STRUCT<order_id: BIGINT, state: STRING, total_price: DOUBLE>>")
+      .option("multiLine", "true")
+      .json(glob)
+
+  /** S8 — page-chain reassembly with integrity flags: explode every
+    * landed page's items and stamp each row with whether the page chain
+    * is COMPLETE (all of 0..total_pages-1 present exactly once, one
+    * consistent total_pages) and whether the item count matches the
+    * advertised total — the F3-style warning side-channel for a source
+    * that can silently lose a page between retry windows. A missing
+    * shard at 100 TB must be a queryable fact, not an exception.
+    *
+    * Shape: two tiny aggregates (page stats, item count) broadcast
+    * against the exploded items — the fact side is never shuffled.
+    */
+  def assembleApiPages(pages: DataFrame): DataFrame = {
+    val integ = pages.agg(
+      count(lit(1)).cast("int").as("n_pages"),
+      countDistinct(col("page_number")).cast("int").as("d_pages"),
+      min(col("page_number")).as("mn"), max(col("page_number")).as("mx"),
+      max(col("total_pages")).as("tp"),
+      countDistinct(col("total_pages")).cast("int").as("dtp"),
+      max(col("total_count")).as("tc"))
+    val items = pages
+      .select(col("page_number"), explode(col("data")).as("it"))
+      .select(col("it.order_id").as("order_id"), col("it.state").as("state"),
+        col("it.total_price").as("total_price"), col("page_number"))
+    val itemCount = items.agg(count(lit(1)).as("n_items"))
+    items.crossJoin(broadcast(integ)).crossJoin(broadcast(itemCount))
+      .select(col("order_id"), col("state"), col("total_price"), col("page_number"),
+        (col("n_pages") === col("tp") && col("d_pages") === col("n_pages") &&
+          col("mn") === 0 && col("mx") === col("tp") - 1 && col("dtp") === 1)
+          .as("chain_ok"),
+        (col("n_items") === col("tc")).as("count_ok"))
+  }
 }
