@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Html
-import graft.operators.{Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, TextOps, VectorOps}
+import graft.operators.{Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, Sketches, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -729,6 +729,38 @@ object QueryCatalog {
               FROM s)
         SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
         ORDER BY q_id, rank""")),
+
+    "q_cms_heavy_hitters" -> Spec(
+      Sketches.cmsHeavyHitters,
+      Some {
+        val P = Sketches.P
+        val W = Sketches.Width
+        def bucketList(hv: String) = Sketches.cmsParams
+          .map { case (a, b) => s"($a * $hv + $b) % $P % $W" }
+          .mkString("[", ", ", "]")
+        val hv = s"CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P"
+        s"""
+        WITH k AS (SELECT l_partkey AS key FROM lineitem),
+        h AS (SELECT key, $hv AS hv FROM k),
+        cellrows AS (
+          SELECT unnest(${bucketList("hv")}) AS bucket,
+                 generate_subscripts(${bucketList("hv")}, 1) AS d
+          FROM h),
+        cells AS (SELECT d, bucket, count(*) AS cnt FROM cellrows GROUP BY d, bucket),
+        tt AS (SELECT key, count(*) AS true_count FROM k GROUP BY key
+               ORDER BY true_count DESC, key LIMIT ${Sketches.TopN}),
+        pr AS (
+          SELECT key, true_count,
+                 unnest(${bucketList("hv")}) AS bucket,
+                 generate_subscripts(${bucketList("hv")}, 1) AS d
+          FROM (SELECT key, true_count, $hv AS hv FROM tt)),
+        est AS (
+          SELECT key, true_count, min(cnt) AS cms_estimate
+          FROM pr JOIN cells USING (d, bucket) GROUP BY key, true_count)
+        SELECT key, true_count, cms_estimate,
+               cms_estimate >= true_count AS never_undercounts
+        FROM est ORDER BY true_count DESC, key"""
+      }),
 
     "q_ivf_kmeans" -> Spec(
       VectorOps.ivfKmeans,
