@@ -730,6 +730,54 @@ object QueryCatalog {
         SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
         ORDER BY q_id, rank""")),
 
+    "q_bloom_join" -> Spec(
+      Sketches.bloomJoin,
+      Some {
+        val P = Sketches.P
+        val B = Sketches.BloomBits
+        def hv(k: String) = s"(CAST('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
+        val posList = Sketches.cmsParams.take(Sketches.BloomHashes)
+          .map { case (a, b) => s"($a * hv + $b) % $P % $B" }
+          .mkString("[", ", ", "]")
+        val existsAll = Sketches.cmsParams.take(Sketches.BloomHashes)
+          .map { case (a, b) =>
+            s"EXISTS (SELECT 1 FROM bits WHERE pos = ($a * hv + $b) % $P % $B)" }
+          .mkString(" AND ")
+        s"""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        dim AS (SELECT c_custkey AS key FROM customer WHERE c_nationkey = 7),
+        dh AS (SELECT ${hv("key")} AS hv FROM dim),
+        bits AS (SELECT DISTINCT unnest($posList) AS pos FROM dh),
+        oh AS (SELECT o_orderkey, o_custkey, ${hv("o_custkey")} AS hv FROM o),
+        cand AS (SELECT * FROM oh WHERE $existsAll),
+        c AS (
+          SELECT (SELECT count(*) FROM o) AS n_orders,
+                 (SELECT count(*) FROM cand) AS n_candidates,
+                 (SELECT count(*) FROM o WHERE o_custkey IN (SELECT key FROM dim)) AS n_plain_join,
+                 (SELECT count(*) FROM cand WHERE o_custkey IN (SELECT key FROM dim)) AS n_filtered_join)
+        SELECT n_orders, n_candidates, n_plain_join, n_filtered_join,
+               n_filtered_join = n_plain_join AS no_false_negatives
+        FROM c"""
+      }),
+
+    "q_kmv_distinct" -> Spec(
+      Sketches.kmvDistinct,
+      Some {
+        val P = Sketches.P
+        val hv = s"(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
+        s"""
+        WITH kk AS (SELECT o_custkey AS key FROM orders),
+        u AS (SELECT DISTINCT ($hv / CAST($P AS DOUBLE)) AS u FROM kk
+              ORDER BY u LIMIT ${Sketches.KmvK}),
+        a AS (SELECT max(u) AS u_k, count(*) AS k FROM u),
+        t AS (SELECT count(DISTINCT key) AS true_distinct FROM kk)
+        SELECT k, ${rnd("u_k", 6)} AS u_k,
+               ${rnd("(k - 1) / u_k", 2)} AS kmv_estimate,
+               true_distinct,
+               ${rnd("abs((k - 1) / u_k - true_distinct) / true_distinct", 4)} AS rel_error
+        FROM a, t"""
+      }),
+
     "q_cms_heavy_hitters" -> Spec(
       Sketches.cmsHeavyHitters,
       Some {

@@ -85,6 +85,119 @@ object Sketches {
       .join(broadcast(cells), Seq("d", "bucket"))
       .groupBy("key").agg(min(col("cnt")).as("cms_estimate"))
 
+  /** KMV size: distinct-count estimates carry ~1/sqrt(k) relative
+    * error; 32 keeps the sketch 32 doubles.
+    */
+  val KmvK = 32
+
+  /** Normalized 60-bit md5 hash in [0, 1) — the KMV order statistic. */
+  private def unitHash(key: Column): Column =
+    keyHash(key).cast("double") / lit(P.toDouble)
+
+  /** KMV (k-minimum-values) distinct-count sketch of a `key` column:
+    * keep the [[KmvK]] smallest distinct normalized hashes; the
+    * estimate is (k-1)/u_k with u_k the k-th smallest. Unlike HLL
+    * (whose register layout is engine-private), KMV is pure order
+    * statistics over a shared hash — DETERMINISTIC, so the oracle
+    * hash-checks the estimate itself, not a tolerance band.
+    *
+    * Scale shape: distinct + orderBy + limit plans as partial top-k per
+    * partition (TakeOrderedAndProject) — k values cross the wire per
+    * partition, and two sketches merge by union∘sort∘take-k
+    * (SketchesSpec pins the merge law).
+    */
+  private[graft] def kmvSketch(keys: DataFrame): DataFrame =
+    keys.select(unitHash(col("key")).as("u")).distinct()
+      .orderBy(col("u")).limit(KmvK)
+
+  /** KMV distinct-count over orders customers, with the exact count
+    * alongside — the estimate's fixed (deterministic) relative error is
+    * part of the hash-checked output, documenting sketch quality on
+    * this corpus rather than asserting a probabilistic bound.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("key"))
+    val uk = kmvSketch(keys).agg(max(col("u")).as("u_k"), count(lit(1)).as("k"))
+    val truth = keys.agg(countDistinct(col("key")).as("true_distinct"))
+    val r = uk.crossJoin(truth).select(
+      col("k"),
+      graft.functions.F.roundHalfUp(col("u_k"), 6).as("u_k"),
+      graft.functions.F.roundHalfUp((col("k") - 1).cast("double") / col("u_k"), 2)
+        .as("kmv_estimate"),
+      col("true_distinct"),
+      graft.functions.F.roundHalfUp(
+        abs((col("k") - 1).cast("double") / col("u_k") -
+          col("true_distinct").cast("double")) /
+          col("true_distinct").cast("double"), 4).as("rel_error"))
+    r
+  }
+
+  /** Bloom geometry: [[BloomBits]]-bit array, [[BloomHashes]] probes —
+    * sized for the demo dim; at scale both grow with the build side.
+    */
+  val BloomBits = 1024
+  val BloomHashes = 3
+
+  private def bloomPos(h: Column, j: Int): Column = {
+    val (a, b) = cmsParams(j) // reuse the md5-derived pair family
+    (lit(a) * h + lit(b)) % P % BloomBits
+  }
+
+  /** Set bit positions of a build-side `key` column — the Bloom filter
+    * as a (tiny, ≤ BloomBits rows) distinct-position frame, broadcast
+    * to probers. At scale this is the manual form of the runtime
+    * bloom-filter pushdown: the fact side drops non-members BEFORE the
+    * join shuffle, paying a broadcast of bits instead of a shuffle of
+    * misses.
+    */
+  private[graft] def bloomBits(keys: DataFrame): DataFrame = {
+    val h = keyHash(col("key"))
+    keys.select(explode(array((0 until BloomHashes).map(bloomPos(h, _)): _*))
+      .as("pos")).distinct()
+  }
+
+  /** Keep rows whose key passes the filter: a key is a candidate iff
+    * ALL probe positions are set — one broadcast left-semi join per
+    * hash, so the fact side is NEVER shuffled or exploded (the whole
+    * point of a pre-filter). No false negatives — the law SketchesSpec
+    * pins and q_bloom_join hash-checks end to end.
+    */
+  private[graft] def bloomFilter(fact: DataFrame, keyCol: String,
+      bits: DataFrame): DataFrame = {
+    val h = keyHash(col(keyCol))
+    (0 until BloomHashes).foldLeft(fact) { (df, j) =>
+      df.join(broadcast(bits.select(col("pos").as(s"_p$j"))),
+        bloomPos(h, j) === col(s"_p$j"), "left_semi")
+    }
+  }
+
+  /** Bloom-prefiltered semi-join of orders against one nation's
+    * customers: the filter's selectivity and the no-false-negative law
+    * in one hash-checked row (orders joined after the bloom pre-filter
+    * MUST equal the plain join count; candidates in between measure the
+    * false-positive cost actually paid).
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dim = Tables.load(spark, dir, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select(col("c_custkey").as("key"))
+    val bits = bloomBits(dim)
+    val candidates = bloomFilter(orders, "o_custkey", bits)
+    val plainCount = orders.join(dim, col("o_custkey") === col("key"), "left_semi")
+      .agg(count(lit(1)).as("n_plain_join"))
+    val candCount = candidates.agg(count(lit(1)).as("n_candidates"))
+    val filteredJoin = candidates.join(dim, col("o_custkey") === col("key"), "left_semi")
+      .agg(count(lit(1)).as("n_filtered_join"))
+    val total = orders.agg(count(lit(1)).as("n_orders"))
+    total.crossJoin(candCount).crossJoin(plainCount).crossJoin(filteredJoin)
+      .select(col("n_orders"), col("n_candidates"), col("n_plain_join"),
+        col("n_filtered_join"),
+        (col("n_filtered_join") === col("n_plain_join")).as("no_false_negatives"))
+  }
+
   /** CMS heavy-hitter check over lineitem part keys: build the sketch,
     * take the TRUE top-[[TopN]] parts, and re-estimate each through the
     * sketch. Output carries the per-key never-undercount invariant as a

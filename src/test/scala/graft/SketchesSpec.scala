@@ -29,6 +29,42 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV of a union is union-sort-take-k of the parts (merge law)") {
+    val keys = keysOf(SparkT.Sf0001)
+    val a = keys.filter(col("key") % 2 === 0)
+    val b = keys.filter(col("key") % 2 =!= 0)
+    val merged = Sketches.kmvSketch(a).unionByName(Sketches.kmvSketch(b))
+      .distinct().orderBy(col("u")).limit(Sketches.KmvK)
+      .collect().map(_.getDouble(0)).toSeq
+    val whole = Sketches.kmvSketch(keys)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(merged == whole)
+  }
+
+  test("bloom pre-filter never drops a true match and never shuffles the fact") {
+    val orders = Tables.load(spark, SparkT.Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dim = Tables.load(spark, SparkT.Sf0001, "customer")
+      .filter(col("c_nationkey") === 3).select(col("c_custkey").as("key"))
+    val bits = Sketches.bloomBits(dim)
+    val candidates = Sketches.bloomFilter(orders, "o_custkey", bits)
+    // no false negatives: every truly-joining order survives the filter
+    val lost = orders.join(dim, col("o_custkey") === col("key"), "left_semi")
+      .exceptAll(candidates.join(dim, col("o_custkey") === col("key"), "left_semi"))
+    assert(lost.count() == 0)
+    // the pre-filter is broadcast-only on the FACT side: in the plan
+    // text everything above the orders scan is the fact path — no
+    // exchange may appear there (the tiny bits-build subtree below the
+    // scan line legitimately shuffles its distinct)
+    candidates.collect()
+    val plan = candidates.queryExecution.executedPlan.toString
+    val factPath = plan.split("FileScan parquet \\[o_orderkey").head
+    assert(factPath.contains("BroadcastHashJoin"),
+      s"expected broadcast semi joins on the fact path:\n$plan")
+    assert(!factPath.contains("Exchange hashpartitioning"),
+      s"bloom filter shuffled the fact side:\n$plan")
+  }
+
   test("sketch of a union is the cell-wise sum of the parts (merge law)") {
     val keys = keysOf(SparkT.Sf0001)
     val a = keys.filter(col("key") % 2 === 0)
