@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Sketches
+
+/** Streaming count-min sketch maintenance — the merge law in motion:
+  * each micro-batch builds its own Depth×Width cell frame
+  * ([[Sketches.cmsCells]]) and cell-wise ADDS it into the running
+  * sketch table. State outside the stream is the sketch itself —
+  * fixed-size no matter how many keys ever streamed.
+  *
+  * Consistency contract: the running cells table is rewritten via
+  * staged-directory swap (always either the old or the new complete
+  * sketch on disk, same pattern as Sinks.upsertByKey), and a tiny
+  * batch-id registry makes foreachBatch replays idempotent — a
+  * re-delivered batch id is skipped instead of double-counted. The
+  * registry lands after the swap, so the one non-atomic window
+  * (crash between swap and registry append) degrades to a re-merge on
+  * replay — the standard two-phase tradeoff short of a transactional
+  * table format, and the scaladoc'd reason a production deployment
+  * swaps this sink for MERGE INTO on one.
+  */
+object StreamSketch {
+
+  val keySchema: StructType = StructType(Seq(StructField("key", LongType)))
+
+  private def cellsPath(dir: String) = s"$dir/cells"
+  private def batchesPath(dir: String) = s"$dir/batches"
+
+  /** Cell-wise add `cells` into the sketch at `dir`, keyed by batchId
+    * for replay idempotency.
+    */
+  def mergeInto(cells: DataFrame, batchId: Long, dir: String): Unit = {
+    val spark = cells.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen = fs.exists(new Path(batchesPath(dir))) &&
+      !spark.read.parquet(batchesPath(dir))
+        .filter(col("batch_id") === batchId).isEmpty
+    if (seen) return
+
+    val target = new Path(cellsPath(dir))
+    val merged =
+      if (fs.exists(target))
+        spark.read.parquet(cellsPath(dir)).unionByName(cells)
+          .groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
+      else cells.select(col("d"), col("bucket"), col("cnt").cast("long").as("cnt"))
+    val staging = new Path(cellsPath(dir) + "__staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write
+      .mode(SaveMode.Append).parquet(batchesPath(dir))
+  }
+
+  /** Streaming job: NDJSON key landing → per-batch sketch → merge. */
+  def start(spark: SparkSession, landingDir: String, sketchDir: String,
+            checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(keySchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeInto(Sketches.cmsCells(batch.select(col("key"))), batchId, sketchDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+import graft.streaming.StreamSketch
+
+/** Streaming CMS maintenance: after streaming the corpus in
+  * micro-batches, the running sketch must equal the one-shot batch
+  * sketch of all keys cell-for-cell (the merge law end to end), and a
+  * replayed batch id must not double-count.
+  */
+class StreamSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  test("streamed sketch == batch sketch; replayed batch ids are skipped") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-cms-landing").toString
+    val sketch = Files.createTempDirectory("graft-cms-sketch").toString
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+
+    val keys = Tables.load(spark, SparkT.Sf0001, "lineitem")
+      .select(col("l_partkey").as("key")).as[Long].collect().toSeq
+    keys.grouped(math.max(1, keys.length / 3 + 1)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = new java.io.File(landing, s"keys_$i.json")
+        Files.writeString(f.toPath, chunk.map(k => s"""{"key":$k}""").mkString("\n"))
+        assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+
+    val q = StreamSketch.start(spark, landing, sketch, ckpt)
+    q.awaitTermination(120000L)
+
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.collect().map(r => ((r.getAs[Int]("d"), r.getAs[Long]("bucket")),
+        r.getAs[Long]("cnt"))).toMap
+
+    val streamed = cellsOf(spark.read.parquet(s"$sketch/cells"))
+    val batch = cellsOf(
+      Sketches.cmsCells(keys.toDF("key")).select(
+        col("d"), col("bucket"), col("cnt").cast("long").as("cnt")))
+    assert(streamed == batch)
+
+    // replay an already-merged batch id: sketch must not change
+    StreamSketch.mergeInto(
+      Sketches.cmsCells(Seq(1L, 2L, 3L).toDF("key")), batchId = 0L, dir = sketch)
+    assert(cellsOf(spark.read.parquet(s"$sketch/cells")) == batch)
+  }
+}
