@@ -1149,6 +1149,40 @@ object QueryCatalog {
         SELECT row_idx, seller, price, delivery_date FROM dom_sellers
         ORDER BY row_idx""")),
 
+    "q_delivery_norm" -> Spec(
+      Parsing.deliveryNorm,
+      Some {
+        def monthCase(c: String) = Html.RuMonths
+          .map { case (n, m) => s"WHEN '$n' THEN $m" }
+          .mkString(s"CASE $c ", " ", " ELSE NULL END")
+        // day+month extracted with the SAME combined pattern the engine
+        // uses (month must follow the day number)
+        val pat = """([0-9]{1,2})\s*([а-яё]+)"""
+        def fmt(dCol: String, mCol: String) =
+          s"""coalesce(strftime(try_strptime($dCol || '.' ||
+              CAST((${monthCase(mCol)}) AS VARCHAR) || '.2025', '%d.%m.%Y')
+              , '%-d.%-m.%Y'), '—')"""
+        s"""
+        WITH r AS (
+          SELECT * FROM read_json('${Ingestion.FixturesDir}/delivery_texts.jsonl',
+                                  format='newline_delimited',
+                                  columns={id: 'BIGINT', text: 'VARCHAR'})),
+        x AS (SELECT id, string_split(text, chr(10)) AS lines FROM r),
+        p AS (SELECT id,
+                list_filter(lines, l -> contains(lower(l), 'постамат'))[1] AS pl,
+                list_filter(lines, l -> contains(lower(l), 'доставка'))[1] AS dl
+              FROM x),
+        e AS (SELECT id,
+                regexp_extract(pl, '$pat', 1) AS pday,
+                regexp_extract(pl, '$pat', 2) AS pmon,
+                regexp_extract(dl, '$pat', 1) AS dday,
+                regexp_extract(dl, '$pat', 2) AS dmon
+              FROM p)
+        SELECT id, printf('postamat - %s, delivery - %s',
+                 ${fmt("pday", "pmon")}, ${fmt("dday", "dmon")}) AS delivery_norm
+        FROM e ORDER BY id"""
+      }),
+
     "q_offers_fallback" -> Spec(
       Parsing.offersWithFallback,
       Some(s"""

@@ -90,6 +90,21 @@ object Parsing {
     Out.sorted(r)(col("product_code"))
   }
 
+  /** X10 — delivery-text normalization over the committed blurb
+    * fixture: multi-line Russian delivery text → the reference's
+    * compact `"postamat - <date>, delivery - <date>"` form
+    * (scrape.ts:414-432). Pure array/regex expressions
+    * ([[Html.normalizeDeliveryText]]); per-row map, no shuffle.
+    */
+  def deliveryNorm(spark: SparkSession, dir: String): DataFrame = {
+    val r = spark.read
+      .schema("id LONG, text STRING")
+      .json(s"${Ingestion.FixturesDir}/delivery_texts.jsonl")
+      .select(col("id"),
+        Html.normalizeDeliveryText(col("text"), 2025).as("delivery_norm"))
+    Out.sorted(r)(col("id"))
+  }
+
   /** S14 — source-priority fallback offers (reference scrape.ts:634-645:
     * sellers come from the captured-XHR JSON parse; the DOM parse runs
     * ONLY when the capture yields zero sellers; both paths then
