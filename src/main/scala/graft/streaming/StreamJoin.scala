@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Stream-stream interval join: competitor price observations joined to
+  * our reprice actions on the same product within a bounded event-time
+  * window — "which observation did this reprice respond to", computed
+  * continuously (the reference answers it offline by eyeballing the
+  * watch NDJSON against the pricebot action log;
+  * price_watch.ts:53-63 + pricebot run logging).
+  *
+  * Scale contract: BOTH sides carry watermarks and the join condition
+  * bounds event-time distance ([0, [[ResponseWindow]]]), so Spark can
+  * compute exactly how long an observation must be buffered and drops
+  * join state past it — without the interval bound, stream-stream join
+  * state grows forever. Per-product state is O(events in the window),
+  * the minimum any correct implementation needs.
+  *
+  * StreamJoinSpec pins the streamed result equal to the identical batch
+  * interval join over the same landed input.
+  */
+object StreamJoin {
+
+  val Watermark = "1 hour"
+  val ResponseWindow = "10 minutes"
+
+  val obsSchema: StructType = StructType(Seq(
+    StructField("obs_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("product_id", LongType),
+    StructField("seller", StringType),
+    StructField("price", LongType)))
+
+  val actionSchema: StructType = StructType(Seq(
+    StructField("action_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("product_id", LongType),
+    StructField("new_price", LongType)))
+
+  /** The shared join: action within [obs.ts, obs.ts + window]. */
+  def joined(obs: DataFrame, actions: DataFrame): DataFrame =
+    obs.alias("o").join(actions.alias("a"),
+        expr(s"""o.product_id = a.product_id AND
+                 a.ts >= o.ts AND a.ts <= o.ts + INTERVAL $ResponseWindow"""))
+      .select(col("o.obs_id"), col("a.action_id"), col("o.product_id"),
+        col("o.seller"), col("o.price"), col("a.new_price"),
+        (unix_timestamp(col("a.ts")) - unix_timestamp(col("o.ts")))
+          .as("response_secs"))
+
+  /** Streaming job over two NDJSON landing dirs → append sink. */
+  def start(spark: SparkSession, obsDir: String, actionsDir: String,
+            outDir: String, checkpointDir: String): StreamingQuery = {
+    def src(dir: String, schema: StructType) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+        .withWatermark("ts", Watermark)
+    joined(src(obsDir, obsSchema), src(actionsDir, actionSchema))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
