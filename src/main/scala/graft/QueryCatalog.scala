@@ -1420,6 +1420,26 @@ object QueryCatalog {
                count(DISTINCT content_hash) AS n_distinct_contents
         FROM m GROUP BY kind ORDER BY kind""")),
 
+    "q_media_frames" -> Spec(
+      Multimodal.mediaFrames,
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 3
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 text, CAST(strlen(text) AS BIGINT) AS n_bytes
+          FROM documents),
+        f AS (SELECT *, (n_bytes + ${Multimodal.FrameBytes} - 1) // ${Multimodal.FrameBytes} AS n_frames FROM m),
+        g AS (SELECT *, 2 * ((n_frames - 1) // 2) AS li FROM f)
+        SELECT media_id, kind, n_bytes, n_frames,
+               (n_frames + 1) // 2 AS n_sampled,
+               least(64, n_bytes) AS thumb_bytes,
+               md5(text[1:64]) AS thumb_hash,
+               CASE WHEN li = n_frames - 1
+                    THEN n_bytes - li * ${Multimodal.FrameBytes}
+                    ELSE CAST(${Multimodal.FrameBytes} AS BIGINT) END AS last_sampled_bytes
+        FROM g ORDER BY media_id""")),
+
     "q_media_features" -> Spec(
       Multimodal.mediaFeatures,
       Some {

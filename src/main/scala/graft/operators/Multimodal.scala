@@ -109,6 +109,27 @@ object Multimodal {
     filter(frames, (_, i) => i % step === 0)
   }
 
+  /** Thumbnail + frame-sampling per media item, oracle-checkable end to
+    * end: frame counts, the every-2nd sampling, the truncating resize
+    * stand-in, and the ragged TAIL frame (last chunk shorter than
+    * [[FrameBytes]]) — the edge a chunking bug hides in. All pure
+    * column expressions; per-row map, no shuffle.
+    */
+  def mediaFrames(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sampled = sampleFrames(col("content"), 2)
+    val r = media(spark, dir).select(
+      col("media_id"), col("kind"),
+      octet_length(col("content")).cast(LongType).as("n_bytes"),
+      ceil(octet_length(col("content")).cast("double") / FrameBytes)
+        .cast(LongType).as("n_frames"),
+      size(sampled).cast(LongType).as("n_sampled"),
+      octet_length(thumbnail(col("content"), 64)).cast(LongType).as("thumb_bytes"),
+      md5(thumbnail(col("content"), 64)).as("thumb_hash"),
+      octet_length(element_at(sampled, -1)).cast(LongType).as("last_sampled_bytes"))
+    graft.Out.sorted(r)(col("media_id"))
+  }
+
   /** The mapPartitions decode stage: batched Iterator→Iterator with the
     * codec stubbed. This is where a real pipeline amortizes model/codec
     * init per PARTITION (not per row) — the shape that matters at scale.
