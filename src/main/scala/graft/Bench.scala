@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   - One untimed warmup pass first: JIT, codegen compilation and
   *     parquet footer caching otherwise land on whichever queries run
   *     first and skew per-query attribution by >10x.
-  *   - Each query is timed SPARK_GRAFT_REPEATS times (default 2) and
+  *   - Each query is timed SPARK_GRAFT_REPEATS times (default 3) and
   *     the minimum reported: the host shows multi-second scheduling
   *     jitter (identical full runs vary 58-203 s), and min-of-N is the
   *     standard way to measure query cost under external noise.
@@ -87,7 +87,7 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       names.foreach { n => hygiene(); run(n).foreach(e => errors(n) = s"warmup: $e") }
 
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val timed = names.map { name =>
       val secs = (1 to repeats).map { _ =>
         hygiene()
