@@ -1379,6 +1379,30 @@ object QueryCatalog {
         GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
         ORDER BY window_start, event_type""")),
 
+    "q_event_sessions" -> Spec(
+      Fleet.eventSessions,
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        x AS (
+          SELECT *, epoch_us(t) AS us,
+                 lag(epoch_us(t)) OVER (PARTITION BY event_type ORDER BY t, event_id) AS prev_us
+          FROM e),
+        y AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= ${graft.streaming.Sessions.GapMicros}
+                         THEN 1 ELSE 0 END AS new_s
+          FROM x),
+        z AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY event_type ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM y)
+        SELECT event_type, session_seq,
+               strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               (max(us) - min(us)) // 1000000 AS duration_secs
+        FROM z GROUP BY event_type, session_seq
+        ORDER BY event_type, session_seq""")),
+
     "q_size_messages" -> Spec(
       Fleet.sizeMessages,
       Some(s"""

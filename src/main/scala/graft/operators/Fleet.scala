@@ -142,6 +142,16 @@ object Fleet {
     Out.sorted(r)(col("window_start"), col("event_type"))
   }
 
+  /** Sessionization (beyond-reference; batch twin of the streaming
+    * session_window form — see streaming/Sessions).
+    */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.streaming.Sessions.batchSessions(
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type")))
+    Out.sorted(r)(col("event_type"), col("session_seq"))
+  }
+
   /** X25 — template message rendering over the size recommendations
     * (reference size_recommendation_engine.py:279-301 WhatsApp text).
     */

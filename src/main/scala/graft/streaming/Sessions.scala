@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Sessionization: group each event_type's events into activity
+  * sessions separated by ≥ [[GapMinutes]] of silence.
+  *
+  * Batch form: the classic gap-islands derivation — lag over
+  * (event_type ORDER BY ts, event_id), flag gap starts, running-sum the
+  * flags into session sequence numbers, aggregate. Two window passes
+  * over one partitioning + one groupBy that reuses it; no self-joins.
+  *
+  * Streaming form: `session_window(ts, gap)` with a watermark — Spark
+  * merges events closer than the gap into one growing window and
+  * finalizes a session once the watermark passes its end (end = last
+  * event + gap, so a session closes only when silence is PROVEN by
+  * event time, not wall clock). State per key is the open session —
+  * bounded by live key cardinality. SessionsSpec pins streamed output
+  * equal to the batch derivation restricted to finalized sessions.
+  *
+  * The boundary rule matches on both forms: an event exactly `gap`
+  * after its predecessor starts a NEW session (streaming merges only
+  * strictly-closer events; batch flags `diff >= gap`).
+  */
+object Sessions {
+
+  val GapMinutes = 30
+  val Gap = s"$GapMinutes minutes"
+  val GapMicros: Long = GapMinutes * 60L * 1000000L
+  val Watermark = "2 hours"
+
+  /** Batch twin over any (event_id, ts, event_type) frame. */
+  def batchSessions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= GapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(run))
+      .groupBy(col("event_type"), col("session_seq"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_secs"))
+  }
+
+  /** Streaming job: NDJSON landing → session_window agg → append sink
+    * (only watermark-finalized sessions are written).
+    */
+  def start(spark: SparkSession, landingDir: String, outDir: String,
+            checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(EventWindows.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .withWatermark("ts", Watermark)
+      .groupBy(session_window(col("ts"), Gap), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("event_type"), col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
