@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   - numeric cells → the stored `<v>` text verbatim, EXCEPT cells
   *     whose style resolves to a date/time number format (builtin ids
   *     14–22/27–36/45–47/50–58 or a custom code with y/m/d/h/s tokens),
-  *     which convert from the Excel serial (epoch 1899-12-30) to
+  *     which convert from the Excel serial (epoch 1899-12-30, or
+  *     1904-01-01 when the workbook sets `workbookPr date1904`) to
   *     `yyyy-MM-dd` (fractional serials → `yyyy-MM-dd HH:mm:ss`).
   *     Serials < 61 fall in Excel's 1900-leap-bug region and are not
   *     adjusted; modern exports start at ~45000.
@@ -199,13 +200,34 @@ object Xlsx {
       }.toSet
     }
 
-  private val Epoch = LocalDate.of(1899, 12, 30)
+  private val Epoch1900 = LocalDate.of(1899, 12, 30)
+  private val Epoch1904 = LocalDate.of(1904, 1, 1)
+
+  /** The workbook-level 1904 date system flag (`workbookPr date1904` —
+    * Mac-origin workbooks): serials count from 1904-01-01 instead.
+    * Silently ignoring it would shift every date by four years.
+    */
+  private def isDate1904(parts: Map[String, Array[Byte]]): Boolean =
+    parts.get("xl/workbook.xml").exists { wb =>
+      var found = false
+      val r = xml(wb)
+      try {
+        while (!found && r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+            val v = attr(r, "date1904")
+            found = v == "1" || v == "true"
+          }
+        }
+      } finally r.close()
+      found
+    }
 
   /** Excel serial → ISO string; date-only serials stay `yyyy-MM-dd`. */
-  private[graft] def serialToIso(v: String): String = {
+  private[graft] def serialToIso(v: String, date1904: Boolean = false): String = {
     val d = v.toDouble
     val days = math.floor(d).toLong
-    val date = Epoch.plusDays(days)
+    val date = (if (date1904) Epoch1904 else Epoch1900).plusDays(days)
     val secs = math.round((d - days) * 86400d)
     if (secs == 0L) date.toString
     else {
@@ -237,6 +259,7 @@ object Xlsx {
     val parts = zipParts(bytes)
     val sst = sharedStrings(parts)
     val dateStyleIdx = dateStyles(parts)
+    val date1904 = isDate1904(parts)
     val sheetName = firstSheetPart(parts)
     val sheet = parts.getOrElse(sheetName, sys.error(s"xlsx: missing part $sheetName"))
 
@@ -260,7 +283,7 @@ object Xlsx {
         case "str"       => raw
         case _ => // plain number (or formula-cached number)
           if (raw.isEmpty) null
-          else if (dateStyleIdx(cellStyle)) serialToIso(raw)
+          else if (dateStyleIdx(cellStyle)) serialToIso(raw, date1904)
           else raw
       }
       while (cells.length < cellCol) cells += null

@@ -23,13 +23,16 @@ class XlsxSpec extends AnyFunSuite {
   private def wb(sheetXml: String,
                  sst: Seq[String] = Nil,
                  stylesXml: String = "",
-                 extraSheetXml: String = ""): Array[Byte] = {
+                 extraSheetXml: String = "",
+                 date1904: Boolean = false): Array[Byte] = {
     val sheets =
       if (extraSheetXml.isEmpty) Seq("ws1.xml" -> sheetXml)
       else Seq("ws1.xml" -> sheetXml, "ws2.xml" -> extraSheetXml)
+    val wbPr = if (date1904) """<workbookPr date1904="1"/>""" else ""
     val wbXml =
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
-        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""".stripMargin +
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""".stripMargin +
+        wbPr + "<sheets>" +
         sheets.zipWithIndex.map { case (_, i) =>
           s"""<sheet name="s${i + 1}" sheetId="${i + 1}" r:id="x${i + 1}"/>"""
         }.mkString + "</sheets></workbook>"
@@ -108,6 +111,18 @@ class XlsxSpec extends AnyFunSuite {
       stylesXml = styles))
     assert(rows == Vector(Vector(
       "2025-07-14", "2025-07-15", "2025-07-14 12:00:00", "45852", "45852")))
+  }
+
+  test("date1904 workbooks shift the serial epoch to 1904-01-01") {
+    val styles =
+      """<styleSheet xmlns="x"><cellXfs count="2">
+        |<xf numFmtId="0"/><xf numFmtId="14"/>
+        |</cellXfs></styleSheet>""".stripMargin
+    val sheet = """<row r="1"><c r="A1" s="1"><v>10000</v></c></row>"""
+    val d1900 = cellsOf(wb(sheet, stylesXml = styles))(0)(0)
+    val d1904 = cellsOf(wb(sheet, stylesXml = styles, date1904 = true))(0)(0)
+    assert(d1900 == java.time.LocalDate.of(1899, 12, 30).plusDays(10000).toString)
+    assert(d1904 == java.time.LocalDate.of(1904, 1, 1).plusDays(10000).toString)
   }
 
   test("custom format codes: bracketed sections and quoted literals are not date tokens") {
