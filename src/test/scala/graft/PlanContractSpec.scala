@@ -54,6 +54,15 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected window aggregates:\n$plan")
   }
 
+  test("cms sketch build combines map-side: partial_count before the exchange") {
+    val keys = Tables.load(spark, SparkT.Sf0001, "lineitem")
+      .select(col("l_partkey").as("key"))
+    val plan = planOf(operators.Sketches.cmsCells(keys))
+    assert(plan.contains("partial_count"),
+      s"sketch build must combine map-side (fixed cells per mapper):\n$plan")
+    assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
+  }
+
   test("xlsx ingest: per-file parallel parse, no exchange before the flatMap") {
     val df = graft.sources.Excel.readXlsx(spark, s"${operators.Ingestion.FixturesDir}/xlsx/*rders*.xlsx")
     val plan = planOf(df)
