@@ -656,6 +656,19 @@ object QueryCatalog {
                           FROM comp GROUP BY cluster_id) s USING (cluster_id)
         ORDER BY doc_id""")),
 
+    "q_doc_sample" -> Spec(
+      TextOps.hashSample,
+      Some(s"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+                   < ${TextOps.SampleBucketMax}) AS BIGINT) AS n_sampled,
+               ${rnd(s"""CAST(count(*) FILTER (WHERE
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+                   < ${TextOps.SampleBucketMax}) AS DOUBLE) / CAST(count(*) AS DOUBLE)""", 6)}
+                 AS sample_rate
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     "q_curation_funnel" -> Spec(
       TextOps.curationFunnel,
       Some {

@@ -591,6 +591,32 @@ object TextOps {
     Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 
+  /** Sampling keep-threshold: docs whose first md5 byte < 64 survive
+    * (~25% expected rate).
+    */
+  val SampleBucketMax = 64
+
+  /** Deterministic hash-mod corpus sampling, stratified report per
+    * language: keep a document iff its id's first md5 byte falls under
+    * [[SampleBucketMax]] of 256. The keep decision is a pure function
+    * of the key — no RNG state, no shuffle, reproducible across runs,
+    * engines and reshards, which is what makes it the standard way to
+    * cut a reproducible slice of a 100 TB corpus (seeded `sample()` is
+    * partitioning-dependent and unreproducible across engines).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val r = docs(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(bucket < SampleBucketMax, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("sample_rate",
+        F.roundHalfUp(col("n_sampled").cast("double") / col("n_docs").cast("double"), 6))
+    Out.sorted(r)(col("lang"))
+  }
+
   /** The end-to-end curation funnel — what the whole LLM-data suite is
     * FOR, as one query: raw corpus → quality filter ([[qualityKeep]]) →
     * exact dedup (keep each bag-of-words group's minimum-id survivor) →
