@@ -115,7 +115,14 @@ object Bench {
       "repeats" -> repeats.toString
     ).map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
+    // The driver captures only the log TAIL; a verbose shutdown once
+    // truncated the r3 totals. The file in cwd is the truncation-proof
+    // artifact; the printed line stays for the log-scraping path.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     // A hung/failed shutdown must not turn a completed sweep into a
     // non-zero exit or stderr noise after the JSON line.
     try spark.stop() catch { case _: Throwable => () }

@@ -1406,8 +1406,8 @@ object QueryCatalog {
                          THEN 1 ELSE 0 END AS new_s
           FROM x),
         z AS (
-          SELECT *, sum(new_s) OVER (PARTITION BY event_type ORDER BY t, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          SELECT *, CAST(sum(new_s) OVER (PARTITION BY event_type ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM y)
         SELECT event_type, session_seq,
                strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
