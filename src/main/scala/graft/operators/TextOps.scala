@@ -365,18 +365,51 @@ object TextOps {
     * expensive exact check runs only on banded candidates.
     */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    Out.sorted(nearDupPairs(spark, dir))(col("doc_a"), col("doc_b"))
+    Out.sorted(nearDupPairsCore(signatureTable(spark, dir)))(
+      col("doc_a"), col("doc_b"))
 
-  /** Unsorted confirmed near-dup pairs (shared by [[minhashNearDup]]
-    * and the clustering operator), eagerly materialized with the cached
-    * shingle base released before return.
+  /** Bucket count of the materialized signature table — matches the
+    * session shuffle parallelism so the bucketed scan satisfies the
+    * doc_id-keyed join distributions without an exchange.
     */
-  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairsFrom(docsDistributed(spark, dir))
+  val SignatureBuckets = 32
 
-  /** (doc_id, band_idx, band_hash) LSH band rows of a shingle base. */
-  private def bandsOf(base: DataFrame): DataFrame = {
-    val sig = minhashSignatures(base)
+  /** The MATERIALIZED signature table (doc_id, shingles, mh0..mh{k-1}):
+    * the warehouse pattern for a shared LSH index. The shingle +
+    * k-permutation pipeline is the dominant cost of every MinHash
+    * consumer (band stats, near-dup pairs, clustering, the curation
+    * funnel) — at 100 TB a dedup run computes it ONCE, writes it
+    * bucketed by doc_id, and every downstream query scans the table
+    * instead of re-deriving signatures from the raw corpus. Bucketing
+    * by doc_id means the Jaccard-confirm joins and the per-doc band
+    * derivation read co-located rows with no exchange on the table side.
+    *
+    * Built at most once per (session, corpus dir) — keyed by a dir
+    * digest, synchronized against concurrent suite access — and
+    * rebuilt only in a fresh session (the files are overwritten, so a
+    * stale warehouse dir cannot leak across runs).
+    */
+  private[graft] def signatureTable(spark: SparkSession, dir: String): DataFrame =
+    this.synchronized {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val name = s"graft_minhash_sig_$digest"
+      if (!spark.catalog.tableExists(name)) {
+        val base = shingleBase(docsDistributed(spark, dir)).persist()
+        try base.join(minhashSignatures(base), Seq("doc_id"))
+          .write.bucketBy(SignatureBuckets, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(name)
+        finally base.unpersist()
+      }
+      spark.table(name)
+    }
+
+  /** (doc_id, band_idx, band_hash) LSH band rows of a signature frame
+    * (any frame carrying doc_id + mh0..mh{k-1}) — a pure per-row
+    * projection, so deriving bands from the materialized table costs
+    * 8 md5 calls per doc, not the full shingle pipeline.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       md5(concat_ws("_",
         (0 until RowsPerBand).map(i =>
@@ -393,44 +426,52 @@ object TextOps {
 
   /** Confirmed near-dup pairs of an arbitrary `documents`-shaped frame
     * (testable entry point — MinhashBandCapSpec feeds a synthetic hot
-    * band through it).
+    * band through it). The ephemeral twin of the table path: signatures
+    * are persisted for the duration of the call instead of written out,
+    * and the small confirmed-pair set is materialized eagerly so the
+    * cache entry can be dropped before returning.
     */
   private[graft] def nearDupPairsFrom(docsDf: DataFrame): DataFrame = {
-    // persist: the shingle arrays feed the band self-join (twice) and
-    // both sides of the Jaccard confirm join — without it the whole
-    // shingle+k×md5 pipeline is recomputed four times (Spark reuses
-    // exchanges, not arbitrary identical subtrees). At warehouse scale
-    // the same role is played by materializing signatures to a table.
-    // The confirmed pair set (small — candidates only) is materialized
-    // eagerly so the cache entry can be dropped before returning.
     val base = shingleBase(docsDf).persist()
-    try {
-      val bands = bandsOf(base)
-      // Hot-band cap: the over-cap bucket list is tiny (usually empty),
-      // so it broadcasts and the filter is a cheap anti-join — no extra
-      // shuffle of the band rows.
-      val hot = bands.groupBy("band_idx", "band_hash")
-        .agg(count(lit(1)).as("f"))
-        .filter(col("f") > MaxBandFrequency)
-        .select("band_idx", "band_hash")
-      val kept = bands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
-      val cand = kept.as("x").join(kept.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-      val jac = F.roundHalfUp(
-        size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-          size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
-      val pairs = cand
-        .join(base.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(base.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-          jac.as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-      Out.eager(pairs)
-    } finally base.unpersist()
+    try Out.eager(nearDupPairsCore(base.join(minhashSignatures(base), Seq("doc_id"))))
+    finally base.unpersist()
+  }
+
+  /** Banded-LSH near-dup pair search over a signature frame
+    * (doc_id, shingles, mh0..mh{k-1}).
+    *
+    * Plan shape: derive band rows → drop over-cap buckets → self-join on
+    * (band_idx, band_hash) → aggregate candidate pairs → join the two
+    * shingle sets back BY doc_id → exact Jaccard filter. No stage is
+    * all-pairs, and when `sig` is the bucketed signature table the
+    * confirm joins need no exchange on the table side.
+    */
+  private def nearDupPairsCore(sig: DataFrame): DataFrame = {
+    val bands = bandRows(sig)
+    // Hot-band cap: the over-cap bucket list is tiny (usually empty),
+    // so it broadcasts and the filter is a cheap anti-join — no extra
+    // shuffle of the band rows.
+    val hot = bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") > MaxBandFrequency)
+      .select("band_idx", "band_hash")
+    val kept = bands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val jac = F.roundHalfUp(
+      size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+        size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
+    val shg = sig.select(col("doc_id"), col("shingles"))
+    cand
+      .join(shg.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shg.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** Band-occupancy profile of the MinHash-LSH index: per band, bucket
@@ -440,8 +481,8 @@ object TextOps {
     * the candidate join. One groupBy chain, oracle-replicated.
     */
   def minhashBandStats(spark: SparkSession, dir: String): DataFrame = {
-    val base = shingleBase(docsDistributed(spark, dir))
-    val freq = bandsOf(base).groupBy("band_idx", "band_hash")
+    val freq = bandRows(signatureTable(spark, dir))
+      .groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("f"))
     val r = freq.groupBy("band_idx").agg(
       count(lit(1)).as("n_buckets"),
@@ -460,7 +501,10 @@ object TextOps {
     * pick one canonical document per duplicate group.
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b")
+    // eager: the pair set is tiny and feeds every CC round's edge join —
+    // without it each round would re-run the band/confirm pipeline
+    val pairs = Out.eager(
+      nearDupPairsCore(signatureTable(spark, dir)).select("doc_a", "doc_b"))
     val (labels, _) = connectedComponents(pairs)
     try {
       val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -638,16 +682,27 @@ object TextOps {
       .withColumn("bh", bowHash)
       .withColumn("canon", min(when(col("q_keep"), col("doc_id"))).over(w))
       .withColumn("is_canon", col("q_keep") && col("doc_id") === col("canon"))
-    val survivors = flags.filter(col("is_canon")).select("doc_id", "text")
-    val losers = nearDupPairsFrom(survivors)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("is_loser", lit(true))
-    flags.join(broadcast(losers), Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("n_raw"),
-        sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_exact_canonical"),
-        sum(when(col("is_canon") && col("is_loser").isNull, 1L).otherwise(0L))
-          .as("n_curated"))
+    // Near-dup stage consumes the MATERIALIZED signature table filtered
+    // to the exact-dedup survivors (a doc's shingle set is a pure
+    // function of its text, so subsetting the shared index is exact) —
+    // the funnel never re-derives signatures from the corpus. The
+    // filtered signature frame feeds the band join twice and both
+    // confirm sides, so it is persisted for the duration and the tiny
+    // loser set materialized eagerly before release.
+    val survivorSig = signatureTable(spark, dir)
+      .join(flags.filter(col("is_canon")).select("doc_id"), Seq("doc_id"))
+      .persist()
+    try {
+      val losers = Out.eager(nearDupPairsCore(survivorSig)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_loser", lit(true)))
+      flags.join(broadcast(losers), Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_exact_canonical"),
+          sum(when(col("is_canon") && col("is_loser").isNull, 1L).otherwise(0L))
+            .as("n_curated"))
+    } finally survivorSig.unpersist()
   }
 }

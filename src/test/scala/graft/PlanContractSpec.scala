@@ -71,6 +71,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in the xlsx scan:\n$plan")
   }
 
+  test("minhash consumers scan the materialized signature table, not documents") {
+    // first touch builds the bucketed table; the consumers' OWN plans
+    // must then read it instead of re-deriving signatures from the
+    // corpus — the warehouse pattern for a shared 100 TB LSH index
+    operators.TextOps.signatureTable(spark, SparkT.Sf0001)
+    val consumers = Seq(
+      "band stats" -> operators.TextOps.minhashBandStats(spark, SparkT.Sf0001),
+      "near-dup pairs" -> operators.TextOps.minhashNearDup(spark, SparkT.Sf0001))
+    for ((label, df) <- consumers) {
+      val files = df.inputFiles
+      assert(files.nonEmpty && files.forall(_.contains("graft_minhash_sig_")),
+        s"$label must scan only the signature table, got: ${files.mkString(", ")}")
+    }
+  }
+
   test("offers fallback: priority filter and merge reuse one shuffle by product key") {
     val plan = planOf(operators.Parsing.offersWithFallback(spark, SparkT.Sf0001))
     // min-priority window partitions by product_id; the merge groupBy is
