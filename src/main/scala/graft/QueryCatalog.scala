@@ -109,6 +109,39 @@ object QueryCatalog {
           WHERE jaccard >= ${TextOps.JaccardThreshold})"""
   }
 
+  // Two unrolled Lloyd iterations (KmeansIters is a FIXED constant — the
+  // unroll count must stay in lockstep with VectorOps.KmeansIters), ending
+  // in cent1 (the trained centroids) and a2 (the assignment computed
+  // against them). Shared by q_ivf_kmeans and the trained-quantizer
+  // search oracle q_ann_ivf_trained.
+  private lazy val lloydCtes: String = {
+    val mean = rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
+    val simOf = (cent: String) =>
+      rnd(s"list_dot_product(e.embedding::DOUBLE[], $cent.centroid::DOUBLE[])", 6)
+    def assignStep(cent: String, out: String) = s"""
+        $out AS (
+          SELECT vec_id, label, embedding, cluster, sim FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.cluster,
+                   ${simOf("c")} AS sim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${simOf("c")} DESC, c.cluster) AS rn
+            FROM embeddings e, $cent c)
+          WHERE rn = 1)"""
+    def centStep(src: String, comp: String, cent: String) = s"""
+        $comp AS (
+          SELECT cluster, dim, $mean AS c
+          FROM (SELECT cluster, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM $src)
+          GROUP BY cluster, dim),
+        $cent AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM $comp GROUP BY cluster)"""
+    s"""a0 AS (SELECT vec_id, label, embedding, label AS cluster FROM embeddings),
+        ${centStep("a0", "comp0", "cent0")},
+        ${assignStep("cent0", "a1")},
+        ${centStep("a1", "comp1", "cent1")},
+        ${assignStep("cent1", "a2")}"""
+  }
+
   // IVF search oracle, parameterized by probe depth (shared by
   // q_ann_ivf at nprobe=1 and q_ann_ivf_probe2).
   private def ivfSql(nprobe: Int): String = s"""
@@ -825,37 +858,36 @@ object QueryCatalog {
 
     "q_ivf_kmeans" -> Spec(
       VectorOps.ivfKmeans,
-      Some {
-        val mean = rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
-        val simOf = (cent: String) =>
-          rnd(s"list_dot_product(e.embedding::DOUBLE[], $cent.centroid::DOUBLE[])", 6)
-        def assignStep(cent: String, out: String) = s"""
-        $out AS (
-          SELECT vec_id, label, embedding, cluster, sim FROM (
-            SELECT e.vec_id, e.label, e.embedding, c.cluster,
-                   ${simOf("c")} AS sim,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${simOf("c")} DESC, c.cluster) AS rn
-            FROM embeddings e, $cent c)
-          WHERE rn = 1)"""
-        def centStep(src: String, comp: String, cent: String) = s"""
-        $comp AS (
-          SELECT cluster, dim, $mean AS c
-          FROM (SELECT cluster, unnest(embedding) AS v,
-                       generate_subscripts(embedding, 1) AS dim
-                FROM $src)
-          GROUP BY cluster, dim),
-        $cent AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM $comp GROUP BY cluster)"""
-        s"""
-        WITH a0 AS (SELECT vec_id, label, embedding, label AS cluster FROM embeddings),
-        ${centStep("a0", "comp0", "cent0")},
-        ${assignStep("cent0", "a1")},
-        ${centStep("a1", "comp1", "cent1")},
-        ${assignStep("cent1", "a2")}
+      Some(s"""
+        WITH $lloydCtes
         SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
                ${rnd("CAST(sum(CAST(sim AS DECIMAL(20,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_cos,
                CAST(count(*) FILTER (WHERE cluster <> label) AS BIGINT) AS n_moved
-        FROM a2 GROUP BY cluster ORDER BY cluster"""
+        FROM a2 GROUP BY cluster ORDER BY cluster""")),
+
+    "q_ann_ivf_trained" -> Spec(
+      VectorOps.annIvfTrained,
+      Some {
+        val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
+        s"""
+        WITH $lloydCtes,
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        cells AS (
+          SELECT q_id, q_emb, cluster, $cellSim AS cell_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY $cellSim DESC, cluster) AS rn
+          FROM q, cent1),
+        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
+        s AS (
+          SELECT q_id, a.cluster AS cell, cell_sim, a.vec_id AS neighbor_id,
+                 ${rnd("list_dot_product(q_emb::DOUBLE[], a.embedding::DOUBLE[])", 6)} AS cos_sim
+          FROM best b JOIN a2 a ON a.cluster = b.cluster
+          WHERE a.vec_id <> b.q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, cos_sim FROM r
+        WHERE rank <= ${VectorOps.TopKIvf} ORDER BY q_id, rank"""
       }),
 
     "q_ann_sq8" -> Spec(

@@ -234,37 +234,90 @@ object VectorOps {
     * oracle unrolls the identical two steps and the output hash-matches.
     */
   def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
-
-    def centroidsOf(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg(F.avgFromSums(sum(col("v").cast("decimal(25,10)")), count(lit(1))).as("c"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("centroid"))
-
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cluster"))
-      e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("label"), col("cluster"),
-          F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "embedding", "label", "cluster", "sim")
-    }
-
-    var assigned = e.withColumn("cluster", col("label"))
-    (1 to KmeansIters).foreach { _ =>
-      assigned = assign(centroidsOf(assigned))
-    }
+    val (_, assigned) = trainedIndex(spark, dir)
     val r = assigned.groupBy(col("cluster")).agg(
       count(lit(1)).as("n_members"),
       F.avgFromSums(sum(col("sim").cast("decimal(20,10)")), count(lit(1)))
         .as("avg_cos"),
       sum(when(col("cluster") =!= col("label"), 1L).otherwise(0L)).as("n_moved"))
     Out.sorted(r)(col("cluster"))
+  }
+
+  /** Decimal-exact per-dimension mean centroids of a (cluster, embedding)
+    * assignment — one explode/groupBy, combines map-side.
+    */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(F.avgFromSums(sum(col("v").cast("decimal(25,10)")), count(lit(1))).as("c"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** One Lloyd assignment step: every vector to its highest-similarity
+    * centroid (ties to the smaller cluster id), via a broadcast of the
+    * tiny k×dim centroid table — the corpus never shuffles.
+    */
+  private def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cluster"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cluster"),
+        F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "label", "cluster", "sim")
+  }
+
+  /** The trained IVF index after [[KmeansIters]] Lloyd iterations:
+    * (final centroids, final assignment). The returned centroids are
+    * exactly the ones the final assignment was computed against, so the
+    * cells are Voronoi-consistent — what [[annIvfTrained]] probes.
+    */
+  private[graft] def trainedIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    var assigned = e.withColumn("cluster", col("label"))
+    var centroids: DataFrame = null
+    (1 to KmeansIters).foreach { _ =>
+      centroids = centroidsOf(assigned)
+      assigned = assignTo(e, centroids)
+    }
+    (centroids, assigned)
+  }
+
+  /** IVF search over the TRAINED quantizer — closes the loop between
+    * [[ivfKmeans]] (which trains centroids) and [[annIvf]] (which probed
+    * the label-seeded cells): queries rank the Lloyd centroids, probe
+    * their best cell, and scan only the vectors the final assignment
+    * placed there. Same plan shape as [[annIvfProbed]] — centroids
+    * broadcast to the queries, probed cells broadcast to the corpus-side
+    * join — so the corpus is scanned once and never shuffled.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (centroids, assigned) = trainedIndex(spark, dir)
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cell_sim"), asc("cluster"))
+    val probedCells = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cluster"),
+        F.roundHalfUp(dot(col("q_emb"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 1)
+      .select(col("q_id"), col("q_emb"), col("cluster"), col("cell_sim"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val r = assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+      .join(broadcast(probedCells), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cluster").as("cell"), col("cell_sim"),
+        col("vec_id").as("neighbor_id"),
+        F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= TopKIvf)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "cos_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
   }
 
   /** Quantization levels of the SQ8 path (8-bit codes). */

@@ -39,4 +39,24 @@ class IvfRecallSpec extends AnyFunSuite {
       assert(union.nonEmpty)
     }
   }
+
+  test("trained-quantizer search recall@k is at least the seed-centroid path") {
+    val k = VectorOps.TopKIvf
+    val exact = topSets(
+      VectorOps.annBruteForce(spark, SparkT.Sf0001)
+        .filter(org.apache.spark.sql.functions.col("rank") <= k))
+    val seed = topSets(VectorOps.annIvfProbed(spark, SparkT.Sf0001, 1))
+    val trained = topSets(VectorOps.annIvfTrained(spark, SparkT.Sf0001))
+
+    def recall(ivf: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, t) =>
+        ivf.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / exact.size
+
+    val (rSeed, rTrained) = (recall(seed), recall(trained))
+    assert(rTrained >= rSeed,
+      s"Lloyd-trained cells must not lose recall: trained=$rTrained seed=$rSeed")
+    // every query still gets a full top-k from its probed cell
+    trained.foreach { case (_, s) => assert(s.size == k) }
+  }
 }
