@@ -1448,6 +1448,44 @@ object QueryCatalog {
         FROM z GROUP BY event_type, session_seq
         ORDER BY event_type, session_seq""")),
 
+    // The STREAMING sessionization path itself, oracle-checked: the
+    // engine runs the session_window job to completion and returns what
+    // append mode emitted; the oracle is the batch gap-islands chain
+    // restricted to sessions finalized by the last watermark. Spark
+    // tracks watermarks in MILLISECONDS (max event time ms-floored,
+    // minus the 2 h delay), and a session finalizes once its end
+    // (last event + gap) is at or before it — the wm CTE mirrors that
+    // arithmetic exactly.
+    "q_event_sessions_stream" -> Spec(
+      graft.streaming.Sessions.eventSessionsStream,
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        x AS (
+          SELECT *, epoch_us(t) AS us,
+                 lag(epoch_us(t)) OVER (PARTITION BY event_type ORDER BY t, event_id) AS prev_us
+          FROM e),
+        y AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= ${graft.streaming.Sessions.GapMicros}
+                         THEN 1 ELSE 0 END AS new_s
+          FROM x),
+        z AS (
+          SELECT *, CAST(sum(new_s) OVER (PARTITION BY event_type ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM y),
+        g AS (
+          SELECT event_type, session_seq,
+                 strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 max(us) AS end_us
+          FROM z GROUP BY event_type, session_seq),
+        wm AS (
+          SELECT (max(us) // 1000 - ${2L * 3600L * 1000L}) * 1000 AS w FROM x)
+        SELECT event_type, session_start, n_events
+        FROM g, wm
+        WHERE end_us + ${graft.streaming.Sessions.GapMicros} <= w
+        ORDER BY event_type, session_start""")),
+
     "q_size_messages" -> Spec(
       Fleet.sizeMessages,
       Some(s"""

@@ -50,6 +50,42 @@ object Sessions {
         expr("(max(us) - min(us)) div 1000000").as("duration_secs"))
   }
 
+  /** The oracle-checked form of the STREAM (q_event_sessions_stream):
+    * land the events table as NDJSON (microsecond timestamps preserved —
+    * the testdata carries sub-second components on every row), run the
+    * session_window job to completion with AvailableNow, and return the
+    * finalized sessions it emitted. Complements the batch twin's oracle
+    * row: the driver gate now sees the streaming path itself, with the
+    * oracle restricted to sessions whose end the final watermark passed
+    * (watermark = ms-floored max event time − delay, mirroring Spark's
+    * millisecond watermark tracking).
+    */
+  def eventSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sessions-q")
+    val (landing, out, ckpt) =
+      (s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
+    // one landing file = one data batch: the watermark is still at its
+    // floor while data is aggregated, so no event can be dropped as
+    // late by a discovery-order artifact; the trailing no-data batch
+    // then finalizes against max(ts) − delay
+    graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .coalesce(1)
+      .write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(landing)
+    val q = start(spark, landing, out, ckpt)
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException("sessions stream did not finish")
+    }
+    val r = spark.read
+      .schema("session_start STRING, event_type STRING, n_events LONG")
+      .json(out)
+      .select("event_type", "session_start", "n_events")
+    graft.Out.sorted(r)(col("event_type"), col("session_start"))
+  }
+
   /** Streaming job: NDJSON landing → session_window agg → append sink
     * (only watermark-finalized sessions are written).
     */
