@@ -477,6 +477,39 @@ object Relational {
     Out.sorted(r)(col("sku"))
   }
 
+  /** Skew-safe SALTED fact-fact join: the probe side salts each row
+    * deterministically (a second column mod `salts` — no RNG, so the
+    * plan is retry-safe), the build side replicates once per salt, and
+    * the join key becomes (key, salt) — a hot order key's rows spread
+    * over `salts` reducers instead of funneling through one. The result
+    * multiset is identical to the plain join (every probe row meets
+    * exactly one replica of its match), which the oracle verifies as a
+    * plain SQL join. Complements [[saltedSkuStats]] (salted AGGREGATION)
+    * and the AQE path SkewJoinSpec pins (runtime skew-split is the
+    * zero-rewrite remedy; salting is the one that works even where AQE
+    * cannot, e.g. under a deterministic-partitioning requirement or a
+    * non-shuffle-read consumer). The merge hint keeps the demonstrated
+    * shape a shuffle join — broadcasting the build side would bypass
+    * the skew entirely, which is a different (size-limited) remedy.
+    */
+  def saltedOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val l = li(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber"), lit(salts)).as("lsalt"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        explode(array((0 until salts).map(lit(_)): _*)).as("osalt"))
+    val r = l.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey") && col("lsalt") === col("osalt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(F.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("sum_revenue"))
+    Out.sorted(r)(col("o_orderstatus"))
+  }
+
   /** Shared offers pipeline for X19/X20: dedup to per-(sku, seller) best
     * price, then per-sku min/median as WINDOW aggregates over the deduped
     * frame. One shuffle for the dedup, one for the window — the round-1
