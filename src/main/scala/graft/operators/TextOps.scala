@@ -385,9 +385,13 @@ object TextOps {
     * derivation read co-located rows with no exchange on the table side.
     *
     * Built at most once per (session, corpus dir) — keyed by a dir
-    * digest, synchronized against concurrent suite access — and
-    * rebuilt only in a fresh session (the files are overwritten, so a
-    * stale warehouse dir cannot leak across runs).
+    * digest, synchronized against concurrent suite access. The catalog
+    * is per-session while the managed-table LOCATION persists on disk,
+    * so a fresh JVM sees `tableExists = false` with last run's
+    * `spark-warehouse/<name>/` still present and `saveAsTable` (acting
+    * as CREATE) would throw LOCATION_ALREADY_EXISTS — the rebuild path
+    * therefore drops any stale catalog entry AND deletes the stale
+    * location before writing.
     */
   private[graft] def signatureTable(spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
@@ -395,6 +399,11 @@ object TextOps {
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val name = s"graft_minhash_sig_$digest"
       if (!spark.catalog.tableExists(name)) {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
         val base = shingleBase(docsDistributed(spark, dir)).persist()
         try base.join(minhashSignatures(base), Seq("doc_id"))
           .write.bucketBy(SignatureBuckets, "doc_id").sortBy("doc_id")
