@@ -1504,6 +1504,16 @@ object QueryCatalog {
                min(l_extendedprice) AS min_price
         FROM lineitem GROUP BY l_partkey ORDER BY sku""")),
 
+    // The salted FACT-FACT join must be multiset-identical to the plain
+    // join — the oracle is the unsalted SQL.
+    "q_salted_order_revenue" -> Spec(
+      Relational.saltedOrderRevenue,
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n_lines,
+               ${sumDec("l_extendedprice * (1.0 - l_discount)")} AS sum_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     "q_ann_ivf" -> Spec(VectorOps.annIvf, Some(ivfSql(1))),
 
     "q_ann_ivf_probe2" -> Spec(
