@@ -1514,6 +1514,33 @@ object QueryCatalog {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Sink round trips: the builders write through the real sinks and
+    // return the READ-BACK frame; the oracles state the final on-disk
+    // contract purely from the input tables.
+    "q_upsert_rerun" -> Spec(
+      sources.SinkRoundTrips.upsertRerun,
+      Some("""
+        SELECT o_orderkey, o_orderstatus, 'v2' AS src FROM orders
+        WHERE o_orderkey % 7 BETWEEN 2 AND 5
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'v1' AS src FROM orders
+        WHERE o_orderkey % 7 BETWEEN 0 AND 1
+        ORDER BY o_orderkey""")),
+
+    "q_export_roundtrip" -> Spec(
+      sources.SinkRoundTrips.exportRoundtrip,
+      Some("""
+        SELECT l_partkey AS sku, printf('%.2f', min(l_extendedprice)) AS min_price
+        FROM lineitem WHERE l_partkey <= 200
+        GROUP BY l_partkey ORDER BY sku""")),
+
+    "q_xlsx_roundtrip" -> Spec(
+      sources.SinkRoundTrips.xlsxRoundtrip,
+      Some("""
+        SELECT l_partkey AS sku, printf('%.2f', min(l_extendedprice)) AS min_price
+        FROM lineitem WHERE l_partkey <= 200
+        GROUP BY l_partkey ORDER BY sku""")),
+
     "q_ann_ivf" -> Spec(VectorOps.annIvf, Some(ivfSql(1))),
 
     "q_ann_ivf_probe2" -> Spec(

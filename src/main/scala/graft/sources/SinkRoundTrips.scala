@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Out, Tables}
+
+/** Oracle-checked ROUND TRIPS of the sink layer (SURVEY §2.1 K2/K5, plus
+  * the S6 workbook writer): each builder drives a real write → read-back
+  * cycle and returns the read-back frame, so the driver's DuckDB compare
+  * hashes the ON-DISK contract of the sink — encoding, column order,
+  * rerun idempotency — not just an in-memory frame.
+  *
+  * Output locations are fixed per input dir (digest-keyed under the JVM
+  * tmpdir) and overwritten per call: repeated bench/verify runs reuse the
+  * same paths instead of leaking copies.
+  */
+object SinkRoundTrips {
+
+  private def tmpBase(dir: String, tag: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Paths.get(sys.props("java.io.tmpdir"), s"graft_${tag}_$digest").toString
+  }
+
+  /** The export frame shared by the CSV and XLSX round trips: per-SKU
+    * minimum offer price, price pre-rendered with a fixed two-decimal
+    * format so the all-string read-back is deterministic in both engines
+    * (reference export/route.ts:77-125 renders prices the same way).
+    */
+  private def exportFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("sku"))
+      .agg(min(col("l_extendedprice")).as("mn"))
+      .filter(col("sku") <= 200)
+      .select(col("sku"), format_string("%.2f", col("mn")).as("min_price"))
+
+  /** K2 upsert contract end to end (reference delete-then-insert rerun
+    * safety, etl_purchases.py:55-64): a v1 slice, then an overlapping v2
+    * slice applied TWICE — the rerun. The read-back state must hold
+    * exactly one row per key: v2 where the slices overlap, v1 elsewhere,
+    * which is what the plain-SQL oracle states.
+    */
+  def upsertRerun(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "upsert")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true) // deterministic start state
+    val orders = Tables.load(spark, dir, "orders")
+    def slice(lo: Int, hi: Int, tag: String) =
+      orders.filter(pmod(col("o_orderkey"), lit(7)).between(lo, hi))
+        .select(col("o_orderkey"), col("o_orderstatus"), lit(tag).as("src"))
+    Sinks.upsertByKey(slice(0, 3, "v1"), path, Seq("o_orderkey"))
+    Sinks.upsertByKey(slice(2, 5, "v2"), path, Seq("o_orderkey"))
+    Sinks.upsertByKey(slice(2, 5, "v2"), path, Seq("o_orderkey"))
+    Out.sorted(spark.read.parquet(path))(col("o_orderkey"))
+  }
+
+  /** K5 fixed-column CSV export, read back through Spark's CSV reader:
+    * hashes the header row, column order and value rendering of the
+    * export file (PRICEBOT_SPEC_V2.md:84-90 — the import depends on the
+    * exact schema).
+    */
+  def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "export_csv")
+    Sinks.exportCsv(exportFrame(spark, dir), path, Seq("sku", "min_price"))
+    val back = spark.read.option("header", "true").csv(path)
+    Out.sorted(back.select(col("sku").cast("bigint").as("sku"), col("min_price")))(
+      col("sku"))
+  }
+
+  /** The S6 writer under the S6 reader: the workbook import/export round
+    * trip of the reference's pricebot sheet (PRICEBOT_SPEC_V2.md:114-121,
+    * app/page.tsx:56-80) — export a priced frame as ONE workbook, read it
+    * back with the distributed reader, surface the same rows.
+    */
+  def xlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "export_xlsx") + ".xlsx"
+    Excel.writeXlsx(exportFrame(spark, dir), path)
+    val back = Excel.readXlsx(spark, path)
+    Out.sorted(back.select(col("sku").cast("bigint").as("sku"), col("min_price")))(
+      col("sku"))
+  }
+}

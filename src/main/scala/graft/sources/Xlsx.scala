@@ -236,6 +236,17 @@ object Xlsx {
     }
   }
 
+  /** 0-based column index → `"BC"` letters (inverse of [[colIndex]]). */
+  private[graft] def colLetters(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      sb.insert(0, ('A' + (i - 1) % 26).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+
   /** `"BC"` column letters → 0-based index. */
   private[graft] def colIndex(ref: String): Int = {
     var i = 0
@@ -323,6 +334,117 @@ object Xlsx {
     } finally r.close()
     rows.result()
   }
+
+  // ── writer (inverse of [[parse]]) ────────────────────────────────────
+
+  /** XML 1.0 text escaping; control characters (illegal even escaped)
+    * degrade to spaces rather than corrupting the part.
+    */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '&'  => sb.append("&amp;")
+      case '<'  => sb.append("&lt;")
+      case '>'  => sb.append("&gt;")
+      case '"'  => sb.append("&quot;")
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' => sb.append(' ')
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Fixed zip-entry mtime so identical content produces identical bytes
+    * (workbook exports are diffed and fingerprinted downstream).
+    */
+  private val ZipEpoch: Long =
+    java.time.LocalDateTime.of(2020, 1, 1, 0, 0)
+      .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+
+  private val XmlDecl = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+  private val NsMain = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+  private val NsRel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+  private val NsPkgRel = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+  /** Stream a single-sheet workbook: one header row of the column names,
+    * then one sheet row per data row (the exact shape [[parse]] and
+    * `Excel.readXlsx` consume — the S6↔K-export round trip the
+    * reference's import/export acceptance pins,
+    * PRICEBOT_SPEC_V2.md:114-121, app/page.tsx:56-80).
+    *
+    * Cell encoding mirrors the reader's value contract:
+    *   - null → cell omitted (reads back as null);
+    *   - numbers (any `java.lang.Number`) → plain numeric `<v>` cells,
+    *     rendered with `toString` so the reader's verbatim-text rule
+    *     returns the same string;
+    *   - booleans → `t="b"` (read back as `"true"`/`"false"`);
+    *   - everything else → `t="inlineStr"` with `xml:space="preserve"`
+    *     (no shared-string table: inline strings keep the writer
+    *     single-pass / O(row) so a large export never builds a
+    *     driver-side dictionary).
+    *
+    * The zip container is not splittable, so one workbook is inherently
+    * one stream — `rows` is consumed lazily and never buffered.
+    */
+  def write(header: Seq[String], rows: Iterator[Seq[Any]],
+            out: java.io.OutputStream, sheetName: String = "Sheet1"): Unit = {
+    val z = new java.util.zip.ZipOutputStream(out)
+    def part(name: String)(body: java.io.Writer => Unit): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(ZipEpoch)
+      z.putNextEntry(e)
+      val w = new java.io.OutputStreamWriter(z, "UTF-8")
+      body(w)
+      w.flush()
+      z.closeEntry()
+    }
+    try {
+      part("[Content_Types].xml") { w =>
+        w.write(XmlDecl +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          "</Types>")
+      }
+      part("_rels/.rels") { w =>
+        w.write(XmlDecl + s"""<Relationships xmlns="$NsPkgRel">""" +
+          s"""<Relationship Id="rId1" Type="$NsRel/officeDocument" Target="xl/workbook.xml"/>""" +
+          "</Relationships>")
+      }
+      part("xl/workbook.xml") { w =>
+        w.write(XmlDecl + s"""<workbook xmlns="$NsMain" xmlns:r="$NsRel"><sheets>""" +
+          s"""<sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/>""" +
+          "</sheets></workbook>")
+      }
+      part("xl/_rels/workbook.xml.rels") { w =>
+        w.write(XmlDecl + s"""<Relationships xmlns="$NsPkgRel">""" +
+          s"""<Relationship Id="rId1" Type="$NsRel/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          "</Relationships>")
+      }
+      part("xl/worksheets/sheet1.xml") { w =>
+        def cell(ref: String, v: Any): Unit = v match {
+          case null => ()
+          case b: java.lang.Boolean =>
+            w.write(s"""<c r="$ref" t="b"><v>${if (b) "1" else "0"}</v></c>""")
+          case n: java.lang.Number =>
+            w.write(s"""<c r="$ref"><v>${n.toString}</v></c>""")
+          case other =>
+            w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>""")
+        }
+        def row(rowNum: Long, vals: Seq[Any]): Unit = {
+          w.write(s"""<row r="$rowNum">""")
+          vals.zipWithIndex.foreach { case (v, c) => cell(s"${colLetters(c)}$rowNum", v) }
+          w.write("</row>")
+        }
+        w.write(XmlDecl + s"""<worksheet xmlns="$NsMain"><sheetData>""")
+        row(1L, header)
+        var r = 2L
+        rows.foreach { vals => row(r, vals); r += 1 }
+        w.write("</sheetData></worksheet>")
+      }
+    } finally z.close()
+  }
 }
 
 /** The Spark-facing Excel source (S6 + the S1/S2 glob scans over
@@ -387,4 +509,28 @@ object Excel {
     cells.zipWithIndex.map { case (c, i) =>
       if (c == null || c.trim.isEmpty) s"_c$i" else c
     }
+
+  /** Export `df` as ONE workbook at `path` — the K-side of the
+    * reference's XLSX import/export round trip
+    * (PRICEBOT_SPEC_V2.md:114-121: the priced sheet downloads back in
+    * the uploaded shape). Column order is `df.columns` order, pinned as
+    * the header row.
+    *
+    * A zip is one non-splittable stream, so a single export artifact is
+    * inherently sequential: rows pull through `toLocalIterator` —
+    * driver memory stays O(one partition), nothing is collected — and
+    * [[Xlsx.write]] streams them straight into the zip. Scale path for
+    * bulk data is many workbooks (one per partition via the parallel
+    * reader's inverse), but the reference's export is a single
+    * user-facing file; this sink matches that contract.
+    */
+  def writeXlsx(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try Xlsx.write(df.columns.toSeq,
+      df.toLocalIterator().asScala.map(_.toSeq), out, sheetName)
+    finally out.close()
+  }
 }

@@ -251,6 +251,75 @@ class XlsxSpec extends AnyFunSuite {
     }
   }
 
+  // ── the writer: import/export round trip (PRICEBOT_SPEC_V2.md:114-121) ──
+
+  test("writeXlsx → readXlsx round-trips a typed frame with pinned column order") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("xlsx_rt")
+    try {
+      val src = spark.range(5).select(
+        concat(lit("SKU-"), col("id")).as("sku"),
+        (col("id") * 100 + 50).as("price"),          // long → numeric cell
+        (col("id") / 4.0).as("ratio"),               // double → numeric cell
+        (col("id") % 2 === 0).as("active"),          // boolean → t="b"
+        when(col("id") === 3, null)
+          .otherwise(concat(lit("примечание <&> "), col("id"))).as("note"))
+      val path = s"$dir/export.xlsx"
+      Excel.writeXlsx(src, path)
+
+      val back = Excel.readXlsx(spark, path)
+      assert(back.columns.toSeq == Seq("sku", "price", "ratio", "active", "note", "_file", "_row"))
+      val rows = back.orderBy("_row").drop("_file", "_row").collect()
+      val expect = src.collect().map(_.toSeq.map {
+        case null          => null
+        case b: Boolean    => b.toString
+        case v             => v.toString
+      })
+      assert(rows.map(_.toSeq).toSeq == expect.toSeq)
+    } finally {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+    }
+  }
+
+  test("writeXlsx output is byte-stable for identical content") {
+    val b1 = new ByteArrayOutputStream(); val b2 = new ByteArrayOutputStream()
+    val data = Seq(Seq[Any]("a", 1L, true), Seq[Any]("b", null, 2.5))
+    Xlsx.write(Seq("x", "y", "z"), data.iterator, b1)
+    Xlsx.write(Seq("x", "y", "z"), data.iterator, b2)
+    assert(b1.toByteArray.sameElements(b2.toByteArray))
+  }
+
+  test("writer round-trips random grids through its own reader (property)") {
+    val rnd = new scala.util.Random(19)
+    (0 until 30).foreach { _ =>
+      val nCols = 1 + rnd.nextInt(6)
+      val header = (0 until nCols).map(i => s"col_$i")
+      val rows = (0 until 1 + rnd.nextInt(10)).map { _ =>
+        (0 until nCols).map { _ =>
+          rnd.nextInt(5) match {
+            case 0 => null
+            case 1 => java.lang.Long.valueOf(rnd.nextLong() % 100000)
+            case 2 => java.lang.Double.valueOf(rnd.nextInt(10000) / 8.0)
+            case 3 => java.lang.Boolean.valueOf(rnd.nextBoolean())
+            case 4 => s"текст ${rnd.nextInt(1000)} <&\" '>"
+          }
+        }: Seq[Any]
+      }
+      val bos = new ByteArrayOutputStream()
+      Xlsx.write(header, rows.iterator, bos)
+      val parsed = Xlsx.parse(bos.toByteArray)
+      assert(parsed.head.cells.toSeq == header)
+      parsed.tail.zip(rows).foreach { case (got, want) =>
+        want.zipWithIndex.foreach { case (v, c) =>
+          val g = if (c < got.cells.length) got.cells(c) else null
+          if (v == null) assert(g == null)
+          else assert(g == v.toString, s"col $c: $g vs $v")
+        }
+      }
+    }
+  }
+
   test("readXlsx fails fast on inconsistent headers across the glob") {
     val dir = Files.createTempDirectory("xlsx_mismatch").toFile
     try {
