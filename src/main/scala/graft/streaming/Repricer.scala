@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -28,25 +28,65 @@ object Repricer {
     StructField("merchant", StringType),
     StructField("price", DoubleType)))
 
-  /** Settings dimension: sku, current_price, min_price, max_price, step. */
+  /** Settings dimension: sku, current_price, min_price, max_price, step,
+    * and optionally `interval_min` — the per-SKU reprice cadence
+    * (PRICEBOT_SPEC_V2.md:36, offers/route.ts:114): a SKU acted on at
+    * time T is not re-priced before T + interval_min minutes. A missing
+    * column means no cadence (every batch is eligible).
+    *
+    * `lastActions` is the prior decision log (needs `sku`, `action_ts`
+    * millis); None skips the gate entirely. The gate's lookup side is a
+    * per-SKU max — dimension-sized, so it broadcasts like the settings.
+    */
   def computeActions(offers: DataFrame, settings: DataFrame,
-                     ignoredMerchants: Seq[String]): DataFrame = {
+                     ignoredMerchants: Seq[String],
+                     lastActions: Option[DataFrame] = None,
+                     batchTimeMs: Long = 0L): DataFrame = {
     val lowest = offers
       .filter(col("price") > 0)
       .filter(!col("merchant").isin(ignoredMerchants: _*))
       .groupBy("sku")
       .agg(min(col("price")).as("lowest_comp"))
-    lowest.join(broadcast(settings), Seq("sku"))
+    val intervalMs: org.apache.spark.sql.Column =
+      if (settings.columns.contains("interval_min"))
+        col("interval_min").cast("long") * 60000L
+      else lit(0L)
+    val joined = lowest.join(broadcast(settings), Seq("sku"))
+    val gated = lastActions.fold(joined) { la =>
+      val last = la.groupBy("sku").agg(max(col("action_ts")).as("last_action_ts"))
+      joined.join(broadcast(last), Seq("sku"), "left")
+        .filter(col("last_action_ts").isNull ||
+          lit(batchTimeMs) - col("last_action_ts") >= intervalMs)
+    }
+    gated
       .select(col("sku"), col("current_price"), col("lowest_comp"),
         F.targetPrice(col("current_price"), col("lowest_comp"),
           col("min_price"), col("max_price"), col("step")).as("target_price"))
       .filter(col("target_price") =!= col("current_price"))
   }
 
-  /** Start the streaming repricer over an NDJSON offers landing dir. */
+  /** Per-SKU last action time from the JSONL decision log; None when the
+    * log does not exist yet (first ever batch). Re-read per trigger: the
+    * log is action-sized (decisions, not offers), so this is a small
+    * scan — at warehouse scale the same lookup reads the K4-partitioned
+    * log's latest partition or a state store.
+    */
+  private def lastActionTs(spark: SparkSession, actionsDir: String): Option[DataFrame] =
+    try {
+      Some(spark.read.schema(StructType(Seq(
+          StructField("sku", LongType),
+          StructField("action_ts", LongType))))
+        .json(actionsDir))
+    } catch { case _: AnalysisException => None }
+
+  /** Start the streaming repricer over an NDJSON offers landing dir.
+    * `clock` stamps each batch's decision time (injectable so cadence
+    * tests are deterministic); actions carry it as `action_ts`.
+    */
   def start(spark: SparkSession, landingDir: String, settings: DataFrame,
             ignoredMerchants: Seq[String], actionsDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            clock: () => Long = () => System.currentTimeMillis()): StreamingQuery =
     spark.readStream
       .schema(offerSchema)
       .option("maxFilesPerTrigger", 1)
@@ -54,8 +94,11 @@ object Repricer {
       .writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        computeActions(batch, settings, ignoredMerchants)
+        val now = clock()
+        computeActions(batch, settings, ignoredMerchants,
+            lastActionTs(batch.sparkSession, actionsDir), now)
           .withColumn("batch_id", lit(batchId))
+          .withColumn("action_ts", lit(now))
           .write.mode(SaveMode.Append).json(actionsDir)
       }
       .option("checkpointLocation", checkpointDir)

@@ -41,6 +41,38 @@ class RepricerSpec extends AnyFunSuite {
     assert(got === Map(1L -> 85.0, 2L -> 193.0, 3L -> 40.0))
   }
 
+  test("per-SKU interval gating: repriced SKU is skipped within its interval, acted on after (T5)") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-offers-iv").toString
+    val actions = Files.createTempDirectory("graft-actions-iv").toString
+    val ckpt = Files.createTempDirectory("graft-reprice-iv-ckpt").toString
+
+    val settings = Seq((1L, 100.0, 80.0, 120.0, 5.0, 10L))
+      .toDF("sku", "current_price", "min_price", "max_price", "step", "interval_min")
+    val t0 = 1700000000000L
+    var now = t0
+    val clock = () => now
+    def drop(n: Int): Unit =
+      Files.writeString(new java.io.File(landing, s"offers_$n.json").toPath,
+        """{"sku":1,"merchant":"m1","price":90.0}""")
+
+    drop(0) // batch 1 at t0: reprices
+    Repricer.start(spark, landing, settings, Nil, actions, ckpt, clock)
+      .awaitTermination(60000L)
+    now += 5 * 60000L // +5 min < interval_min=10: must be skipped
+    drop(1)
+    Repricer.start(spark, landing, settings, Nil, actions, ckpt, clock)
+      .awaitTermination(60000L)
+    now += 6 * 60000L // 11 min since the action: eligible again
+    drop(2)
+    Repricer.start(spark, landing, settings, Nil, actions, ckpt, clock)
+      .awaitTermination(60000L)
+
+    val ts = spark.read.json(actions).collect()
+      .map(_.getAs[Long]("action_ts")).sorted.toSeq
+    assert(ts === Seq(t0, t0 + 11 * 60000L))
+  }
+
   test("newestFile picks the latest mtime across a glob (S3)") {
     val dir = Files.createTempDirectory("graft-newest")
     Seq("stock_a.csv" -> 1000L, "stock_b.csv" -> 3000L, "stock_c.csv" -> 2000L)
