@@ -59,6 +59,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.sort.results", "false")
 
+    // Per-query executor CPU time alongside wall time: the host's
+    // scheduling jitter makes wall-clock vary up to 3x run-to-run on
+    // identical plans, while summed task CPU is noise-immune — the
+    // driver artifact carries both. Listener posts are async, so reads
+    // go through a bus drain for exactness.
+    val cpuTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { cpuTotal.addAndGet(m.executorCpuTime); () }
+        }
+      })
+    def cpuNow(): Long = {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      cpuTotal.get()
+    }
+
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run (targeted perf iteration)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -89,21 +108,28 @@ object Bench {
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val timed = names.map { name =>
-      val secs = (1 to repeats).map { _ =>
+      val runs = (1 to repeats).map { _ =>
         hygiene()
+        val c0 = cpuNow()
         val t0 = System.nanoTime()
         val err = run(name)
         val sec = (System.nanoTime() - t0) / 1e9
+        val cpuSec = (cpuNow() - c0) / 1e9
         err.foreach(errors(name) = _)
-        if (err.isEmpty) sec else -1.0
+        if (err.isEmpty) (sec, cpuSec) else (-1.0, -1.0)
       }
-      name -> (if (secs.contains(-1.0)) -1.0 else secs.min)
+      val failed = runs.exists(_._1 == -1.0)
+      name -> (
+        if (failed) -1.0 else runs.map(_._1).min,
+        if (failed) -1.0 else runs.map(_._2).min)
     }
-    val qs = timed.map { case (k, v) => Json.quote(k) + ":" + v }
+    val qs = timed.map { case (k, (v, _)) => Json.quote(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val cpuQs = timed.map { case (k, (_, c)) => Json.quote(k) + ":" + c }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    val total = timed.collect { case (_, v) if v >= 0 => v }.sum
+    val total = timed.collect { case (_, (v, _)) if v >= 0 => v }.sum
     // Audit fields: engine version + the configs that shape every plan,
     // so a bench JSON is self-describing without the harness script.
     val audit = Seq(
@@ -115,7 +141,7 @@ object Bench {
       "repeats" -> repeats.toString
     ).map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
     // The driver captures only the log TAIL; a verbose shutdown once
     // truncated the r3 totals. The file in cwd is the truncation-proof
     // artifact; the printed line stays for the log-scraping path.
