@@ -61,7 +61,15 @@ object Sessions {
     * millisecond watermark tracking).
     */
   def eventSessionsStream(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sessions-q")
+    // Fixed per (tmpdir, corpus dir) and wiped at the start of each call:
+    // repeated verify/bench invocations reuse one location instead of
+    // leaking a full NDJSON copy of the events table per call.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_sessions_q_$digest").toString
+    val hp = new org.apache.hadoop.fs.Path(tmp)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     val (landing, out, ckpt) =
       (s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
     // one landing file = one data batch: the watermark is still at its
