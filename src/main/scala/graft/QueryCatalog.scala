@@ -1541,6 +1541,31 @@ object QueryCatalog {
         FROM lineitem WHERE l_partkey <= 200
         GROUP BY l_partkey ORDER BY sku""")),
 
+    // End-to-end STREAMING repricer: the builder lands offers, runs the
+    // AvailableNow stream, and returns the JSONL decision log; the
+    // oracle restates the reprice rule (ignored merchant 7, lowest comp,
+    // clamp to ±20% with half-up cents, 50.0 hysteresis, changed only).
+    "q_repricer_actions" -> Spec(
+      streaming.Repricer.repricerActions,
+      Some(s"""
+        WITH comp AS (
+          SELECT l_partkey AS sku, min(l_extendedprice) AS lowest_comp
+          FROM lineitem WHERE l_extendedprice > 0 AND l_suppkey <> 7
+          GROUP BY l_partkey),
+        t AS (
+          SELECT p_partkey AS sku, p_retailprice AS current_price, lowest_comp,
+                 least(greatest(lowest_comp - 50.0, ${rnd("p_retailprice * 0.8", 2)}),
+                       ${rnd("p_retailprice * 1.2", 2)}) AS tgt
+          FROM part JOIN comp ON p_partkey = comp.sku),
+        f AS (
+          SELECT sku, current_price, lowest_comp,
+                 CASE WHEN abs(tgt - current_price) <= 50.0
+                      THEN current_price ELSE tgt END AS target_price
+          FROM t)
+        SELECT sku, current_price, lowest_comp, target_price
+        FROM f WHERE target_price <> current_price
+        ORDER BY sku""")),
+
     "q_ann_ivf" -> Spec(VectorOps.annIvf, Some(ivfSql(1))),
 
     "q_ann_ivf_probe2" -> Spec(

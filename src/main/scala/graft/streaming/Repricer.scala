@@ -79,6 +79,46 @@ object Repricer {
         .json(actionsDir))
     } catch { case _: AnalysisException => None }
 
+  /** The oracle-checked form of the repricer (q_repricer_actions): land
+    * lineitem-derived offers as NDJSON, run the streaming repricer to
+    * completion (AvailableNow) against a part-derived settings
+    * dimension, and return the decision log — the driver gate hashes
+    * the END-TO-END streaming path (landing ingest → ignored-merchant
+    * drop → lowest-comp → clamp+hysteresis target → JSONL action log),
+    * not just the batch helper. The tmp location is digest-keyed and
+    * wiped per call, same policy as Sessions.eventSessionsStream.
+    */
+  def repricerActions(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_repricer_q_$digest").toString
+    val hp = new org.apache.hadoop.fs.Path(tmp)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val (landing, actions, ckpt) = (s"$tmp/landing", s"$tmp/actions", s"$tmp/ckpt")
+    graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("sku"),
+        col("l_suppkey").cast("string").as("merchant"),
+        col("l_extendedprice").as("price"))
+      .coalesce(1).write.json(landing)
+    val settings = graft.Tables.load(spark, dir, "part").select(
+      col("p_partkey").as("sku"),
+      col("p_retailprice").as("current_price"),
+      F.roundHalfUp(col("p_retailprice") * 0.8, 2).as("min_price"),
+      F.roundHalfUp(col("p_retailprice") * 1.2, 2).as("max_price"),
+      lit(50.0).as("step"))
+    val q = start(spark, landing, settings, Seq("7"), actions, ckpt)
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException("repricer stream did not finish")
+    }
+    val r = spark.read
+      .schema("sku LONG, current_price DOUBLE, lowest_comp DOUBLE, target_price DOUBLE")
+      .json(actions)
+      .select("sku", "current_price", "lowest_comp", "target_price")
+    graft.Out.sorted(r)(col("sku"))
+  }
+
   /** Start the streaming repricer over an NDJSON offers landing dir.
     * `clock` stamps each batch's decision time (injectable so cadence
     * tests are deterministic); actions carry it as `action_ts`.
