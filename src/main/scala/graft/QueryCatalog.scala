@@ -114,8 +114,11 @@ object QueryCatalog {
   // in cent1 (the trained centroids) and a2 (the assignment computed
   // against them). Shared by q_ivf_kmeans and the trained-quantizer
   // search oracle q_ann_ivf_trained.
-  private lazy val lloydCtes: String = {
-    val mean = rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
+  // Parameterized over the source relation and a CTE-name suffix so the
+  // SAME chain trains the full-dimension quantizer (src=embeddings,
+  // sfx="") and each PQ subspace codebook (src=es<m>, sfx=_s<m>).
+  private def lloydChain(src: String, sfx: String, seed: String = "label"): String = {
+    val mean = rnd("CAST(sum(CAST(v::DOUBLE AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
     val simOf = (cent: String) =>
       rnd(s"list_dot_product(e.embedding::DOUBLE[], $cent.centroid::DOUBLE[])", 6)
     def assignStep(cent: String, out: String) = s"""
@@ -125,29 +128,31 @@ object QueryCatalog {
                    ${simOf("c")} AS sim,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${simOf("c")} DESC, c.cluster) AS rn
-            FROM embeddings e, $cent c)
+            FROM $src e, $cent c)
           WHERE rn = 1)"""
-    def centStep(src: String, comp: String, cent: String) = s"""
+    def centStep(src0: String, comp: String, cent: String) = s"""
         $comp AS (
           SELECT cluster, dim, $mean AS c
           FROM (SELECT cluster, unnest(embedding) AS v,
                        generate_subscripts(embedding, 1) AS dim
-                FROM $src)
+                FROM $src0)
           GROUP BY cluster, dim),
         $cent AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM $comp GROUP BY cluster)"""
-    s"""a0 AS (SELECT vec_id, label, embedding, label AS cluster FROM embeddings),
-        ${centStep("a0", "comp0", "cent0")},
-        ${assignStep("cent0", "a1")},
-        ${centStep("a1", "comp1", "cent1")},
-        ${assignStep("cent1", "a2")}"""
+    s"""a0$sfx AS (SELECT vec_id, label, embedding, $seed AS cluster FROM $src),
+        ${centStep(s"a0$sfx", s"comp0$sfx", s"cent0$sfx")},
+        ${assignStep(s"cent0$sfx", s"a1$sfx")},
+        ${centStep(s"a1$sfx", s"comp1$sfx", s"cent1$sfx")},
+        ${assignStep(s"cent1$sfx", s"a2$sfx")}"""
   }
+
+  private lazy val lloydCtes: String = lloydChain("embeddings", "")
 
   // IVF search oracle, parameterized by probe depth (shared by
   // q_ann_ivf at nprobe=1 and q_ann_ivf_probe2).
   private def ivfSql(nprobe: Int): String = s"""
         WITH comp AS (
           SELECT label, dim,
-                 ${rnd("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS c
+                 ${rnd("CAST(sum(CAST(v::DOUBLE AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS c
           FROM (SELECT label, unnest(embedding) AS v,
                        generate_subscripts(embedding, 1) AS dim
                 FROM embeddings)
@@ -970,6 +975,46 @@ object QueryCatalog {
                 ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
         SELECT q_id, cell, cell_sim, rank, neighbor_id, cos_sim FROM r
         WHERE rank <= ${VectorOps.TopKIvf} ORDER BY q_id, rank"""
+      }),
+
+    "q_ann_pq" -> Spec(
+      VectorOps.annPq,
+      Some {
+        val m = VectorOps.PqSubspaces
+        val d = VectorOps.PqSubDim
+        val subViews = (0 until m).map(i =>
+          s"es$i AS (SELECT vec_id, label, embedding[${i * d + 1}:${(i + 1) * d}] AS embedding FROM embeddings)")
+          .mkString(",\n        ")
+        val chains = (0 until m)
+          .map(i => lloydChain(s"es$i", s"_s$i", s"vec_id % ${VectorOps.PqCodebooks}"))
+          .mkString(",\n        ")
+        val codes = (0 until m)
+          .map(i => s"SELECT vec_id, $i AS sub, cluster AS code FROM a2_s$i")
+          .mkString(" UNION ALL ")
+        val cents = (0 until m)
+          .map(i => s"SELECT $i AS sub, cluster AS code, centroid FROM cent1_s$i")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH $subViews,
+        $chains,
+        codes AS ($codes),
+        cents AS ($cents),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        lut AS (
+          SELECT q_id, sub, code,
+                 ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
+          FROM q, cents),
+        s AS (
+          SELECT l.q_id, c.vec_id AS neighbor_id,
+                 CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
+          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+          WHERE c.vec_id <> l.q_id
+          GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_sim DESC, neighbor_id) AS rank FROM s)
+        SELECT q_id, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank"""
       }),
 
     "q_ann_sq8" -> Spec(

@@ -45,6 +45,15 @@ object F {
   def avgFromSums(sumDec: Column, n: Column): Column =
     roundHalfUp(sumDec.cast("double") / n.cast("double"), 6)
 
+  /** Addition-order-proof aggregate sum of an (already rounded) double
+    * column: each value casts to an exact decimal at the given scale,
+    * the decimals sum exactly (shuffle-order-immune), and the total
+    * casts back to double. The idiom behind every cross-engine summed
+    * double, packaged as an aggregate column.
+    */
+  def sumDecAsDouble(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(20,$scale)")).cast("double")
+
   /** Population stddev derived from exact sums:
     * roundHalfUp(sqrt(max(0, sumsq/n - (sum/n)^2)), 6). Deterministic
     * under reordering; rounded because decimal→double casts of sums whose

@@ -747,28 +747,33 @@ object TextOps {
     * sides are doc-count-sized, a plain co-partitioned shuffle join.
     */
   def ngramJaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = shingleBase(docsDistributed(spark, dir))
+    // The shingle-explode scan feeds four consumers (df count, size
+    // count, both self-join sides); persist it once — at warehouse
+    // scale this frame is the materialized inverted index, the
+    // [[signatureTable]] analogue for exact dedup.
+    val kept = shingleBase(docsDistributed(spark, dir))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val dfreq = inst.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= MaxShingleDf)
-    val kept = inst.join(dfreq, Seq("shingle"))
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val joinable = kept.filter(col("df") >= 2).select("doc_id", "shingle")
-    val inter = joinable.as("x").join(joinable.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    val jac = col("n_shared").cast("double") /
-      (col("na") + col("nb") - col("n_shared")).cast("double")
-    val r = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(jac >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        F.roundHalfUp(jac, 6).as("jaccard"))
-    Out.sorted(r)(col("doc_a"), col("doc_b"))
+      .persist()
+    try {
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val joinable = kept.filter(col("df") >= 2).select("doc_id", "shingle")
+      val inter = joinable.as("x").join(joinable.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val jac = col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")).cast("double")
+      val r = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(jac >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          F.roundHalfUp(jac, 6).as("jaccard"))
+      Out.eager(Out.sorted(r)(col("doc_a"), col("doc_b")))
+    } finally kept.unpersist()
   }
 
   /** Contamination flag threshold: an eval document whose rare-shingle
@@ -797,21 +802,26 @@ object TextOps {
   def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
       .cast("int")
+    // One explode of the corpus feeds both the train-side distinct and
+    // the eval-side probe; persist it for the duration of the call.
     val inst = docsDistributed(spark, dir)
       .select(col("doc_id"), shingles.as("sh"),
         (bucket < SampleBucketMax).as("is_eval"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("is_eval"), explode(col("sh")).as("shingle"))
-    val train = inst.filter(!col("is_eval")).select("shingle").distinct()
-    val frac = col("n_overlap").cast("double") / col("n_shingles").cast("double")
-    val r = inst.filter(col("is_eval"))
-      .join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
-      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        F.roundHalfUp(frac, 6).as("overlap_frac"),
-        (frac >= ContaminationThreshold).as("contaminated"))
-    Out.sorted(r)(col("doc_id"))
+      .persist()
+    try {
+      val train = inst.filter(!col("is_eval")).select("shingle").distinct()
+      val frac = col("n_overlap").cast("double") / col("n_shingles").cast("double")
+      val r = inst.filter(col("is_eval"))
+        .join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          F.roundHalfUp(frac, 6).as("overlap_frac"),
+          (frac >= ContaminationThreshold).as("contaminated"))
+      Out.eager(Out.sorted(r)(col("doc_id")))
+    } finally inst.unpersist()
   }
 
   /** Per-document repetition metrics — the Gopher/MassiveText-style

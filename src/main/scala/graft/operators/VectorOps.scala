@@ -275,9 +275,18 @@ object VectorOps {
     * cells are Voronoi-consistent — what [[annIvfTrained]] probes.
     */
   private[graft] def trainedIndex(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
-    var assigned = e.withColumn("cluster", col("label"))
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    lloydOn(emb(spark, dir).select(col("vec_id"), col("embedding"), col("label")),
+      col("label"))
+
+  /** [[KmeansIters]] Lloyd iterations over any (vec_id, embedding,
+    * label) frame from the given seed assignment — shared by the
+    * full-dimension coarse quantizer (label seed) and the per-subspace
+    * PQ codebooks (vec_id-hash seed, which sets the codebook size
+    * independently of label cardinality).
+    */
+  private def lloydOn(e: DataFrame, seed: Column): (DataFrame, DataFrame) = {
+    var assigned = e.withColumn("cluster", seed)
     var centroids: DataFrame = null
     (1 to KmeansIters).foreach { _ =>
       centroids = centroidsOf(assigned)
@@ -378,5 +387,110 @@ object VectorOps {
       .filter(col("rank") <= TopK)
       .select("q_id", "rank", "neighbor_id", "cos_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** Product-quantization geometry: [[PqSubspaces]] sub-vectors of
+    * [[PqSubDim]] dims each; one label-seeded Lloyd codebook per
+    * subspace (k = label cardinality), [[KmeansIters]] iterations.
+    */
+  val PqSubspaces = 16
+  val PqSubDim: Int = Dim / PqSubspaces
+  val TopKPq = 5
+
+  /** Codebook size per subspace (Lloyd seeded by vec_id mod k — label
+    * cardinality is 10, far too coarse for sub-vector codebooks; real
+    * PQ uses 256). */
+  val PqCodebooks = 32
+
+  /** The trained PQ index: per subspace, the final codebook
+    * (sub, code, centroid) and the corpus codes (vec_id, sub, code) —
+    * codes are Voronoi-consistent with the codebook they are scored
+    * against, exactly as in [[trainedIndex]].
+    *
+    * All [[PqSubspaces]] codebooks train JOINTLY: sub-vectors become
+    * rows keyed by `sub`, and each Lloyd step is ONE centroid aggregate
+    * + ONE broadcast-and-rank pass over the (vec_id, sub) rows —
+    * 2 shuffle pairs total, not 2 per subspace (the per-subspace
+    * composition ran 16 independent chains = 64 tiny stages whose
+    * scheduling latency dominated the query ~6×; the oracle unrolls
+    * per subspace, which is arithmetic-identical).
+    */
+  private def pqIndex(subs: DataFrame): (DataFrame, DataFrame) = {
+    var assigned = subs.withColumn("cluster", col("vec_id") % PqCodebooks)
+    var cents: DataFrame = null
+    (1 to KmeansIters).foreach { _ =>
+      cents = assigned
+        .select(col("sub"), col("cluster"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("sub", "cluster", "dim")
+        .agg(F.avgFromSums(sum(col("v").cast("decimal(25,10)")), count(lit(1))).as("c"))
+        .groupBy("sub", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(desc("sim"), asc("cluster"))
+      assigned = subs.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("embedding"), col("cluster"),
+          F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "sub", "embedding", "cluster")
+    }
+    (cents.select(col("sub"), col("cluster").as("code"), col("centroid")),
+      assigned.select(col("vec_id"), col("sub"), col("cluster").as("code")))
+  }
+
+  /** ANN scale path #4 — product quantization with asymmetric distance
+    * (IVFADC's scoring half, faiss PQ): the corpus is compressed to
+    * [[PqSubspaces]] small integer codes per vector (one per sub-vector,
+    * from a per-subspace Lloyd codebook), queries stay full-precision,
+    * and a candidate's score is the sum over subspaces of
+    * dot(query sub-vector, codebook centroid) — a lookup-table add, no
+    * full-width arithmetic per pair. At 100 TB this is the memory
+    * compression dial past [[annSq8]]: 64 floats (256 B) become 16
+    * byte-sized codes (16 B, 16×), the scan reads codes only, and the per-query work is a
+    * k×[[PqSubspaces]] lookup table plus one grouped add per candidate.
+    * (Composing with the [[trainedIndex]] cells — scan only the probed
+    * cell's codes — is IVF-PQ; the cell restriction is exactly
+    * [[annIvfTrained]]'s join.)
+    *
+    * Plan shape: codebooks are tiny (k × [[PqSubspaces]] rows) so the
+    * query LUT is a broadcast cross join; the corpus-side work is one
+    * join of the code table against the broadcast LUT and a
+    * (q_id, vec_id) sum — the corpus never shuffles full vectors.
+    *
+    * Determinism: LUT partials are rounded then summed as exact
+    * decimals (addition-order-proof), ranking ties break on neighbor
+    * id, and the oracle unrolls the identical per-subspace Lloyd
+    * chains — hash-exact despite double quantization.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    // Sub-vector rows feed every Lloyd step and the code table; persist
+    // them for the duration of the call (at warehouse scale this frame
+    // is the written PQ index).
+    val chunks = transform(sequence(lit(0), lit(PqSubspaces - 1)),
+      m => slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)))
+    val subs = emb(spark, dir)
+      .select(col("vec_id"), posexplode(chunks).as(Seq("sub", "embedding")))
+      .persist()
+    try {
+      val (cents, codes) = pqIndex(subs)
+      val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val lut = q.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("sub"), col("code"),
+          F.roundHalfUp(
+            dot(slice(col("q_emb"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+              col("centroid")), 6).as("part"))
+      val r = codes.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+        .agg(F.sumDecAsDouble(col("part"), 10).as("approx_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(desc("approx_sim"), asc("neighbor_id"))))
+        .filter(col("rank") <= TopKPq)
+        .select("q_id", "rank", "neighbor_id", "approx_sim")
+      Out.eager(Out.sorted(r)(col("q_id"), col("rank")))
+    } finally subs.unpersist()
   }
 }
