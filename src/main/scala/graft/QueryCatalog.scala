@@ -147,6 +147,26 @@ object QueryCatalog {
 
   private lazy val lloydCtes: String = lloydChain("embeddings", "")
 
+  // Multi-probe LSH embedding near-dup pair chain, ending in
+  // `epairs(vec_a, vec_b, cos_sim)` — shared by q_embed_neardup and the
+  // cross-modal q_dedup_ensemble.
+  private lazy val embedPairCtes: String = {
+    val bucketExpr = (0 until VectorOps.NPlanes).map { p =>
+      val arr = VectorOps.planeInts(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until VectorOps.NPlanes)
+      .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""eb AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
+               FROM embeddings),
+        ep AS (SELECT vec_id, embedding, unnest($probeList) AS probe_bucket FROM eb),
+        es AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                      ${rnd("list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM ep x JOIN eb y ON x.probe_bucket = y.bucket AND x.vec_id < y.vec_id),
+        epairs AS (SELECT vec_a, vec_b, cos_sim FROM es
+                   WHERE cos_sim >= ${VectorOps.NearDupCosine})"""
+  }
+
   // IVF search oracle, parameterized by probe depth (shared by
   // q_ann_ivf at nprobe=1 and q_ann_ivf_probe2).
   private def ivfSql(nprobe: Int): String = s"""
@@ -1045,24 +1065,25 @@ object QueryCatalog {
 
     "q_embed_neardup" -> Spec(
       VectorOps.embedNearDup,
-      Some {
-        val bucketExpr = (0 until VectorOps.NPlanes).map { p =>
-          val arr = VectorOps.planeInts(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" + ")
-        val probeList = ("bucket" +: (0 until VectorOps.NPlanes)
-          .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
-        s"""
-        WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
-                   FROM embeddings),
-        p AS (SELECT vec_id, embedding, unnest($probeList) AS probe_bucket FROM b),
-        s AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                     ${rnd("list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])", 6)} AS cos_sim
-              FROM p x JOIN b y ON x.probe_bucket = y.bucket AND x.vec_id < y.vec_id)
-        SELECT vec_a, vec_b, cos_sim FROM s
-        WHERE cos_sim >= ${VectorOps.NearDupCosine}
-        ORDER BY vec_a, vec_b"""
-      }),
+      Some(s"""
+        WITH $embedPairCtes
+        SELECT vec_a, vec_b, cos_sim FROM epairs
+        ORDER BY vec_a, vec_b""")),
+
+    "q_dedup_ensemble" -> Spec(
+      TextOps.dedupEnsemble,
+      Some(s"""
+        WITH ${minhashPairCtes()},
+        $embedPairCtes
+        SELECT coalesce(p.doc_a, e.vec_a) AS doc_a,
+               coalesce(p.doc_b, e.vec_b) AS doc_b,
+               p.jaccard, e.cos_sim,
+               CASE WHEN p.jaccard IS NOT NULL AND e.cos_sim IS NOT NULL THEN 'both'
+                    WHEN p.jaccard IS NOT NULL THEN 'text'
+                    ELSE 'embed' END AS method
+        FROM pairs p
+        FULL JOIN epairs e ON p.doc_a = e.vec_a AND p.doc_b = e.vec_b
+        ORDER BY doc_a, doc_b""")),
 
     "q_ann_lsh" -> Spec(
       VectorOps.annLsh,

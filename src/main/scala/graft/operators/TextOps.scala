@@ -97,15 +97,23 @@ object TextOps {
   private[graft] def bowHash: Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
-  /** Word 3-gram shingle set of `text` (distinct, empty if < 3 words). */
-  private val shingles: Column = {
-    val ws = toks
+  /** Word 3-gram shingle set of a token-array column (distinct, empty
+    * if < 3 words). Feed it a MATERIALIZED attribute (project the split
+    * into a column first): the lambda references `ws` ~3× per element,
+    * and expression trees inlined into a lambda are re-evaluated per
+    * reference — handing it `split(text)` directly re-splits the text
+    * dozens of times per row (measured 2.4× slower on the corpus scan).
+    */
+  private def shinglesOf(ws: Column): Column =
     when(size(ws) >= 3,
       array_distinct(transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ",
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word 3-gram shingle set of `text` — single-expression form for
+    * per-row projections that already pay one split (fingerprints). */
+  private val shingles: Column = shinglesOf(toks)
 
   /** Token statistics per document: counts, type-token ratio, mean token
     * length. Pure per-row map — no shuffle at any scale.
@@ -404,11 +412,10 @@ object TextOps {
           spark.conf.get("spark.sql.warehouse.dir"), name)
         loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(loc, true)
-        val base = shingleBase(docsDistributed(spark, dir)).persist()
-        try base.join(minhashSignatures(base), Seq("doc_id"))
+        val base = Out.eager(shingleBase(docsDistributed(spark, dir)))
+        base.join(minhashSignatures(base), Seq("doc_id"))
           .write.bucketBy(SignatureBuckets, "doc_id").sortBy("doc_id")
           .mode("overwrite").saveAsTable(name)
-        finally base.unpersist()
       }
       spark.table(name)
     }
@@ -428,10 +435,18 @@ object TextOps {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Shingle base of a documents frame (doc_id + non-empty shingle set). */
+  /** Shingle base of a documents frame (doc_id + non-empty shingle
+    * set). The non-empty filter is expressed as `size(ws) >= 3` (its
+    * exact equivalent) BEFORE the shingle projection: filtering on
+    * `size(shingles) > 0` after it gets predicate-pushed below the
+    * distribution exchange with the whole shingle lambda inlined twice
+    * into the single-task scan stage — measured as 6 s of one-core
+    * CPU at sf0.1 that the cheap token-count predicate avoids.
+    */
   private def shingleBase(docsDf: DataFrame): DataFrame =
-    docsDf.select(col("doc_id"), shingles.as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    docsDf.select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), shinglesOf(col("ws")).as("shingles"))
 
   /** Confirmed near-dup pairs of an arbitrary `documents`-shaped frame
     * (testable entry point — MinhashBandCapSpec feeds a synthetic hot
@@ -441,9 +456,8 @@ object TextOps {
     * cache entry can be dropped before returning.
     */
   private[graft] def nearDupPairsFrom(docsDf: DataFrame): DataFrame = {
-    val base = shingleBase(docsDf).persist()
-    try Out.eager(nearDupPairsCore(base.join(minhashSignatures(base), Seq("doc_id"))))
-    finally base.unpersist()
+    val base = Out.eager(shingleBase(docsDf))
+    nearDupPairsCore(base.join(minhashSignatures(base), Seq("doc_id")))
   }
 
   /** Banded-LSH near-dup pair search over a signature frame
@@ -751,29 +765,36 @@ object TextOps {
     // count, both self-join sides); persist it once — at warehouse
     // scale this frame is the materialized inverted index, the
     // [[signatureTable]] analogue for exact dedup.
-    val kept = shingleBase(docsDistributed(spark, dir))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // Eagerly materialized (not a lazy persist): the frame feeds four
+    // branches of ONE action, and a lazy cache is populated racily by
+    // each branch re-computing it — measured 3× the query. Out.eager
+    // materializes once; the blocks free when the frame is dereferenced.
+    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    // explode into a pushed-down `size(shingles) > 0` predicate with the
+    // whole shingle lambda inlined below the distribution exchange —
+    // 6 s of single-task CPU at sf0.1. The ws>=3 filter in shingleBase
+    // already guarantees non-empty arrays, so the outer form is
+    // row-identical and infers nothing.
+    val kept = Out.eager(shingleBase(docsDistributed(spark, dir))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= MaxShingleDf)
-      .persist()
-    try {
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val joinable = kept.filter(col("df") >= 2).select("doc_id", "shingle")
-      val inter = joinable.as("x").join(joinable.as("y"),
-          col("x.shingle") === col("y.shingle") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      val jac = col("n_shared").cast("double") /
-        (col("na") + col("nb") - col("n_shared")).cast("double")
-      val r = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .filter(jac >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          F.roundHalfUp(jac, 6).as("jaccard"))
-      Out.eager(Out.sorted(r)(col("doc_a"), col("doc_b")))
-    } finally kept.unpersist()
+      .filter(col("df") <= MaxShingleDf))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = kept.filter(col("df") >= 2).select("doc_id", "shingle")
+    val inter = joinable.as("x").join(joinable.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared").cast("double") /
+      (col("na") + col("nb") - col("n_shared")).cast("double")
+    val r = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        F.roundHalfUp(jac, 6).as("jaccard"))
+    Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 
   /** Contamination flag threshold: an eval document whose rare-shingle
@@ -804,24 +825,22 @@ object TextOps {
       .cast("int")
     // One explode of the corpus feeds both the train-side distinct and
     // the eval-side probe; persist it for the duration of the call.
-    val inst = docsDistributed(spark, dir)
-      .select(col("doc_id"), shingles.as("sh"),
+    val inst = Out.eager(docsDistributed(spark, dir)
+      .select(col("doc_id"), toks.as("ws"),
         (bucket < SampleBucketMax).as("is_eval"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("is_eval"), explode(col("sh")).as("shingle"))
-      .persist()
-    try {
-      val train = inst.filter(!col("is_eval")).select("shingle").distinct()
-      val frac = col("n_overlap").cast("double") / col("n_shingles").cast("double")
-      val r = inst.filter(col("is_eval"))
-        .join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
-        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-          F.roundHalfUp(frac, 6).as("overlap_frac"),
-          (frac >= ContaminationThreshold).as("contaminated"))
-      Out.eager(Out.sorted(r)(col("doc_id")))
-    } finally inst.unpersist()
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("is_eval"), shinglesOf(col("ws")).as("sh"))
+      .select(col("doc_id"), col("is_eval"), explode_outer(col("sh")).as("shingle")))
+    val train = inst.filter(!col("is_eval")).select("shingle").distinct()
+    val frac = col("n_overlap").cast("double") / col("n_shingles").cast("double")
+    val r = inst.filter(col("is_eval"))
+      .join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        F.roundHalfUp(frac, 6).as("overlap_frac"),
+        (frac >= ContaminationThreshold).as("contaminated"))
+    Out.sorted(r)(col("doc_id"))
   }
 
   /** Per-document repetition metrics — the Gopher/MassiveText-style
@@ -849,34 +868,62 @@ object TextOps {
       transform(sequence(lit(1), n - (k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    val base = docsDistributed(spark, dir)
-      .select(col("doc_id"), toks.as("ws")).persist()
+    val base = Out.eager(docsDistributed(spark, dir)
+      .select(col("doc_id"), toks.as("ws")))
+    // ws >= k filter + explode_outer: the outer generate infers no
+    // size(grams)>0 filter (which would re-evaluate the gram transform
+    // per row), and the pre-filter guarantees it emits no null rows.
     def gramCounts(k: Int): DataFrame = base
-      .select(col("doc_id"), explode(grams(k)).as("g"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode_outer(grams(k)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     def frac(num: Column, den: Column): Column =
       F.roundHalfUp(
         when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6)
-    try {
-      val tokTop = gramCounts(1).groupBy("doc_id").agg(max("c").as("top_tok"))
-      val bgTop = gramCounts(2).groupBy("doc_id").agg(max("c").as("top_bg"))
-      val tg = gramCounts(3).groupBy("doc_id")
-        .agg(sum("c").as("tg_total"), count(lit(1)).as("tg_distinct"))
-      val spine = base.select(col("doc_id"), n.cast(LongType).as("n_tokens"))
-      val r = spine
-        .join(tokTop, Seq("doc_id"), "left")
-        .join(bgTop, Seq("doc_id"), "left")
-        .join(tg, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"), col("n_tokens"),
-          frac(coalesce(col("top_tok"), lit(0L)), col("n_tokens"))
-            .as("top_token_frac"),
-          frac(coalesce(col("top_bg"), lit(0L)),
-            greatest(col("n_tokens") - 1, lit(0L))).as("top_bigram_frac"),
-          frac(coalesce(col("tg_total") - col("tg_distinct"), lit(0L)),
-            coalesce(col("tg_total"), lit(0L))).as("dup_trigram_frac"))
-      Out.eager(Out.sorted(r)(col("doc_id")))
-    } finally base.unpersist()
+    val tokTop = gramCounts(1).groupBy("doc_id").agg(max("c").as("top_tok"))
+    val bgTop = gramCounts(2).groupBy("doc_id").agg(max("c").as("top_bg"))
+    val tg = gramCounts(3).groupBy("doc_id")
+      .agg(sum("c").as("tg_total"), count(lit(1)).as("tg_distinct"))
+    val spine = base.select(col("doc_id"), n.cast(LongType).as("n_tokens"))
+    val r = spine
+      .join(tokTop, Seq("doc_id"), "left")
+      .join(bgTop, Seq("doc_id"), "left")
+      .join(tg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        frac(coalesce(col("top_tok"), lit(0L)), col("n_tokens"))
+          .as("top_token_frac"),
+        frac(coalesce(col("top_bg"), lit(0L)),
+          greatest(col("n_tokens") - 1, lit(0L))).as("top_bigram_frac"),
+        frac(coalesce(col("tg_total") - col("tg_distinct"), lit(0L)),
+          coalesce(col("tg_total"), lit(0L))).as("dup_trigram_frac"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Multi-channel dedup ensemble — the cross-modal report a curation
+    * run uses to decide scrub lists: every near-duplicate pair found by
+    * EITHER the text channel (banded MinHash + exact-Jaccard confirm,
+    * [[minhashNearDup]]) or the embedding channel (multi-probe LSH
+    * cosine, [[VectorOps.embedNearDupPairs]]), full-outer-joined on the
+    * pair key with per-channel scores and a method tag (text / embed /
+    * both). Documents and embeddings share the id space; a doc without
+    * an embedding row simply cannot fire the embed channel.
+    *
+    * Scale shape: both channels are the already-bounded candidate
+    * pipelines (never all-pairs); the ensemble join adds one shuffle of
+    * two near-dup-pair-sized frames — negligible next to either channel.
+    */
+  def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val text = nearDupPairsCore(signatureTable(spark, dir))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val embed = VectorOps.embedNearDupPairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos_sim"))
+    val r = text.join(embed, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("cos_sim"),
+        when(col("jaccard").isNotNull && col("cos_sim").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text")
+          .otherwise("embed").as("method"))
+    Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 
   /** Per-stratum sample cap for [[stratifiedSample]]. */

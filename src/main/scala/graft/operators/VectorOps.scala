@@ -103,7 +103,15 @@ object VectorOps {
     * oracle replicates the probing exactly, so the gate stays
     * deterministic.)
     */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(embedNearDupPairs(spark, dir))(col("vec_a"), col("vec_b"))
+
+  /** Unsorted pair core of [[embedNearDup]] — also one channel of
+    * [[TextOps.dedupEnsemble]], which composes it with the MinHash
+    * text channel (a terminal sort inside a composed plan would be
+    * dead weight Catalyst cannot always eliminate).
+    */
+  private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val b = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
     val probeList = array(
@@ -111,7 +119,7 @@ object VectorOps {
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val probes = b.select(col("vec_id"), col("embedding"),
       explode(probeList).as("probe_bucket"))
-    val r = probes.as("x")
+    probes.as("x")
       .join(b.as("y"),
         col("x.probe_bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -119,7 +127,6 @@ object VectorOps {
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         F.roundHalfUp(dot(col("x.embedding"), col("y.embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= NearDupCosine)
-    Out.sorted(r)(col("vec_a"), col("vec_b"))
   }
 
   /** ANN scale path #2 — IVF (inverted-file) search: vectors are
@@ -469,28 +476,25 @@ object VectorOps {
     // is the written PQ index).
     val chunks = transform(sequence(lit(0), lit(PqSubspaces - 1)),
       m => slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)))
-    val subs = emb(spark, dir)
-      .select(col("vec_id"), posexplode(chunks).as(Seq("sub", "embedding")))
-      .persist()
-    try {
-      val (cents, codes) = pqIndex(subs)
-      val q = emb(spark, dir).filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val lut = q.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("sub"), col("code"),
-          F.roundHalfUp(
-            dot(slice(col("q_emb"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
-              col("centroid")), 6).as("part"))
-      val r = codes.join(broadcast(lut), Seq("sub", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
-        .agg(F.sumDecAsDouble(col("part"), 10).as("approx_sim"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(desc("approx_sim"), asc("neighbor_id"))))
-        .filter(col("rank") <= TopKPq)
-        .select("q_id", "rank", "neighbor_id", "approx_sim")
-      Out.eager(Out.sorted(r)(col("q_id"), col("rank")))
-    } finally subs.unpersist()
+    val subs = Out.eager(emb(spark, dir)
+      .select(col("vec_id"), posexplode(chunks).as(Seq("sub", "embedding"))))
+    val (cents, codes) = pqIndex(subs)
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("sub"), col("code"),
+        F.roundHalfUp(
+          dot(slice(col("q_emb"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+            col("centroid")), 6).as("part"))
+    val r = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(F.sumDecAsDouble(col("part"), 10).as("approx_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("approx_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "rank", "neighbor_id", "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
   }
 }

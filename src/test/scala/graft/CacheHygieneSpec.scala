@@ -36,4 +36,16 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(n > 0)
     assertCacheEmpty("langId")
   }
+
+  test("round-5 curation and PQ builders release their working frames") {
+    for ((what, run) <- Seq[(String, () => Long)](
+        ("ngramJaccardNearDup", () => TextOps.ngramJaccardNearDup(spark, SparkT.Sf0001).count()),
+        ("decontamOverlap", () => TextOps.decontamOverlap(spark, SparkT.Sf0001).count()),
+        ("repetitionStats", () => TextOps.repetitionStats(spark, SparkT.Sf0001).count()),
+        ("annPq", () => graft.operators.VectorOps.annPq(spark, SparkT.Sf0001).count()))) {
+      spark.catalog.clearCache()
+      assert(run() > 0)
+      assertCacheEmpty(what)
+    }
+  }
 }
