@@ -1682,6 +1682,13 @@ object QueryCatalog {
         FROM lineitem WHERE l_partkey <= 200
         GROUP BY l_partkey ORDER BY sku""")),
 
+    "q_orc_roundtrip" -> Spec(
+      sources.SinkRoundTrips.orcRoundtrip,
+      Some("""
+        SELECT l_partkey AS sku, min(l_extendedprice) AS min_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1 HAVING sku <= 200 ORDER BY sku""")),
+
     "q_xlsx_roundtrip" -> Spec(
       sources.SinkRoundTrips.xlsxRoundtrip,
       Some("""

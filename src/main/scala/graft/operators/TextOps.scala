@@ -104,7 +104,7 @@ object TextOps {
     * reference — handing it `split(text)` directly re-splits the text
     * dozens of times per row (measured 2.4× slower on the corpus scan).
     */
-  private def shinglesOf(ws: Column): Column =
+  private[graft] def shinglesOf(ws: Column): Column =
     when(size(ws) >= 3,
       array_distinct(transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ",

@@ -71,6 +71,25 @@ object SinkRoundTrips {
       col("sku"))
   }
 
+  /** Columnar-format round trip beyond parquet: the same typed export
+    * aggregate written as ORC (Spark's second built-in columnar format)
+    * and read back — hashes type fidelity (bigint keys, IEEE doubles,
+    * exact counts) through the ORC writer/reader pair. The oracle
+    * recomputes the aggregate from the parquet source directly, so a
+    * lossy round trip (or a type coercion in either direction) fails
+    * the gate.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "export_orc")
+    val frame = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("sku"))
+      .agg(min(col("l_extendedprice")).as("min_price"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("sku") <= 200)
+    frame.write.mode("overwrite").orc(path)
+    Out.sorted(spark.read.orc(path))(col("sku"))
+  }
+
   /** The S6 writer under the S6 reader: the workbook import/export round
     * trip of the reference's pricebot sheet (PRICEBOT_SPEC_V2.md:114-121,
     * app/page.tsx:56-80) — export a priced frame as ONE workbook, read it
