@@ -1037,6 +1037,59 @@ object QueryCatalog {
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank"""
       }),
 
+    "q_ann_ivfpq" -> Spec(
+      VectorOps.annIvfPq,
+      Some {
+        val m = VectorOps.PqSubspaces
+        val d = VectorOps.PqSubDim
+        val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
+        val subViews = (0 until m).map(i =>
+          s"es$i AS (SELECT vec_id, label, embedding[${i * d + 1}:${(i + 1) * d}] AS embedding FROM embeddings)")
+          .mkString(",\n        ")
+        val chains = (0 until m)
+          .map(i => lloydChain(s"es$i", s"_s$i", s"vec_id % ${VectorOps.PqCodebooks}"))
+          .mkString(",\n        ")
+        val codes = (0 until m)
+          .map(i => s"SELECT vec_id, $i AS sub, cluster AS code FROM a2_s$i")
+          .mkString(" UNION ALL ")
+        val cents = (0 until m)
+          .map(i => s"SELECT $i AS sub, cluster AS code, centroid FROM cent1_s$i")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH $lloydCtes,
+        $subViews,
+        $chains,
+        codes AS ($codes),
+        cents AS ($cents),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        cells AS (
+          SELECT q_id, q_emb, cluster, $cellSim AS cell_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY $cellSim DESC, cluster) AS rn
+          FROM q, cent1),
+        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
+        lut AS (
+          SELECT q_id, sub, code,
+                 ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
+          FROM best, cents),
+        cand AS (
+          SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
+          FROM best b JOIN a2 a ON a.cluster = b.cluster
+          WHERE a.vec_id <> b.q_id),
+        s AS (
+          SELECT c.q_id, c.cell, c.cell_sim, c.vec_id AS neighbor_id,
+                 CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
+          FROM cand c
+          JOIN codes co ON co.vec_id = c.vec_id
+          JOIN lut l ON l.q_id = c.q_id AND l.sub = co.sub AND l.code = co.code
+          GROUP BY 1, 2, 3, 4),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_sim DESC, neighbor_id) AS rank FROM s)
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank"""
+      }),
+
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,
       Some(s"""

@@ -470,22 +470,30 @@ object VectorOps {
     * id, and the oracle unrolls the identical per-subspace Lloyd
     * chains — hash-exact despite double quantization.
     */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    // Sub-vector rows feed every Lloyd step and the code table; persist
-    // them for the duration of the call (at warehouse scale this frame
-    // is the written PQ index).
+  /** Sub-vector rows (vec_id, sub, embedding) — eagerly materialized:
+    * they feed every Lloyd step and the code table (at warehouse scale
+    * this frame is the written PQ index).
+    */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame = {
     val chunks = transform(sequence(lit(0), lit(PqSubspaces - 1)),
       m => slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)))
-    val subs = Out.eager(emb(spark, dir)
+    Out.eager(emb(spark, dir)
       .select(col("vec_id"), posexplode(chunks).as(Seq("sub", "embedding"))))
-    val (cents, codes) = pqIndex(subs)
-    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val lut = q.crossJoin(broadcast(cents))
+  }
+
+  /** Per-subspace dot LUT of every query against a PQ codebook frame. */
+  private def pqLut(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("sub"), col("code"),
         F.roundHalfUp(
           dot(slice(col("q_emb"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
             col("centroid")), 6).as("part"))
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, codes) = pqIndex(pqSubs(spark, dir))
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = pqLut(q, cents)
     val r = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
@@ -495,6 +503,53 @@ object VectorOps {
           .orderBy(desc("approx_sim"), asc("neighbor_id"))))
       .filter(col("rank") <= TopKPq)
       .select("q_id", "rank", "neighbor_id", "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** ANN scale path #5 — IVF-PQ, the faiss IVFADC architecture whole:
+    * the [[trainedIndex]] coarse quantizer restricts the search to each
+    * query's best Voronoi cell, and within the cell candidates score by
+    * the [[annPq]] lookup-table scheme over their compressed codes. At
+    * 100 TB this is THE standard billion-vector layout: the corpus
+    * lives as (cell, 16-byte code) rows, a query reads one cell's codes
+    * (IVF cuts the scan by the cell count) and never touches a raw
+    * vector (PQ cuts the bytes per candidate 16×).
+    *
+    * Plan shape: both quantizers are tiny and broadcast; the cell
+    * restriction is a broadcast join of the probed cells against the
+    * assignment, and the per-candidate scoring joins the code table
+    * against the broadcast (q_id-aware) LUT — the corpus-sized frames
+    * (assignment, codes) are never shuffled by the search.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (coarseCents, assigned) = trainedIndex(spark, dir)
+    val (cents, codes) = pqIndex(pqSubs(spark, dir))
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cell_sim"), asc("cluster"))
+    val probed = q.crossJoin(broadcast(coarseCents))
+      .select(col("q_id"), col("q_emb"), col("cluster"),
+        F.roundHalfUp(dot(col("q_emb"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 1)
+      .select(col("q_id"), col("q_emb"), col("cluster"), col("cell_sim"))
+    val lut = pqLut(probed.select(col("q_id"), col("q_emb")), cents)
+    val cand = assigned.select(col("vec_id"), col("cluster"))
+      .join(broadcast(probed.select(col("q_id"), col("cluster"), col("cell_sim"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cluster").as("cell"), col("cell_sim"), col("vec_id"))
+    val r = codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("cell"), col("cell_sim"),
+        col("vec_id").as("neighbor_id"))
+      .agg(F.sumDecAsDouble(col("part"), 10).as("approx_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("approx_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 }

@@ -96,4 +96,33 @@ class PlanContractSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"more exchanges than window+agg need:\n$plan")
     assert(plan.contains("Window"), s"expected min-priority window:\n$plan")
   }
+
+  test("shingle pipelines keep the heavy lambda off the scan-side filter") {
+    // Regression guard for the InferFiltersFromGenerate pessimization:
+    // a plain explode(shingles) gets an inferred size(shingles)>0
+    // predicate that pushdown inlines (as array_distinct(transform(...)))
+    // below the distribution exchange — 6 s of single-task CPU at sf0.1.
+    // The builders filter on size(split)>=3 and use explode_outer, so no
+    // Filter in the plan may contain the shingle-constructing lambda.
+    for ((name, df) <- Seq(
+        ("ngramJaccardNearDup",
+          operators.TextOps.ngramJaccardNearDup(spark, SparkT.Sf0001)),
+        ("decontamOverlap",
+          operators.TextOps.decontamOverlap(spark, SparkT.Sf0001)))) {
+      val plan = planOf(df)
+      val heavyFilter = plan.linesIterator
+        .filter(_.trim.startsWith("Filter "))
+        .exists(l => l.contains("array_distinct(transform("))
+      assert(!heavyFilter,
+        s"$name: shingle lambda re-inlined into a pushed-down filter:\n$plan")
+    }
+  }
+
+  test("PQ search: codebooks and query LUT broadcast; corpus codes never shuffle wide") {
+    val plan = planOf(operators.VectorOps.annPq(spark, SparkT.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"code table unexpectedly sort-merge joined:\n$plan")
+  }
 }
