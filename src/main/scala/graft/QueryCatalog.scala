@@ -411,6 +411,18 @@ object QueryCatalog {
               FROM lineitem)
         WHERE rank <= 3 ORDER BY sku, rank""")),
 
+    // Same SQL as q_top3_cheapest_per_sku — the bounded-aggregator plan
+    // must produce byte-identical output to the window-rank plan.
+    "q_top3_agg" -> Spec(
+      operators.TopK.top3Agg,
+      Some("""
+        SELECT l_partkey AS sku, rank, l_suppkey AS seller, l_extendedprice AS price
+        FROM (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rank
+              FROM lineitem)
+        WHERE rank <= 3 ORDER BY sku, rank""")),
+
     "q_size_recommend" -> Spec(
       Relational.sizeRecommend,
       Some(s"""

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.{Out, Tables}
+
+/** Bounded top-k per group as a typed [[Aggregator]] — the scale-correct
+  * twin of the window-rank form (Relational.top3CheapestPerSku):
+  * `row_number() OVER (PARTITION BY key ...)` shuffles EVERY row of the
+  * fact table to its key's partition before any can be discarded, while
+  * a partial-aggregating top-k buffer discards to k rows per key on the
+  * MAP side — at 100 TB the exchange carries k·|keys| rows instead of
+  * the whole table, usually a 100×+ shuffle cut for small k.
+  *
+  * The buffer order is the window's exact total order (price, seller,
+  * orderkey, linenumber — unique, so no ties exist), which makes the
+  * merge associative and commutative: safe under partial aggregation,
+  * AQE re-planning and task retries. The oracle row (q_top3_agg) states
+  * the SAME SQL as the window query — the two plans must hash-match.
+  */
+object TopK {
+
+  val K = 3
+
+  /** One offer observation; the implicit ordering IS the ranking. */
+  case class Offer(price: Double, seller: Long, orderkey: Long, linenumber: Long)
+
+  implicit val offerOrd: Ordering[Offer] =
+    Ordering.by(o => (o.price, o.seller, o.orderkey, o.linenumber))
+
+  /** Product-encodable buffer (Spark has no direct Encoder[Seq[T]]). */
+  case class Wrap(offers: Seq[Offer])
+
+  /** Keep the K smallest offers; buffer never exceeds K elements. */
+  val agg: Aggregator[Offer, Wrap, Wrap] =
+    new Aggregator[Offer, Wrap, Wrap] {
+      def zero: Wrap = Wrap(Vector.empty)
+      def reduce(b: Wrap, o: Offer): Wrap = {
+        val xs = b.offers
+        if (xs.length < K) Wrap((xs :+ o).sorted)
+        else if (offerOrd.lt(o, xs.last)) Wrap((xs.init :+ o).sorted)
+        else b
+      }
+      def merge(a: Wrap, b: Wrap): Wrap =
+        Wrap((a.offers ++ b.offers).sorted.take(K))
+      def finish(r: Wrap): Wrap = r
+      def bufferEncoder: Encoder[Wrap] = Encoders.product[Wrap]
+      def outputEncoder: Encoder[Wrap] = Encoders.product[Wrap]
+    }
+
+  /** Top-3 cheapest offers per SKU via the bounded aggregator — output
+    * identical to the window form, plan shape partial-aggregating.
+    */
+  def top3Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val offers = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("sku"),
+        col("l_extendedprice").as("price"), col("l_suppkey").as("seller"),
+        col("l_orderkey").as("orderkey"), col("l_linenumber").cast("long").as("linenumber"))
+      .as[(Long, Double, Long, Long, Long)]
+      .map { case (sku, price, seller, ok, ln) => (sku, Offer(price, seller, ok, ln)) }
+    val top = offers.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+    val r = top.toDF("sku", "top")
+      .select(col("sku"), posexplode(col("top.offers")).as(Seq("idx", "o")))
+      .select(col("sku"), (col("idx") + 1).cast("int").as("rank"),
+        col("o.seller").as("seller"), col("o.price").as("price"))
+    Out.sorted(r)(col("sku"), col("rank"))
+  }
+}

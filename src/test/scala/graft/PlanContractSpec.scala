@@ -118,6 +118,12 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("typed top-k aggregator combines map-side: partial_ before the exchange") {
+    val plan = planOf(operators.TopK.top3Agg(spark, SparkT.Sf0001))
+    assert(plan.contains("ObjectHashAggregate"), s"not object-hash-aggregated:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial top-k:\n$plan")
+  }
+
   test("PQ search: codebooks and query LUT broadcast; corpus codes never shuffle wide") {
     val plan = planOf(operators.VectorOps.annPq(spark, SparkT.Sf0001))
     assert(plan.contains("BroadcastHashJoin"),
