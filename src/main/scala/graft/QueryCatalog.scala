@@ -821,6 +821,57 @@ object QueryCatalog {
         WHERE sample_rank <= ${TextOps.StratumCap}
         ORDER BY lang, sample_rank""")),
 
+    // Composes the per-signal oracles of q_doc_quality, q_doc_repetition,
+    // q_doc_exact_dedup, q_doc_minhash_neardup and q_doc_sample into the
+    // one-row-per-doc decision table.
+    "q_doc_scorecard" -> Spec(
+      TextOps.docScorecard,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        val quality = rnd(
+          """0.4 * (least(1.0, n / 20.0) * least(1.0, 80.0 / greatest(n, 80.0)))
+             + 0.3 * (CASE WHEN nstop / n BETWEEN 0.02 AND 0.3 THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (nd / n)""", 6)
+        s"""
+        WITH ${minhashPairCtes()},
+        qv AS (
+          SELECT doc_id, lang, ws,
+                 CAST(len(ws) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) AS nstop,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) AS nd
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+        rep AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) > 0 THEN ${rnd("CAST(list_max(list_transform(list_distinct(ws), t -> len(list_filter(ws, x -> x = t)))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)", 6)} ELSE 0.0 END AS top_token_frac,
+                 CASE WHEN len(tg) > 0 THEN ${rnd("CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)", 6)} ELSE 0.0 END AS dup_trigram_frac
+          FROM (SELECT doc_id, ws,
+                       CASE WHEN len(ws) >= 3
+                            THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+                            ELSE CAST([] AS VARCHAR[]) END AS tg
+                FROM qv)),
+        dupf AS (
+          SELECT doc_id,
+                 count(*) OVER (PARTITION BY bh) > 1 AS is_exact_dup,
+                 doc_id = min(doc_id) OVER (PARTITION BY bh) AS is_canonical
+          FROM (SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bh
+                FROM qv)),
+        ndd AS (SELECT DISTINCT doc FROM (
+          SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs) u)
+        SELECT q.doc_id, q.lang, CAST(q.n AS BIGINT) AS n_tokens,
+               $quality AS quality_score, $quality >= 0.5 AS keep,
+               r.top_token_frac, r.dup_trigram_frac,
+               d.is_exact_dup, d.is_canonical,
+               ndd.doc IS NOT NULL AS is_near_dup,
+               CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+                 < ${TextOps.SampleBucketMax} AS in_sample
+        FROM qv q
+        JOIN rep r USING (doc_id)
+        JOIN dupf d USING (doc_id)
+        LEFT JOIN ndd ON ndd.doc = q.doc_id
+        ORDER BY q.doc_id"""
+      }),
+
     "q_curation_funnel" -> Spec(
       TextOps.curationFunnel,
       Some {

@@ -926,6 +926,54 @@ object TextOps {
     Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 
+  /** The per-document curation scorecard — the wide decision table a
+    * curation run materializes before choosing what to train on: for
+    * every document, its quality score and keep flag, its repetition
+    * fractions, whether its normalized content is an exact duplicate
+    * (and whether it is the group's canonical survivor), whether it
+    * appears in any confirmed MinHash near-dup pair, and whether the
+    * deterministic hash sample selects it. One row per doc; every
+    * signal is the SAME column logic as its standalone oracle-checked
+    * query, so the scorecard cannot drift from the per-signal gates.
+    *
+    * Scale shape: three per-doc frames join on doc_id (co-partitioned
+    * aggregates), the near-dup flag is a left join against the
+    * pair-participant set (near-dup-pair-sized, not corpus-sized), and
+    * the exact-dup group stats are one window over bow_hash. Nothing
+    * here is all-pairs; the MinHash signals read the materialized
+    * signature table.
+    */
+  def docScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScores(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("keep"))
+    val rep = repetitionStats(spark, dir)
+      .select(col("doc_id"), col("top_token_frac"), col("dup_trigram_frac"))
+    val w = Window.partitionBy("bh")
+    val dup = docsDistributed(spark, dir)
+      .select(col("doc_id"), bowHash.as("bh"))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("canon", min(col("doc_id")).over(w))
+      .select(col("doc_id"), (col("grp_n") > 1).as("is_exact_dup"),
+        (col("doc_id") === col("canon")).as("is_canonical"))
+    val nd = nearDupPairsCore(signatureTable(spark, dir))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val r = q.join(rep, Seq("doc_id"))
+      .join(dup, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("keep"),
+        col("top_token_frac"), col("dup_trigram_frac"),
+        col("is_exact_dup"), col("is_canonical"),
+        coalesce(col("hit"), lit(false)).as("is_near_dup"),
+        (bucket < SampleBucketMax).as("in_sample"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
   /** Per-stratum sample cap for [[stratifiedSample]]. */
   val StratumCap = 25
 
