@@ -55,11 +55,11 @@ object QueryCatalog {
           WHERE price > 0)"""
   }
 
-  // Shared CTE chain of the banded-MinHash near-dup pipeline, generated
-  // from the SAME constants (TextOps.MinhashK/Bands/minhashPerms) the
-  // Spark plans use; ends in `pairs` (confirmed near-dup pairs). Used by
-  // q_doc_minhash_neardup and the clustering query.
-  private def minhashPairCtes(src: String = "documents"): String = {
+  // Shared base CTEs of every banded-MinHash oracle (shingle sets →
+  // signatures → band rows), generated from the SAME constants
+  // (TextOps.MinhashK/Bands/minhashPerms) the Spark plans use; ends in
+  // `bands`. Used by minhashPairCtes and the incremental-dedup oracle.
+  private def minhashSigCtes(src: String = "documents"): String = {
     val r = TextOps.RowsPerBand
     val prime = TextOps.MinhashPrime
     val mhCols = TextOps.minhashPerms.zipWithIndex
@@ -83,7 +83,14 @@ object QueryCatalog {
         bands AS (
           SELECT doc_id, unnest($bandList) AS band_hash,
                  generate_subscripts($bandList, 1) AS band_idx
-          FROM mh),
+          FROM mh)"""
+  }
+
+  // Shared CTE chain of the banded-MinHash near-dup pipeline; ends in
+  // `pairs` (confirmed near-dup pairs). Used by q_doc_minhash_neardup
+  // and the clustering query.
+  private def minhashPairCtes(src: String = "documents"): String =
+    s"""${minhashSigCtes(src)},
         hot AS (
           SELECT band_idx, band_hash FROM bands
           GROUP BY band_idx, band_hash
@@ -107,7 +114,6 @@ object QueryCatalog {
         pairs AS (
           SELECT doc_a, doc_b, n_shared_bands, jaccard FROM j
           WHERE jaccard >= ${TextOps.JaccardThreshold})"""
-  }
 
   // Two unrolled Lloyd iterations (KmeansIters is a FIXED constant — the
   // unroll count must stay in lockstep with VectorOps.KmeansIters), ending
@@ -709,6 +715,51 @@ object QueryCatalog {
                CAST(sum(CASE WHEN f > ${TextOps.MaxBandFrequency} THEN f ELSE 0 END) AS BIGINT) AS n_docs_capped
         FROM freq GROUP BY bi ORDER BY bi""")),
 
+    // New-batch admission against the corpus index: corpus/batch split,
+    // cap on corpus buckets only, per-batch-doc admission row.
+    "q_incremental_dedup" -> Spec(
+      TextOps.incrementalDedup,
+      Some(s"""
+        WITH ${minhashSigCtes()},
+        corpus AS (SELECT * FROM bands
+                   WHERE doc_id % ${TextOps.BatchMod} <> ${TextOps.BatchRem}),
+        nb AS (SELECT * FROM bands
+               WHERE doc_id % ${TextOps.BatchMod} = ${TextOps.BatchRem}),
+        hot AS (
+          SELECT band_idx, band_hash FROM corpus
+          GROUP BY band_idx, band_hash
+          HAVING count(*) > ${TextOps.MaxBandFrequency}),
+        keptc AS (
+          SELECT c.* FROM corpus c
+          WHERE NOT EXISTS (SELECT 1 FROM hot h
+                            WHERE h.band_idx = c.band_idx
+                              AND h.band_hash = c.band_hash)),
+        cand AS (
+          SELECT n.doc_id AS batch_doc, c.doc_id AS corpus_doc
+          FROM nb n JOIN keptc c
+            ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+          GROUP BY n.doc_id, c.doc_id),
+        j AS (
+          SELECT batch_doc,
+                 ${rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)", 6)} AS jaccard
+          FROM cand JOIN base a ON batch_doc = a.doc_id
+                    JOIN base b ON corpus_doc = b.doc_id),
+        per AS (
+          SELECT batch_doc AS doc_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(count(*) FILTER (WHERE jaccard >= ${TextOps.JaccardThreshold}) AS BIGINT) AS n_matches,
+                 max(jaccard) AS best_jaccard
+          FROM j GROUP BY batch_doc),
+        allb AS (SELECT doc_id FROM base
+                 WHERE doc_id % ${TextOps.BatchMod} = ${TextOps.BatchRem})
+        SELECT a.doc_id,
+               coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+               coalesce(n_matches, CAST(0 AS BIGINT)) AS n_matches,
+               coalesce(best_jaccard, -1.0) AS best_jaccard,
+               coalesce(n_matches, CAST(0 AS BIGINT)) = 0 AS admitted
+        FROM allb a LEFT JOIN per p ON a.doc_id = p.doc_id
+        ORDER BY a.doc_id""")),
+
     "q_neardup_clusters" -> Spec(
       TextOps.nearDupClusters,
       Some(s"""
@@ -992,6 +1043,48 @@ object QueryCatalog {
                true_distinct,
                ${rnd("abs((k - 1) / u_k - true_distinct) / true_distinct", 4)} AS rel_error
         FROM a, t"""
+      }),
+
+    // HLL registers replayed in SQL: same 60-bit hash, LSB-rank rho in
+    // pure integer arithmetic, harmonic sum kept scaled-integer so the
+    // only doubles are the final division + linear-counting branch (the
+    // numerator literal is computed once in Scala and embedded in both).
+    "q_hll_distinct" -> Spec(
+      Sketches.hllDistinct,
+      Some {
+        val P = Sketches.P
+        val m = Sketches.HllBuckets
+        val maxRho = Sketches.HllMaxRho
+        val pow = 1L << maxRho
+        val num = Sketches.HllNumerator
+        val thr = 2.5 * m
+        val hv = s"(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
+        s"""
+        WITH kk AS (SELECT o_custkey AS key FROM orders),
+        b AS (SELECT hv % $m AS bucket, hv // $m AS w
+              FROM (SELECT $hv AS hv FROM kk)),
+        r AS (SELECT bucket,
+                     max(CASE WHEN w = 0 THEN $maxRho
+                              ELSE bit_count((w & -w) - 1) + 1 END) AS m
+              FROM b GROUP BY bucket),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
+                     CAST(sum(CAST(1 AS BIGINT) << ($maxRho - m)) AS BIGINT) AS s_present
+              FROM r),
+        t AS (SELECT count(DISTINCT key) AS true_distinct FROM kk),
+        s AS (SELECT n_registers_used,
+                     s_present + ($m - n_registers_used) * $pow AS harmonic_scaled,
+                     true_distinct
+              FROM a, t),
+        e AS (SELECT *,
+                     CASE WHEN $num / CAST(harmonic_scaled AS DOUBLE) <= $thr
+                               AND n_registers_used < $m
+                          THEN $m * ln($m / CAST($m - n_registers_used AS DOUBLE))
+                          ELSE $num / CAST(harmonic_scaled AS DOUBLE) END AS est
+              FROM s)
+        SELECT n_registers_used, harmonic_scaled,
+               ${rnd("est", 2)} AS hll_estimate, true_distinct,
+               ${rnd("abs(est - true_distinct) / true_distinct", 4)} AS rel_error
+        FROM e"""
       }),
 
     "q_cms_heavy_hitters" -> Spec(

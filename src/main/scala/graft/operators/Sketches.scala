@@ -133,6 +133,81 @@ object Sketches {
     r
   }
 
+  /** HLL geometry: [[HllBuckets]] registers addressed by the low 6 bits
+    * of the shared 60-bit md5 key hash (mod P keeps it under 2^31, so
+    * the remaining suffix carries ≤ 25 bits and ρ ≤ [[HllMaxRho]]).
+    */
+  val HllBuckets = 64
+  val HllMaxRho = 26
+  val HllAlpha = 0.709 // α_m for m = 64 (Flajolet et al. 2007, fig. 3)
+
+  /** α·m²·2^[[HllMaxRho]] precomputed ONCE in Scala and embedded as the
+    * same double literal in the plan and the oracle SQL, so neither
+    * engine's multiplication order can produce a different numerator.
+    */
+  lazy val HllNumerator: Double =
+    HllAlpha * (HllBuckets.toDouble * HllBuckets.toDouble) *
+      (1L << HllMaxRho).toDouble
+
+  /** HLL register frame (bucket, m = max ρ) of a `key` column. ρ is the
+    * least-significant-set-bit rank of the hash suffix (the original
+    * Flajolet–Martin observable — geometric(1/2) exactly like the
+    * leading-zero form, but expressible in pure integer arithmetic both
+    * engines reproduce bit-for-bit: ρ = bit_count((w & −w) − 1) + 1,
+    * ρ = [[HllMaxRho]] when the suffix is 0). One map-side-combinable
+    * groupBy; the sketch is ≤ [[HllBuckets]] rows no matter how many
+    * keys stream through, and two sketches merge by bucket-wise max
+    * (SketchesSpec pins the merge law).
+    */
+  private[graft] def hllRegisters(keys: DataFrame): DataFrame = {
+    val rho = when(col("w") === 0L, lit(HllMaxRho))
+      .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1)
+    keys.select(keyHash(col("key")).as("hv"))
+      .select((col("hv") % HllBuckets).as("bucket"),
+        expr(s"hv DIV $HllBuckets").as("w"))
+      .withColumn("rho", rho.cast("int"))
+      .groupBy("bucket").agg(max(col("rho")).as("m"))
+  }
+
+  /** HLL distinct-count over orders customers with the exact count
+    * alongside ([[kmvDistinct]]'s register-based sibling — fixed
+    * 64-register memory vs KMV's k order statistics). The harmonic
+    * denominator is kept as the INTEGER Σ 2^(maxρ − M_j) (empty
+    * registers contribute 2^maxρ), so the only floating-point steps are
+    * the final division and the standard small-range linear-counting
+    * correction — both replayed identically by the oracle from embedded
+    * literals, which is what lets a probabilistic sketch be
+    * hash-checked exactly rather than tolerance-banded.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("key"))
+    val agg = hllRegisters(keys).agg(
+      count(lit(1)).as("n_registers_used"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRho - m)")).as("s_present"))
+    val truth = keys.agg(countDistinct(col("key")).as("true_distinct"))
+    val withS = agg.crossJoin(truth).select(
+      col("n_registers_used"),
+      (col("s_present") +
+        (lit(HllBuckets.toLong) - col("n_registers_used")) *
+          lit(1L << HllMaxRho)).as("harmonic_scaled"),
+      col("true_distinct"))
+    val eRaw = lit(HllNumerator) / col("harmonic_scaled").cast("double")
+    val v = lit(HllBuckets.toLong) - col("n_registers_used")
+    val est = when(eRaw <= lit(2.5 * HllBuckets) && v > 0,
+      lit(HllBuckets.toDouble) *
+        log(lit(HllBuckets.toDouble) / v.cast("double")))
+      .otherwise(eRaw)
+    withS.select(
+      col("n_registers_used"),
+      col("harmonic_scaled"),
+      graft.functions.F.roundHalfUp(est, 2).as("hll_estimate"),
+      col("true_distinct"),
+      graft.functions.F.roundHalfUp(
+        abs(est - col("true_distinct").cast("double")) /
+          col("true_distinct").cast("double"), 4).as("rel_error"))
+  }
+
   /** Bloom geometry: [[BloomBits]]-bit array, [[BloomHashes]] probes —
     * sized for the demo dim; at scale both grow with the build side.
     */

@@ -518,6 +518,79 @@ object TextOps {
     Out.sorted(r)(col("band_idx"))
   }
 
+  /** Modulus / residue selecting the simulated "new arrivals" batch for
+    * [[incrementalDedup]]: docs with doc_id % [[BatchMod]] ==
+    * [[BatchRem]] play the incoming batch; the rest are the existing
+    * corpus whose signatures live in the persisted index.
+    */
+  val BatchMod = 10
+  val BatchRem = 7
+
+  /** Incremental near-dup admission of a NEW BATCH against the existing
+    * corpus index — the steady-state shape of dedup at 100 TB: the
+    * corpus signature table is built once ([[signatureTable]], bucketed
+    * by doc_id), and each arriving batch computes signatures only for
+    * its own documents, probes the index via the banded join, and
+    * exact-Jaccard-confirms only the banded candidates. Nothing
+    * all-pairs, nothing corpus×corpus: per batch the work is
+    * O(batch·k) signature hashing + a band join whose corpus side is a
+    * cheap per-row projection of the index scan.
+    *
+    * The hot-band cap is computed on the CORPUS side only (the index
+    * knows its own over-occupied buckets); batch rows landing in a hot
+    * corpus bucket find no partners, mirroring how a production index
+    * would publish its skip-list. Output is one admission row per batch
+    * document: candidate and confirmed-match counts, the best confirmed
+    * Jaccard seen (−1.0 when the batch doc banded with nothing), and
+    * the admit/reject decision (admitted ⇔ zero confirmed matches).
+    *
+    * Reference scope: extends the corpus-wide dedup the reference's
+    * pipeline implies to the arrival-time form a training-data ingest
+    * needs (beyond-§2 LLM suite).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatureTable(spark, dir)
+    val corpusSig = sig.filter(col("doc_id") % BatchMod =!= BatchRem)
+    val batchBase = Out.eager(shingleBase(
+      docsDistributed(spark, dir)
+        .filter(col("doc_id") % BatchMod === BatchRem)))
+    val batchSig = batchBase.join(minhashSignatures(batchBase), Seq("doc_id"))
+    val corpusBands = bandRows(corpusSig)
+    val hot = corpusBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") > MaxBandFrequency)
+      .select("band_idx", "band_hash")
+    val keptCorpus =
+      corpusBands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    val cand = bandRows(batchSig).as("n")
+      .join(keptCorpus.as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .groupBy(col("n.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val jac = F.roundHalfUp(
+      size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+        size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
+    val confirmed = cand
+      .join(batchBase.as("a"), col("batch_doc") === col("a.doc_id"))
+      .join(corpusSig.select(col("doc_id"), col("shingles")).as("b"),
+        col("corpus_doc") === col("b.doc_id"))
+      .select(col("batch_doc"), jac.as("jaccard"))
+    val perDoc = confirmed.groupBy(col("batch_doc").as("doc_id")).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("jaccard") >= JaccardThreshold, lit(1L)).otherwise(lit(0L)))
+        .as("n_matches"),
+      max(col("jaccard")).as("best_jaccard"))
+    val r = batchBase.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_jaccard"), lit(-1.0)).as("best_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) === 0L).as("admitted"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the confirmed
     * pair graph, labeling each member with the minimum doc id of its
     * component — the step a dedup pipeline runs after pair detection to

@@ -118,4 +118,34 @@ class CurationOpsSpec extends AnyFunSuite {
     val again = TextOps.stratifiedSample(spark, dir).collect()
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
+
+  test("incremental dedup: admission invariants + no cross-boundary pair escapes") {
+    val rows = TextOps.incrementalDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cand = r.getAs[Long]("n_candidates")
+      val m = r.getAs[Long]("n_matches")
+      assert(id % TextOps.BatchMod == TextOps.BatchRem, s"non-batch doc $id")
+      assert(m <= cand)
+      assert(r.getAs[Boolean]("admitted") == (m == 0))
+      assert((r.getAs[Double]("best_jaccard") == -1.0) == (cand == 0))
+    }
+    // Recall vs the corpus-wide pair set: the full run's hot-band cap
+    // counts batch+corpus rows per bucket, so it is STRICTER than the
+    // incremental corpus-only cap — any confirmed full-run pair with
+    // exactly one side in the batch slice must therefore surface as a
+    // match on that batch doc (same signatures, same Jaccard confirm).
+    val matched = rows.filter(_.getAs[Long]("n_matches") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val crossPairs = TextOps.minhashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .flatMap { case (a, b) =>
+        val aB = a % TextOps.BatchMod == TextOps.BatchRem
+        val bB = b % TextOps.BatchMod == TextOps.BatchRem
+        if (aB && !bB) Some(a) else if (bB && !aB) Some(b) else None
+      }
+    assert(crossPairs.nonEmpty, "fixture has no cross-boundary near-dup pair")
+    crossPairs.foreach(d => assert(matched.contains(d), s"batch doc $d escaped"))
+  }
 }

@@ -41,6 +41,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("HLL registers of a union are the bucket-wise max of the parts (merge law)") {
+    val keys = keysOf(SparkT.Sf0001)
+    val a = keys.filter(col("key") % 2 === 0)
+    val b = keys.filter(col("key") % 2 =!= 0)
+    def regMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("m")).toMap
+    val merged = (regMap(Sketches.hllRegisters(a)).toSeq ++
+        regMap(Sketches.hllRegisters(b)).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    assert(merged == regMap(Sketches.hllRegisters(keys)))
+    assert(merged.nonEmpty && merged.values.forall(m => m >= 1 && m <= Sketches.HllMaxRho))
+  }
+
   test("bloom pre-filter never drops a true match and never shuffles the fact") {
     val orders = Tables.load(spark, SparkT.Sf0001, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
