@@ -1087,6 +1087,49 @@ object QueryCatalog {
         FROM e"""
       }),
 
+    // Histogram quantiles replayed in SQL: integer cents, integer bin
+    // and rank arithmetic (// == Spark's DIV), doubles only in the final
+    // interpolation — same expression text on both engines.
+    "q_quantile_sketch" -> Spec(
+      Sketches.quantileSketch,
+      Some {
+        val bins = Sketches.QuantileBins
+        val pcts = Sketches.QuantilePcts.mkString("[", ", ", "]")
+        s"""
+        WITH c0 AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+                    FROM lineitem),
+        mm AS (SELECT min(c) AS lo, max(c) AS hi, CAST(count(*) AS BIGINT) AS n
+               FROM c0),
+        hist AS (SELECT (c - lo) * $bins // (hi - lo + 1) AS bin,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM c0, mm GROUP BY 1),
+        ch AS (SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cm
+               FROM hist),
+        tg AS (SELECT pct, lo, hi, n, (n * pct + 99) // 100 AS t
+               FROM (SELECT unnest($pcts) AS pct), mm),
+        pick AS (SELECT pct, lo, hi, n, t, min(bin) AS bin
+                 FROM tg JOIN ch ON cm >= t
+                 GROUP BY pct, lo, hi, n, t),
+        pe AS (SELECT p.*, c.cnt, c.cm - c.cnt AS cumb,
+                      lo + (hi - lo + 1) * bin // $bins AS bl,
+                      lo + (hi - lo + 1) * (bin + 1) // $bins AS bh
+               FROM pick p JOIN ch c USING (bin)),
+        est AS (SELECT pct, t, n,
+                       (CAST(bl AS DOUBLE) + CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE) * CAST(bh - bl AS DOUBLE)) / 100.0 AS est_raw
+                FROM pe),
+        vc AS (SELECT c, CAST(sum(vcnt) OVER (ORDER BY c) AS BIGINT) AS vcum
+               FROM (SELECT c, count(*) AS vcnt FROM c0 GROUP BY c)),
+        ex AS (SELECT pct, min(c) AS exact_cents
+               FROM (SELECT pct, t FROM tg) g JOIN vc ON vcum >= t
+               GROUP BY pct)
+        SELECT e.pct, t AS target_rank, n AS n_rows,
+               ${rnd("est_raw", 4)} AS est_price,
+               CAST(exact_cents AS DOUBLE) / 100.0 AS exact_price,
+               ${rnd("abs(est_raw - CAST(exact_cents AS DOUBLE) / 100.0)", 4)} AS abs_err
+        FROM est e JOIN ex USING (pct)
+        ORDER BY pct"""
+      }),
+
     "q_cms_heavy_hitters" -> Spec(
       Sketches.cmsHeavyHitters,
       Some {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Out, Tables}
@@ -206,6 +207,79 @@ object Sketches {
       graft.functions.F.roundHalfUp(
         abs(est - col("true_distinct").cast("double")) /
           col("true_distinct").cast("double"), 4).as("rel_error"))
+  }
+
+  /** Quantile-histogram geometry: [[QuantileBins]] equi-width bins over
+    * the integer-cent domain; estimated percentiles [[QuantilePcts]]
+    * (×100, so integer rank arithmetic stays exact).
+    */
+  val QuantileBins = 256
+  val QuantilePcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** Equi-width-histogram percentile sketch over lineitem prices — the
+    * two-pass fixed-memory alternative to a global sort for quantiles
+    * at 100 TB: pass 1 is a min/max agg (map-side combinable, two longs
+    * per partition), pass 2 bins every row into [[QuantileBins]] cells
+    * (one map-side-combinable groupBy; the histogram is 256 rows no
+    * matter the input size, and two histograms over the same [lo, hi]
+    * merge by plain cell addition). Percentile p is read off the
+    * cumulative histogram with linear interpolation inside the first
+    * bin whose cumulative count reaches rank ⌈p·n⌉ — the rank-t value
+    * itself lies in that bin, so the estimate is within one bin width
+    * of exact BY CONSTRUCTION (SketchesSpec pins the bound).
+    *
+    * Determinism: prices are fixed to integer CENTS (floor(x·100+0.5)),
+    * bin indices/bounds and target ranks are pure integer arithmetic
+    * (span·i DIV bins), and the only doubles are the final
+    * interpolation — the same expression text the oracle replays. The
+    * exact per-percentile value alongside comes from a cumulative count
+    * over distinct cent values (verify-side truth, like kmv's
+    * countDistinct — the 256-row windows are driver-scale).
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.load(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+    val mm = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+      count(lit(1)).as("n"))
+    val hist = cents.crossJoin(broadcast(mm))
+      .select(expr(s"(c - lo) * $QuantileBins DIV (hi - lo + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(wb).as("cum"))
+      .withColumn("cumb", col("cum") - col("cnt"))
+    val targets = QuantilePcts.toDF("pct").crossJoin(broadcast(mm))
+      .select(col("pct"), col("lo"), col("hi"), col("n"),
+        expr("(n * pct + 99) DIV 100").as("t"))
+    val picked = targets.join(broadcast(cum), col("cum") >= col("t"))
+      .groupBy("pct", "lo", "hi", "n", "t")
+      .agg(min(col("bin")).as("bin"))
+      .join(broadcast(cum), Seq("bin"))
+    val est = picked
+      .withColumn("span", col("hi") - col("lo") + 1)
+      .withColumn("bl", col("lo") + expr(s"span * bin DIV $QuantileBins"))
+      .withColumn("bh", col("lo") + expr(s"span * (bin + 1) DIV $QuantileBins"))
+      .withColumn("est_raw",
+        (col("bl").cast("double") +
+          (col("t") - col("cumb")).cast("double") / col("cnt").cast("double") *
+            (col("bh") - col("bl")).cast("double")) / 100.0)
+    val vw = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val valCum = cents.groupBy("c").agg(count(lit(1)).as("vcnt"))
+      .select(col("c"), sum(col("vcnt")).over(vw).as("vcum"))
+    val exact = targets.select(col("pct"), col("t"))
+      .join(valCum, col("vcum") >= col("t"))
+      .groupBy("pct").agg(min(col("c")).as("exact_cents"))
+    val r = est.join(broadcast(exact), Seq("pct"))
+      .withColumn("exact_price", col("exact_cents").cast("double") / 100.0)
+      .select(col("pct"), col("t").as("target_rank"), col("n").as("n_rows"),
+        graft.functions.F.roundHalfUp(col("est_raw"), 4).as("est_price"),
+        col("exact_price"),
+        graft.functions.F.roundHalfUp(abs(col("est_raw") - col("exact_price")), 4)
+          .as("abs_err"))
+    Out.sorted(r)(col("pct"))
   }
 
   /** Bloom geometry: [[BloomBits]]-bit array, [[BloomHashes]] probes —

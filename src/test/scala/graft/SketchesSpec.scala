@@ -54,6 +54,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged.values.forall(m => m >= 1 && m <= Sketches.HllMaxRho))
   }
 
+  test("quantile sketch: estimate within one bin width of exact, rerun-stable") {
+    val rows = Sketches.quantileSketch(spark, SparkT.Sf0001).collect()
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == Sketches.QuantilePcts)
+    // bin width upper bound in currency units: ceil(span / bins) cents
+    val Array(lo, hi) = Tables.load(spark, SparkT.Sf0001, "lineitem")
+      .selectExpr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS LONG)",
+        "CAST(max(floor(l_extendedprice * 100 + 0.5)) AS LONG)")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val binWidth = ((hi - lo + 1).toDouble / Sketches.QuantileBins + 1) / 100.0
+    rows.foreach { r =>
+      assert(r.getAs[Double]("abs_err") <= binWidth,
+        s"pct ${r.getAs[Int]("pct")}: err ${r.getAs[Double]("abs_err")} > $binWidth")
+      assert(r.getAs[Long]("target_rank") <= r.getAs[Long]("n_rows"))
+    }
+    val again = Sketches.quantileSketch(spark, SparkT.Sf0001).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+  }
+
   test("bloom pre-filter never drops a true match and never shuffles the fact") {
     val orders = Tables.load(spark, SparkT.Sf0001, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
