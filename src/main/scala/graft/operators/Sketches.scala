@@ -240,8 +240,11 @@ object Sketches {
     import spark.implicits._
     val cents = Tables.load(spark, dir, "lineitem")
       .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
-    val mm = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-      count(lit(1)).as("n"))
+    // eager: the 1-row min/max/count frame feeds three consumers (hist
+    // binning, rank targets, exact lookup) — without it each broadcast
+    // re-runs the pass-1 scan, tripling the table reads.
+    val mm = Out.eager(cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+      count(lit(1)).as("n")))
     val hist = cents.crossJoin(broadcast(mm))
       .select(expr(s"(c - lo) * $QuantileBins DIV (hi - lo + 1)").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))

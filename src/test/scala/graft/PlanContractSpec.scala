@@ -131,4 +131,41 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"code table unexpectedly sort-merge joined:\n$plan")
   }
+
+  test("incremental dedup: batch probes the signature table; hot-cap broadcast") {
+    val df = operators.TextOps.incrementalDedup(spark, SparkT.Sf0001)
+    // every in-plan file read is the materialized index — the batch
+    // side enters as the checkpointed shingle frame (ExistingRDD), so
+    // the raw corpus is never re-scanned by the probe itself
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("graft_minhash_sig_")),
+      s"corpus side must scan only the signature table: ${files.mkString(", ")}")
+    val plan = planOf(df)
+    assert(plan.contains("ExistingRDD"),
+      s"batch side must be the checkpointed shingle frame:\n$plan")
+    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"hot-band cap must be a broadcast anti-join:\n$plan")
+  }
+
+  test("quantile sketch: single-scan histogram pass, broadcast bounds") {
+    val df = operators.Sketches.quantileSketch(spark, SparkT.Sf0001)
+    val plan = planOf(df)
+    // the 1-row min/max frame is checkpointed and BROADCAST to the
+    // binning pass — the row side must never shuffle for it
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds must broadcast to the binning pass:\n$plan")
+    // pass-2 histogram: map-side partial count before its exchange
+    assert(plan.contains("partial_count"),
+      s"histogram groupBy must combine map-side:\n$plan")
+    // the eager bounds frame enters the plan as a checkpointed RDD, so
+    // the FINAL plan re-reads lineitem only for binning + exact truth —
+    // three consumers of the bounds must NOT mean three more scans
+    // (count in the final AQE section only; the toString also embeds
+    // the pre-reuse initial plan)
+    val finalSection = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).length
+    assert(scans <= 2, s"expected <= 2 final-plan lineitem scans, got $scans:\n$plan")
+    assert(finalSection.contains("ExistingRDD"),
+      s"bounds frame must be the checkpointed 1-row RDD:\n$plan")
+  }
 }
