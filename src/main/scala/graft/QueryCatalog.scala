@@ -576,6 +576,28 @@ object QueryCatalog {
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
         ORDER BY doc_id""")),
 
+    // Per-token surprisal rounded then fixed to DECIMAL(20,6) before the
+    // weighted per-doc sum, so the aggregate is exact on both engines.
+    "q_doc_surprisal" -> Spec(
+      TextOps.surprisalScores,
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS dcnt
+               FROM tok GROUP BY doc_id, token),
+        vocab AS (SELECT token, CAST(sum(dcnt) AS BIGINT) AS cnt
+                  FROM dt GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        j AS (SELECT doc_id, dcnt,
+                     CAST(${rnd("log2(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS s
+              FROM dt JOIN vocab USING (token), tot),
+        p AS (SELECT doc_id, CAST(sum(dcnt) AS BIGINT) AS n_tokens,
+                     sum(dcnt * s) AS sumdec
+              FROM j GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               ${rnd("CAST(sumdec AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS mean_surprisal
+        FROM p ORDER BY doc_id""")),
+
     "q_doc_lang_stats" -> Spec(
       TextOps.langStats,
       Some {

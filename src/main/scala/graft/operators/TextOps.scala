@@ -133,6 +133,43 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
+  /** Per-document mean unigram surprisal — the corpus-statistics form of
+    * the perplexity quality filter a pretraining pipeline runs (docs
+    * whose tokens are uniformly rare or uniformly boilerplate sit at
+    * the tails): train unigram counts on the corpus itself, score each
+    * doc by mean −log₂ p(token) under that model.
+    *
+    * Scale shape: one explode → (doc, token) count groupBy (map-side
+    * combinable, checkpointed once for its two consumers), vocab =
+    * second groupBy over it (|vocab| rows, not |tokens|), then the
+    * surprisal join runs on per-doc token TYPES — the join input is
+    * already combined, so a 100-TB corpus joins |distinct(doc,token)|
+    * rows, not every token occurrence. Per-token surprisal is rounded
+    * then fixed to DECIMAL so the per-doc weighted sum is exact and
+    * associative (shuffle-order-immune; the cross-engine idiom of
+    * F.sumDecAsDouble).
+    */
+  def surprisalScores(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Out.eager(docsDistributed(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("dcnt")))
+    val vocab = dt.groupBy("token").agg(sum(col("dcnt")).as("cnt"))
+    val tot = Out.eager(vocab.agg(sum(col("cnt")).as("n_total")))
+    val s = F.roundHalfUp(
+      log2(col("n_total").cast("double") / col("cnt").cast("double")), 6)
+      .cast("decimal(20,6)")
+    val j = dt.join(vocab, Seq("token")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dcnt"), s.as("s"))
+    val p = j.groupBy("doc_id").agg(
+      sum(col("dcnt")).as("n_tokens"),
+      sum(col("dcnt") * col("s")).as("sumdec"))
+    val r = p.select(col("doc_id"), col("n_tokens"),
+      F.roundHalfUp(
+        col("sumdec").cast("double") / col("n_tokens").cast("double"), 4)
+        .as("mean_surprisal"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
   /** Per-document quality score (pretraining-data filtering heuristic):
     * a weighted blend of length band, stopword ratio band and
     * type-token ratio — the length/stopword/punct family of quality

@@ -119,6 +119,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("surprisal: per-doc mean matches a plain-Scala unigram recompute") {
+    val rows = TextOps.surprisalScores(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // split(_, " ", -1): Spark's split keeps trailing empty tokens
+    val vocab = docs.values.toSeq.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = vocab.values.sum.toDouble
+    def rnd(x: Double, s: Int) = {
+      val p = math.pow(10, s); math.floor(x * p + 0.5) / p
+    }
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      val sumDec = toks.map { t =>
+        BigDecimal(rnd(math.log(nTotal / vocab(t)) / math.log(2.0), 6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      // one 4th-decimal rounding step of slack: a doc sitting exactly on
+      // a .5 boundary can round differently from a 1-ulp log difference
+      val mine = rnd((sumDec / toks.length).toDouble, 4)
+      assert(math.abs(mine - r.getAs[Double]("mean_surprisal")) <= 2e-4,
+        s"doc ${r.getAs[Long]("doc_id")}: $mine vs ${r.getAs[Double]("mean_surprisal")}")
+    }
+  }
+
   test("incremental dedup: admission invariants + no cross-boundary pair escapes") {
     val rows = TextOps.incrementalDedup(spark, dir).collect()
     assert(rows.nonEmpty)
