@@ -32,24 +32,25 @@ object StreamSketch {
   private def cellsPath(dir: String) = s"$dir/cells"
   private def batchesPath(dir: String) = s"$dir/batches"
 
-  /** Cell-wise add `cells` into the sketch at `dir`, keyed by batchId
-    * for replay idempotency.
+  /** Generic staged-swap merge of a per-batch sketch frame into the
+    * running table at `table`, with the batch-id registry at `registry`
+    * — the shared two-phase skeleton of every mergeable-sketch sink.
     */
-  def mergeInto(cells: DataFrame, batchId: Long, dir: String): Unit = {
-    val spark = cells.sparkSession
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seen = fs.exists(new Path(batchesPath(dir))) &&
-      !spark.read.parquet(batchesPath(dir))
+  private def mergeSketch(incoming: DataFrame, batchId: Long,
+      table: String, registry: String)(
+      combine: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val spark = incoming.sparkSession
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen = fs.exists(new Path(registry)) &&
+      !spark.read.parquet(registry)
         .filter(col("batch_id") === batchId).isEmpty
     if (seen) return
 
-    val target = new Path(cellsPath(dir))
+    val target = new Path(table)
     val merged =
-      if (fs.exists(target))
-        spark.read.parquet(cellsPath(dir)).unionByName(cells)
-          .groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
-      else cells.select(col("d"), col("bucket"), col("cnt").cast("long").as("cnt"))
-    val staging = new Path(cellsPath(dir) + "__staging")
+      if (fs.exists(target)) combine(spark.read.parquet(table), incoming)
+      else incoming
+    val staging = new Path(table + "__staging")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(staging, target))
@@ -57,8 +58,51 @@ object StreamSketch {
 
     import spark.implicits._
     Seq(batchId).toDF("batch_id").write
-      .mode(SaveMode.Append).parquet(batchesPath(dir))
+      .mode(SaveMode.Append).parquet(registry)
   }
+
+  /** Cell-wise add `cells` into the sketch at `dir`, keyed by batchId
+    * for replay idempotency.
+    */
+  def mergeInto(cells: DataFrame, batchId: Long, dir: String): Unit =
+    mergeSketch(
+      cells.select(col("d"), col("bucket"), col("cnt").cast("long").as("cnt")),
+      batchId, cellsPath(dir), batchesPath(dir)) { (old, nw) =>
+      old.unionByName(nw).groupBy("d", "bucket").agg(sum(col("cnt")).as("cnt"))
+    }
+
+  /** Bucket-wise MAX-merge HLL registers into `dir` — the same staged
+    * swap + registry, but the combine is max, which is idempotent:
+    * even a double-merged batch cannot corrupt a register table (the
+    * registry is still kept so the replay contract matches the CMS
+    * path, and so a re-merge is skipped, not just harmless).
+    */
+  def mergeRegistersInto(regs: DataFrame, batchId: Long, dir: String): Unit =
+    mergeSketch(regs.select(col("bucket"), col("m")),
+      batchId, s"$dir/regs", s"$dir/regs_batches") { (old, nw) =>
+      old.unionByName(nw).groupBy("bucket").agg(max(col("m")).as("m"))
+    }
+
+  /** Streaming HLL distinct-count maintenance: NDJSON key landing →
+    * per-batch [[Sketches.hllRegisters]] → max-merge. The running state
+    * is ≤ [[Sketches.HllBuckets]] rows forever, no matter how many
+    * distinct keys stream through — the streaming form of the
+    * fixed-memory distinct-count contract.
+    */
+  def startHll(spark: SparkSession, landingDir: String, sketchDir: String,
+               checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(keySchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeRegistersInto(Sketches.hllRegisters(batch.select(col("key"))),
+          batchId, sketchDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Streaming job: NDJSON key landing → per-batch sketch → merge. */
   def start(spark: SparkSession, landingDir: String, sketchDir: String,

@@ -49,4 +49,35 @@ class StreamSketchSpec extends AnyFunSuite {
       Sketches.cmsCells(Seq(1L, 2L, 3L).toDF("key")), batchId = 0L, dir = sketch)
     assert(cellsOf(spark.read.parquet(s"$sketch/cells")) == batch)
   }
+
+  test("streamed HLL registers == batch registers; replayed ids skipped") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-hll-landing").toString
+    val sketch = Files.createTempDirectory("graft-hll-sketch").toString
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+
+    val keys = Tables.load(spark, SparkT.Sf0001, "orders")
+      .select(col("o_custkey").as("key")).as[Long].collect().toSeq
+    keys.grouped(math.max(1, keys.length / 3 + 1)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = new java.io.File(landing, s"keys_$i.json")
+        Files.writeString(f.toPath, chunk.map(k => s"""{"key":$k}""").mkString("\n"))
+        assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+
+    val q = StreamSketch.startHll(spark, landing, sketch, ckpt)
+    q.awaitTermination(120000L)
+
+    def regsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("m")).toMap
+
+    val streamed = regsOf(spark.read.parquet(s"$sketch/regs"))
+    val batch = regsOf(Sketches.hllRegisters(keys.toDF("key")))
+    assert(streamed == batch)
+
+    // replay: register table unchanged (and max-merge is idempotent anyway)
+    StreamSketch.mergeRegistersInto(
+      Sketches.hllRegisters(Seq(1L, 2L, 3L).toDF("key")), batchId = 0L, dir = sketch)
+    assert(regsOf(spark.read.parquet(s"$sketch/regs")) == batch)
+  }
 }
