@@ -236,6 +236,21 @@ object Sketches {
     * over distinct cent values (verify-side truth, like kmv's
     * countDistinct — the 256-row windows are driver-scale).
     */
+  /** Fixed-bounds histogram cells of a long `c` column — the streaming
+    * twin of [[quantileSketch]]'s pass 2: a stream cannot run the pass-1
+    * min/max first, so bounds come from configuration and out-of-range
+    * values clamp to the edge bins (standard streaming-histogram
+    * behavior; the edge cells double as outlier counters). Cells merge
+    * by addition, which is what StreamSketch.startHistogram exercises
+    * across micro-batches.
+    */
+  private[graft] def centsHistogram(cents: DataFrame, lo: Long, hi: Long): DataFrame =
+    cents.select(
+      least(greatest(
+        expr(s"(c - ${lo}L) * $QuantileBins DIV ${hi - lo + 1}L"), lit(0L)),
+        lit((QuantileBins - 1).toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = Tables.load(spark, dir, "lineitem")

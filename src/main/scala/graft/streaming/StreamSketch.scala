@@ -83,6 +83,41 @@ object StreamSketch {
       old.unionByName(nw).groupBy("bucket").agg(max(col("m")).as("m"))
     }
 
+  val centsSchema: StructType = StructType(Seq(StructField("c", LongType)))
+
+  /** Cell-wise add histogram cells into `dir` — quantile maintenance as
+    * the third instance of the staged-swap merge (combine = addition,
+    * exactly the CMS law on a 1-D key).
+    */
+  def mergeHistogramInto(cells: DataFrame, batchId: Long, dir: String): Unit =
+    mergeSketch(cells.select(col("bin"), col("cnt").cast("long").as("cnt")),
+      batchId, s"$dir/hist", s"$dir/hist_batches") { (old, nw) =>
+      old.unionByName(nw).groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    }
+
+  /** Streaming quantile-histogram maintenance over a long `c` landing:
+    * per-batch fixed-bounds binning ([[Sketches.centsHistogram]] —
+    * bounds are configuration, since a stream cannot two-pass) →
+    * cell-wise merge. Running state is ≤ [[Sketches.QuantileBins]] rows
+    * forever; percentile read-off is the batch query's interpolation
+    * over the merged cells.
+    */
+  def startHistogram(spark: SparkSession, landingDir: String, sketchDir: String,
+                     checkpointDir: String, lo: Long, hi: Long): StreamingQuery =
+    spark.readStream
+      .schema(centsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeHistogramInto(
+          Sketches.centsHistogram(batch.select(col("c")), lo, hi),
+          batchId, sketchDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming HLL distinct-count maintenance: NDJSON key landing →
     * per-batch [[Sketches.hllRegisters]] → max-merge. The running state
     * is ≤ [[Sketches.HllBuckets]] rows forever, no matter how many

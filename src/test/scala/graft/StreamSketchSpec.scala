@@ -80,4 +80,36 @@ class StreamSketchSpec extends AnyFunSuite {
       Sketches.hllRegisters(Seq(1L, 2L, 3L).toDF("key")), batchId = 0L, dir = sketch)
     assert(regsOf(spark.read.parquet(s"$sketch/regs")) == batch)
   }
+
+  test("streamed histogram == batch histogram over the same fixed bounds") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-hist-landing").toString
+    val sketch = Files.createTempDirectory("graft-hist-sketch").toString
+    val ckpt = Files.createTempDirectory("graft-hist-ckpt").toString
+
+    val cents = Tables.load(spark, SparkT.Sf0001, "lineitem")
+      .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS LONG) AS c")
+      .as[Long].collect().toSeq
+    // fixed bounds narrower than the data, so the clamp path is hit too
+    val (lo, hi) = (cents.min + 1000, cents.max - 1000)
+    cents.grouped(math.max(1, cents.length / 3 + 1)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = new java.io.File(landing, s"c_$i.json")
+        Files.writeString(f.toPath, chunk.map(c => s"""{"c":$c}""").mkString("\n"))
+        assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+
+    val q = StreamSketch.startHistogram(spark, landing, sketch, ckpt, lo, hi)
+    q.awaitTermination(120000L)
+
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+
+    val streamed = cellsOf(spark.read.parquet(s"$sketch/hist"))
+    val batch = cellsOf(Sketches.centsHistogram(cents.toDF("c"), lo, hi)
+      .select(col("bin"), col("cnt").cast("long").as("cnt")))
+    assert(streamed == batch)
+    assert(streamed.values.sum == cents.length) // clamped rows still counted
+    assert(streamed.keySet.max <= Sketches.QuantileBins - 1 && streamed.keySet.min >= 0)
+  }
 }
