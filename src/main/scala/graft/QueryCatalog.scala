@@ -702,6 +702,50 @@ object QueryCatalog {
               FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
         ORDER BY doc_id""")),
 
+    // BPE training unrolled: the oracle replays the SAME fixed number of
+    // merge rounds (TextOps.BpeRounds — the Lloyd convention) over the
+    // same self-delimited symbol strings, so greedy replace semantics
+    // and the (count desc, bytes asc) tie-break match byte-for-byte.
+    "q_bpe_train" -> Spec(
+      TextOps.bpeTrain,
+      Some {
+        val dd = "chr(1) || chr(1)"
+        val roundCtes = (0 until TextOps.BpeRounds).map { r =>
+          s"""p$r AS (
+            SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+            FROM (SELECT unnest([chr(1) || ws[i] || chr(1) || chr(1) || ws[i+1] || chr(1)
+                                 FOR i IN range(1, len(ws))]) AS pair, wcnt
+                  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), $dd) AS ws,
+                               wcnt
+                        FROM s$r))
+            GROUP BY pair),
+          b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+          s${r + 1} AS (
+            SELECT replace(sym, b$r.pair, replace(b$r.pair, $dd, '')) AS sym, wcnt
+            FROM s$r, b$r)"""
+        }.mkString(",\n")
+        val outRows = (0 until TextOps.BpeRounds).map { r =>
+          s"""SELECT $r AS merge_round, ls[1] AS left_sym, ls[2] AS right_sym,
+                     ls[1] || ls[2] AS merged, cnt AS pair_count
+              FROM (SELECT string_split(substr(pair, 2, len(pair) - 2), $dd) AS ls,
+                           cnt
+                    FROM b$r)"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+        WITH w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        s0 AS (
+          SELECT array_to_string([chr(1) || substr(word, i, 1) || chr(1)
+                                  FOR i IN range(1, len(word) + 1)], '') AS sym,
+                 wcnt
+          FROM w0),
+        $roundCtes
+        SELECT * FROM ($outRows)
+        ORDER BY merge_round"""
+      }),
+
     "q_doc_subwords" -> Spec(
       TextOps.subwordStats,
       Some(s"""

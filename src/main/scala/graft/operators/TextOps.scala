@@ -336,6 +336,65 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
+  /** Number of BPE merge rounds [[bpeTrain]] runs — FIXED so the oracle
+    * can unroll the identical rounds (the Lloyd-iteration convention).
+    */
+  val BpeRounds = 3
+
+  /** BPE tokenizer TRAINING over the corpus — [[BpeRounds]] greedy merge
+    * rounds in the fast-BPE formulation: pair statistics are computed
+    * over word TYPES weighted by word count, never over token
+    * occurrences, so each round is one groupBy of |vocab| rows no
+    * matter the corpus size. Output = the learned merge table (round,
+    * symbols, merged piece, weighted pair count).
+    *
+    * Symbols are SELF-DELIMITED in the working string (each wrapped in
+    * the control char U+0001), which makes sequential replace EXACT greedy
+    * left-to-right BPE: adjacent pair occurrences share no characters,
+    * so "aaaa" merges to [aa][aa], not [aa]a[a] — the subtlety that
+    * makes the merge expressible as codegen'd string ops on BOTH
+    * engines instead of a per-word fold. Each round: pair explode →
+    * map-side-combined weighted count → TakeOrdered(1) best pair
+    * (count desc, bytes asc — deterministic tie-break) → broadcast the
+    * 1-row winner into the replace. Nothing in the round is driver-side
+    * except the forced 1-row winner.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val pairsExpr =
+      """CASE WHEN size(ws) < 2 THEN array()
+         ELSE transform(sequence(1, size(ws) - 1),
+           i -> concat(char(1), element_at(ws, i), char(1),
+                       char(1), element_at(ws, i + 1), char(1))) END"""
+    var syms = docsDistributed(spark, dir)
+      .select(explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .select(expr(
+        """array_join(transform(sequence(1, length(word)),
+             i -> concat(char(1), substr(word, i, 1), char(1))), '')""")
+        .as("sym"), col("wcnt"))
+    val rounds = (0 until BpeRounds).map { r =>
+      val best = Out.eager(syms
+        .select(expr("split(substring(sym, 2, length(sym) - 2), char(1) || char(1))")
+          .as("ws"), col("wcnt"))
+        .select(explode(expr(pairsExpr)).as("p"), col("wcnt"))
+        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1))
+      syms = syms.crossJoin(broadcast(best.select(col("p").as("bp"))))
+        .select(expr("replace(sym, bp, replace(bp, char(1) || char(1), ''))")
+          .as("sym"), col("wcnt"))
+      best.select(lit(r).as("merge_round"),
+        expr("element_at(split(substring(p, 2, length(p) - 2), char(1) || char(1)), 1)")
+          .as("left_sym"),
+        expr("element_at(split(substring(p, 2, length(p) - 2), char(1) || char(1)), 2)")
+          .as("right_sym"),
+        expr("replace(substring(p, 2, length(p) - 2), char(1) || char(1), '')")
+          .as("merged"),
+        col("cnt").as("pair_count"))
+    }
+    Out.sorted(rounds.reduce(_ unionByName _))(col("merge_round"))
+  }
+
   /** BPE-ish subword tokenization stats: pieces = maximal runs of
     * letters / digits / single non-alphanumeric chars (the regex shape
     * of byte-pair pretokenizers), counted per document. Pure map.

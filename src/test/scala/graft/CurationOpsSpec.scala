@@ -147,6 +147,44 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe training: merge table matches a plain-Scala greedy recompute") {
+    val rows = TextOps.bpeTrain(spark, dir).collect()
+    assert(rows.length == TextOps.BpeRounds)
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var syms: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    def wrapped(a: String, b: String) = "\u0001" + a + "\u0001\u0001" + b + "\u0001"
+    for (r <- 0 until TextOps.BpeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      // engine tie-break is bytewise on the WRAPPED pair string
+      val ((la, rb), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, wrapped(a, b)) }
+      val row = rows(r)
+      assert(row.getAs[String]("left_sym") == la &&
+        row.getAs[String]("right_sym") == rb &&
+        row.getAs[String]("merged") == la + rb &&
+        row.getAs[Long]("pair_count") == cnt,
+        s"round $r: engine ${row} vs scala ($la,$rb,$cnt)")
+      // greedy left-to-right merge, then continue
+      syms = syms.toSeq.map { case (s, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == la && s(i + 1) == rb) {
+            out += la + rb; i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result() -> c
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+  }
+
   test("incremental dedup: admission invariants + no cross-boundary pair escapes") {
     val rows = TextOps.incrementalDedup(spark, dir).collect()
     assert(rows.nonEmpty)
