@@ -86,6 +86,41 @@ object QueryCatalog {
           FROM mh)"""
   }
 
+  private val bpeDD = "chr(1) || chr(1)"
+
+  // Shared unrolled-BPE CTE chain (word counts → self-delimited symbol
+  // strings → TextOps.BpeRounds greedy merge rounds), ending in
+  // b0..b{R-1} (per-round winners) and s{R} (the final word → pieces
+  // vocabulary). Used by q_bpe_train and q_bpe_encode.
+  private lazy val bpeCtes: String = {
+    val roundCtes = (0 until TextOps.BpeRounds).map { r =>
+      s"""p$r AS (
+        SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM (SELECT unnest([chr(1) || ws[i] || chr(1) || chr(1) || ws[i+1] || chr(1)
+                             FOR i IN range(1, len(ws))]) AS pair, wcnt
+              FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), $bpeDD) AS ws,
+                           wcnt
+                    FROM s$r))
+        GROUP BY pair),
+      b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      s${r + 1} AS (
+        SELECT word, replace(sym, b$r.pair, replace(b$r.pair, $bpeDD, '')) AS sym,
+               wcnt
+        FROM s$r, b$r)"""
+    }.mkString(",\n")
+    s"""w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        s0 AS (
+          SELECT word,
+                 array_to_string([chr(1) || substr(word, i, 1) || chr(1)
+                                  FOR i IN range(1, len(word) + 1)], '') AS sym,
+                 wcnt
+          FROM w0),
+        $roundCtes"""
+  }
+
   // Shared CTE chain of the banded-MinHash near-dup pipeline; ends in
   // `pairs` (confirmed near-dup pairs). Used by q_doc_minhash_neardup
   // and the clustering query.
@@ -709,42 +744,37 @@ object QueryCatalog {
     "q_bpe_train" -> Spec(
       TextOps.bpeTrain,
       Some {
-        val dd = "chr(1) || chr(1)"
-        val roundCtes = (0 until TextOps.BpeRounds).map { r =>
-          s"""p$r AS (
-            SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
-            FROM (SELECT unnest([chr(1) || ws[i] || chr(1) || chr(1) || ws[i+1] || chr(1)
-                                 FOR i IN range(1, len(ws))]) AS pair, wcnt
-                  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), $dd) AS ws,
-                               wcnt
-                        FROM s$r))
-            GROUP BY pair),
-          b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-          s${r + 1} AS (
-            SELECT replace(sym, b$r.pair, replace(b$r.pair, $dd, '')) AS sym, wcnt
-            FROM s$r, b$r)"""
-        }.mkString(",\n")
         val outRows = (0 until TextOps.BpeRounds).map { r =>
           s"""SELECT $r AS merge_round, ls[1] AS left_sym, ls[2] AS right_sym,
                      ls[1] || ls[2] AS merged, cnt AS pair_count
-              FROM (SELECT string_split(substr(pair, 2, len(pair) - 2), $dd) AS ls,
+              FROM (SELECT string_split(substr(pair, 2, len(pair) - 2), $bpeDD) AS ls,
                            cnt
                     FROM b$r)"""
         }.mkString("\nUNION ALL\n")
         s"""
-        WITH w0 AS (
-          SELECT word, CAST(count(*) AS BIGINT) AS wcnt
-          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-          WHERE word <> '' GROUP BY word),
-        s0 AS (
-          SELECT array_to_string([chr(1) || substr(word, i, 1) || chr(1)
-                                  FOR i IN range(1, len(word) + 1)], '') AS sym,
-                 wcnt
-          FROM w0),
-        $roundCtes
+        WITH $bpeCtes
         SELECT * FROM ($outRows)
         ORDER BY merge_round"""
       }),
+
+    // Encoding = a vocabulary join against the trained piece map, so the
+    // oracle reuses the identical unrolled rounds and joins docs by word.
+    "q_bpe_encode" -> Spec(
+      TextOps.bpeEncode,
+      Some(s"""
+        WITH $bpeCtes,
+        wp AS (SELECT word,
+                      CAST(len(string_split(substr(sym, 2, len(sym) - 2), $bpeDD)) AS BIGINT) AS n_pieces
+               FROM s${TextOps.BpeRounds}),
+        dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+                FROM dw JOIN wp USING (word)
+                WHERE word <> '' GROUP BY doc_id)
+        SELECT doc_id, n_words, n_pieces,
+               ${rnd("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS pieces_per_word
+        FROM per ORDER BY doc_id""")),
 
     "q_doc_subwords" -> Spec(
       TextOps.subwordStats,

@@ -360,29 +360,8 @@ object TextOps {
     * except the forced 1-row winner.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val pairsExpr =
-      """CASE WHEN size(ws) < 2 THEN array()
-         ELSE transform(sequence(1, size(ws) - 1),
-           i -> concat(char(1), element_at(ws, i), char(1),
-                       char(1), element_at(ws, i + 1), char(1))) END"""
-    var syms = docsDistributed(spark, dir)
-      .select(explode(toks).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("wcnt"))
-      .select(expr(
-        """array_join(transform(sequence(1, length(word)),
-             i -> concat(char(1), substr(word, i, 1), char(1))), '')""")
-        .as("sym"), col("wcnt"))
-    val rounds = (0 until BpeRounds).map { r =>
-      val best = Out.eager(syms
-        .select(expr("split(substring(sym, 2, length(sym) - 2), char(1) || char(1))")
-          .as("ws"), col("wcnt"))
-        .select(explode(expr(pairsExpr)).as("p"), col("wcnt"))
-        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
-        .orderBy(col("cnt").desc, col("p").asc).limit(1))
-      syms = syms.crossJoin(broadcast(best.select(col("p").as("bp"))))
-        .select(expr("replace(sym, bp, replace(bp, char(1) || char(1), ''))")
-          .as("sym"), col("wcnt"))
+    val (bests, _) = bpeLoop(spark, dir)
+    val rounds = bests.zipWithIndex.map { case (best, r) =>
       best.select(lit(r).as("merge_round"),
         expr("element_at(split(substring(p, 2, length(p) - 2), char(1) || char(1)), 1)")
           .as("left_sym"),
@@ -393,6 +372,70 @@ object TextOps {
         col("cnt").as("pair_count"))
     }
     Out.sorted(rounds.reduce(_ unionByName _))(col("merge_round"))
+  }
+
+  /** The shared [[BpeRounds]]-round greedy loop: returns each round's
+    * forced 1-row winner (p = wrapped pair, cnt) and the final
+    * (word, sym, wcnt) vocabulary with all merges applied — the merge
+    * table for [[bpeTrain]], the piece map for [[bpeEncode]].
+    */
+  private def bpeLoop(spark: SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) = {
+    val pairsExpr =
+      """CASE WHEN size(ws) < 2 THEN array()
+         ELSE transform(sequence(1, size(ws) - 1),
+           i -> concat(char(1), element_at(ws, i), char(1),
+                       char(1), element_at(ws, i + 1), char(1))) END"""
+    var syms = docsDistributed(spark, dir)
+      .select(explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .select(col("word"), expr(
+        """array_join(transform(sequence(1, length(word)),
+             i -> concat(char(1), substr(word, i, 1), char(1))), '')""")
+        .as("sym"), col("wcnt"))
+    val bests = (0 until BpeRounds).map { _ =>
+      val best = Out.eager(syms
+        .select(expr("split(substring(sym, 2, length(sym) - 2), char(1) || char(1))")
+          .as("ws"), col("wcnt"))
+        .select(explode(expr(pairsExpr)).as("p"), col("wcnt"))
+        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1))
+      syms = syms.crossJoin(broadcast(best.select(col("p").as("bp"))))
+        .select(col("word"),
+          expr("replace(sym, bp, replace(bp, char(1) || char(1), ''))").as("sym"),
+          col("wcnt"))
+      best
+    }
+    (bests, syms)
+  }
+
+  /** BPE ENCODING at corpus scale: apply the trained merges to every
+    * document and report per-doc piece statistics. The key scale move:
+    * tokenization happens once per word TYPE (the [[bpeLoop]] vocabulary
+    * already carries each word's final piece string), and documents
+    * join that piece map by word — a corpus is encoded by a
+    * vocabulary-sized join, never by re-running merges over every token
+    * occurrence. Output: words, pieces and pieces-per-word per doc (the
+    * fertility metric tokenizer evaluations report).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeLoop(spark, dir)
+    val pieceMap = vocab.select(col("word"),
+      expr("size(split(substring(sym, 2, length(sym) - 2), char(1) || char(1)))")
+        .cast("long").as("n_pieces"))
+    val dw = docsDistributed(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+    val r = dw.join(pieceMap, Seq("word"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        F.roundHalfUp(
+          col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+          .as("pieces_per_word"))
+    Out.sorted(r)(col("doc_id"))
   }
 
   /** BPE-ish subword tokenization stats: pieces = maximal runs of

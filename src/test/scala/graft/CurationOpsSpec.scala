@@ -183,6 +183,20 @@ class CurationOpsSpec extends AnyFunSuite {
         out.result() -> c
       }.groupMapReduce(_._1)(_._2)(_ + _)
     }
+    // encoding: per-doc piece counts must match the post-merge vocabulary
+    val pieceLen: Map[String, Long] =
+      syms.keys.map(v => v.mkString -> v.length.toLong).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val enc = TextOps.bpeEncode(spark, dir).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { e =>
+      val ws = docs(e.getAs[Long]("doc_id")).split(" ", -1).filter(_.nonEmpty)
+      assert(e.getAs[Long]("n_words") == ws.length)
+      assert(e.getAs[Long]("n_pieces") == ws.map(pieceLen).sum)
+      assert(e.getAs[Long]("n_pieces") >= e.getAs[Long]("n_words"))
+    }
   }
 
   test("incremental dedup: admission invariants + no cross-boundary pair escapes") {
