@@ -1267,6 +1267,27 @@ object QueryCatalog {
                CAST(count(*) FILTER (WHERE cluster <> label) AS BIGINT) AS n_moved
         FROM a2 GROUP BY cluster ORDER BY cluster""")),
 
+    // SemDeDup replayed: the oracle re-trains the same two unrolled
+    // Lloyd iterations, self-joins within the final cells only, and
+    // applies the same lowest-id-canonical removal rule.
+    "q_sem_dedup" -> Spec(
+      VectorOps.semDedup,
+      Some {
+        val sim = rnd("list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])", 6)
+        s"""
+        WITH $lloydCtes,
+        sp AS (
+          SELECT x.cluster AS cell, y.vec_id AS vec_id, $sim AS cos_sim
+          FROM a2 x JOIN a2 y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+        SELECT vec_id, cell,
+               CAST(count(*) AS BIGINT) AS n_better,
+               max(cos_sim) AS best_sim
+        FROM sp WHERE cos_sim >= ${VectorOps.NearDupCosine}
+        GROUP BY vec_id, cell
+        ORDER BY vec_id"""
+      }),
+
     "q_ann_ivf_trained" -> Spec(
       VectorOps.annIvfTrained,
       Some {

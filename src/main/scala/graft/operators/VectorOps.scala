@@ -302,6 +302,34 @@ object VectorOps {
     (centroids, assigned)
   }
 
+  /** Semantic dedup over the TRAINED quantizer cells (the SemDeDup
+    * recipe: cluster the embedding space, then compare pairs only
+    * WITHIN a cell — the cells bound the quadratic term, so corpus
+    * pair-comparison cost is Σ|cell|², never |corpus|²). A vector is
+    * flagged for removal iff some in-cell neighbor with a SMALLER id
+    * clears [[NearDupCosine]] — the deterministic lowest-id-canonical
+    * variant of the paper's keep-one-per-group rule (random or
+    * centroid-distance keeps would make the output seed-dependent and
+    * unverifiable cross-engine). Output: one row per removed vector
+    * with its cell, how many better-ranked near-dups it has, and the
+    * strongest similarity that condemned it.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = trainedIndex(spark, dir)
+    val a = assigned.select(col("cluster"), col("vec_id"), col("embedding"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cluster").as("cell"),
+        col("y.vec_id").as("vec_id"),
+        F.roundHalfUp(dot(col("x.embedding"), col("y.embedding")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= NearDupCosine)
+    val r = pairs.groupBy("vec_id", "cell")
+      .agg(count(lit(1)).as("n_better"), max(col("cos_sim")).as("best_sim"))
+    Out.sorted(r)(col("vec_id"))
+  }
+
   /** IVF search over the TRAINED quantizer — closes the loop between
     * [[ivfKmeans]] (which trains centroids) and [[annIvf]] (which probed
     * the label-seeded cells): queries rank the Lloyd centroids, probe

@@ -59,4 +59,29 @@ class IvfRecallSpec extends AnyFunSuite {
     // every query still gets a full top-k from its probed cell
     trained.foreach { case (_, s) => assert(s.size == k) }
   }
+
+  test("sem-dedup removals match a Scala recompute over the trained cells") {
+    val (_, assigned) = VectorOps.trainedIndex(spark, SparkT.Sf0001)
+    val vecs = assigned.select("cluster", "vec_id", "embedding").collect()
+      .map(r => (r.getAs[Number]("cluster").longValue, r.getAs[Long]("vec_id"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = vecs.groupBy(_._1).values.flatMap { cell =>
+      val sorted = cell.sortBy(_._2)
+      sorted.flatMap { case (_, id, e) =>
+        val sims = sorted.filter(_._2 < id).map { case (_, _, f) =>
+          rnd6(e.zip(f).map { case (a, b) => a * b }.sum)
+        }.filter(_ >= VectorOps.NearDupCosine)
+        if (sims.isEmpty) None else Some(id -> (sims.length.toLong, sims.max))
+      }
+    }.toMap
+    val got = VectorOps.semDedup(spark, SparkT.Sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_better"), r.getAs[Double]("best_sim"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, best)) =>
+      assert(got(id)._1 == n, s"vec $id n_better")
+      assert(math.abs(got(id)._2 - best) < 1e-9, s"vec $id best_sim")
+    }
+  }
 }
