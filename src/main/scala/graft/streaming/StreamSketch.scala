@@ -118,6 +118,37 @@ object StreamSketch {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Union∘sort∘take-k-merge KMV order statistics into `dir` — fourth
+    * instance of the staged-swap merge; with it every mergeable sketch
+    * family (CMS add, HLL max, histogram add, KMV take-k) has a
+    * streaming maintenance path.
+    */
+  def mergeKmvInto(sketch: DataFrame, batchId: Long, dir: String): Unit =
+    mergeSketch(sketch.select(col("u")),
+      batchId, s"$dir/kmv", s"$dir/kmv_batches") { (old, nw) =>
+      old.unionByName(nw).distinct()
+        .orderBy(col("u")).limit(Sketches.KmvK)
+    }
+
+  /** Streaming KMV distinct-count maintenance: per-batch k-minimum
+    * normalized hashes, merged by union∘sort∘take-k — running state is
+    * ≤ [[Sketches.KmvK]] doubles forever.
+    */
+  def startKmv(spark: SparkSession, landingDir: String, sketchDir: String,
+               checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(keySchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeKmvInto(Sketches.kmvSketch(batch.select(col("key"))),
+          batchId, sketchDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming HLL distinct-count maintenance: NDJSON key landing →
     * per-batch [[Sketches.hllRegisters]] → max-merge. The running state
     * is ≤ [[Sketches.HllBuckets]] rows forever, no matter how many

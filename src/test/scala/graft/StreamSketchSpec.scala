@@ -81,6 +81,32 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(regsOf(spark.read.parquet(s"$sketch/regs")) == batch)
   }
 
+  test("streamed KMV == batch KMV (union-sort-take-k merge in motion)") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-kmv-landing").toString
+    val sketch = Files.createTempDirectory("graft-kmv-sketch").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+
+    val keys = Tables.load(spark, SparkT.Sf0001, "orders")
+      .select(col("o_custkey").as("key")).as[Long].collect().toSeq
+    keys.grouped(math.max(1, keys.length / 3 + 1)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = new java.io.File(landing, s"keys_$i.json")
+        Files.writeString(f.toPath, chunk.map(k => s"""{"key":$k}""").mkString("\n"))
+        assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+
+    val q = StreamSketch.startKmv(spark, landing, sketch, ckpt)
+    q.awaitTermination(120000L)
+
+    val streamed = spark.read.parquet(s"$sketch/kmv")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    val batch = Sketches.kmvSketch(keys.toDF("key"))
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.length <= Sketches.KmvK)
+  }
+
   test("streamed histogram == batch histogram over the same fixed bounds") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-hist-landing").toString
