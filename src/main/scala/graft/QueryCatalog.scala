@@ -633,6 +633,29 @@ object QueryCatalog {
                ${rnd("CAST(sumdec AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS mean_surprisal
         FROM p ORDER BY doc_id""")),
 
+    // Scores rounded BEFORE ranking + token-byte tie-break → the top-k
+    // membership itself is deterministic, not just the score values.
+    "q_doc_keywords" -> Spec(
+      TextOps.docKeywords,
+      Some(s"""
+        WITH dt AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          WHERE token <> '' GROUP BY doc_id, token),
+        dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY token),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, token,
+                      ${rnd("tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))", 6)} AS score
+               FROM dt JOIN dft USING (token), n),
+        rk AS (SELECT doc_id, token, score,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS INTEGER) AS kw_rank
+               FROM sc)
+        SELECT doc_id, kw_rank, token, score FROM rk
+        WHERE kw_rank <= ${TextOps.KeywordsPerDoc}
+        ORDER BY doc_id, kw_rank""")),
+
     "q_doc_lang_stats" -> Spec(
       TextOps.langStats,
       Some {

@@ -336,6 +336,39 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
+  /** Keywords reported per document by [[docKeywords]]. */
+  val KeywordsPerDoc = 3
+
+  /** TF-IDF keyword extraction: the [[KeywordsPerDoc]] highest
+    * tf·ln(N/df) terms per document — the classic corpus-statistics
+    * keyword signal (topic tagging / index terms) over the same
+    * (doc, token) count frame the surprisal scorer uses. Scale shape:
+    * two map-side-combinable groupBys (term frequency per doc, document
+    * frequency per term), a vocab-sized join, and a per-doc window —
+    * partitioned by doc_id, so no global sort. Scores are rounded
+    * BEFORE ranking and ties break on the token bytes, which is what
+    * makes the top-k itself deterministic cross-engine, not just the
+    * score values.
+    */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val dt = docsDistributed(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dft = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Out.eager(docs(spark, dir).agg(count(lit(1)).as("n_docs")))
+    val score = F.roundHalfUp(
+      col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    val r = dt.join(dft, Seq("token")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), score.as("score"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("kw_rank"), col("token"), col("score"))
+    Out.sorted(r)(col("doc_id"), col("kw_rank"))
+  }
+
   /** Number of BPE merge rounds [[bpeTrain]] runs — FIXED so the oracle
     * can unroll the identical rounds (the Lloyd-iteration convention).
     */

@@ -147,6 +147,41 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keywords: reported tf-idf scores and top-k dominance vs Scala recompute") {
+    val rows = TextOps.docKeywords(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val df = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toDouble
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def scoreOf(id: Long, tok: String): Double =
+      rnd6(tf(id)(tok) * math.log(n / df(tok)))
+    val eps = 2e-6 // one 6th-decimal rounding step of ln-ulp slack
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("kw_rank"))
+      assert(sorted.map(_.getAs[Int]("kw_rank")).toSeq ==
+        (1 to sorted.length).toSeq)
+      sorted.foreach { r =>
+        assert(math.abs(r.getAs[Double]("score") -
+          scoreOf(id, r.getAs[String]("token"))) <= eps)
+      }
+      // dominance: nothing outside the reported top-k scores higher
+      val cut = sorted.last.getAs[Double]("score")
+      val reported = sorted.map(_.getAs[String]("token")).toSet
+      tf(id).keys.filterNot(reported).foreach { tok =>
+        assert(scoreOf(id, tok) <= cut + eps,
+          s"doc $id: $tok (${scoreOf(id, tok)}) beats reported cut $cut")
+      }
+    }
+  }
+
   test("bpe training: merge table matches a plain-Scala greedy recompute") {
     val rows = TextOps.bpeTrain(spark, dir).collect()
     assert(rows.length == TextOps.BpeRounds)
