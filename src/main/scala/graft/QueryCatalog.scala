@@ -2081,6 +2081,15 @@ object QueryCatalog {
                count(*) AS n_rows
         FROM lineitem GROUP BY 1 HAVING sku <= 200 ORDER BY sku""")),
 
+    "q_partitioned_roundtrip" -> Spec(
+      sources.SinkRoundTrips.partitionedRoundtrip,
+      Some(s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE strftime(l_shipdate, '%Y-%m') = '${sources.SinkRoundTrips.PartitionMonth}'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_xlsx_roundtrip" -> Spec(
       sources.SinkRoundTrips.xlsxRoundtrip,
       Some("""

@@ -90,6 +90,36 @@ object SinkRoundTrips {
     Out.sorted(spark.read.orc(path))(col("sku"))
   }
 
+  /** Month [[partitionedRoundtrip]] filters after the partitioned
+    * write — pinned so the oracle, the plan contract and the layout
+    * agree on the same directory.
+    */
+  val PartitionMonth = "1995-03"
+
+  /** Date-partitioned LAYOUT round trip + partition pruning — the
+    * 100-TB data-layout decision: a fact table written
+    * `partitionBy(ship_month)` turns every time-bounded query into a
+    * scan of only its matching directories, pruned at planning time
+    * before any file is opened. The builder rewrites lineitem into the
+    * monthly layout, reads it back with a one-month filter and
+    * aggregates; PlanContractSpec asserts the executed scan touched
+    * ONLY `ship_month=[[PartitionMonth]]` files (pruning proven on
+    * inputFiles, not inferred), while the oracle value-checks the
+    * filtered aggregate against the flat source.
+    */
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "part_month")
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    val back = spark.read.parquet(path)
+      .filter(col("ship_month") === PartitionMonth)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.F.sumDecAsDouble(col("l_quantity"), 4).as("sum_qty"))
+    Out.sorted(back)(col("l_returnflag"))
+  }
+
   /** The S6 writer under the S6 reader: the workbook import/export round
     * trip of the reference's pricebot sheet (PRICEBOT_SPEC_V2.md:114-121,
     * app/page.tsx:56-80) — export a priced frame as ONE workbook, read it

@@ -147,6 +147,33 @@ class PlanContractSpec extends AnyFunSuite {
       s"hot-band cap must be a broadcast anti-join:\n$plan")
   }
 
+  test("date-partitioned layout: the month filter prunes to its directory") {
+    val df = sources.SinkRoundTrips.partitionedRoundtrip(spark, SparkT.Sf0001)
+    df.collect()
+    // inputFiles reports the whole file index; pruning happens at the
+    // scan node — assert on the executed scan's partition selection
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps materialized stages in QueryStageExec nodes that plain
+    // collect() does not descend into — walk them explicitly
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no file scan found:\n${df.queryExecution.executedPlan}")
+    scans.foreach { s =>
+      assert(s.partitionFilters.map(_.toString)
+        .exists(_.contains(sources.SinkRoundTrips.PartitionMonth)),
+        s"month predicate must be a partition filter: ${s.partitionFilters}")
+      val parts = s.selectedPartitions
+      assert(parts.partitionCount == 1 && parts.totalNumberOfFiles >= 1,
+        s"scan must select exactly the one month directory, got ${parts.partitionCount}")
+    }
+  }
+
   test("quantile sketch: single-scan histogram pass, broadcast bounds") {
     val df = operators.Sketches.quantileSketch(spark, SparkT.Sf0001)
     val plan = planOf(df)
