@@ -216,26 +216,6 @@ object Sketches {
   val QuantileBins = 256
   val QuantilePcts: Seq[Int] = Seq(50, 90, 99)
 
-  /** Equi-width-histogram percentile sketch over lineitem prices — the
-    * two-pass fixed-memory alternative to a global sort for quantiles
-    * at 100 TB: pass 1 is a min/max agg (map-side combinable, two longs
-    * per partition), pass 2 bins every row into [[QuantileBins]] cells
-    * (one map-side-combinable groupBy; the histogram is 256 rows no
-    * matter the input size, and two histograms over the same [lo, hi]
-    * merge by plain cell addition). Percentile p is read off the
-    * cumulative histogram with linear interpolation inside the first
-    * bin whose cumulative count reaches rank ⌈p·n⌉ — the rank-t value
-    * itself lies in that bin, so the estimate is within one bin width
-    * of exact BY CONSTRUCTION (SketchesSpec pins the bound).
-    *
-    * Determinism: prices are fixed to integer CENTS (floor(x·100+0.5)),
-    * bin indices/bounds and target ranks are pure integer arithmetic
-    * (span·i DIV bins), and the only doubles are the final
-    * interpolation — the same expression text the oracle replays. The
-    * exact per-percentile value alongside comes from a cumulative count
-    * over distinct cent values (verify-side truth, like kmv's
-    * countDistinct — the 256-row windows are driver-scale).
-    */
   /** Fixed-bounds histogram cells of a long `c` column — the streaming
     * twin of [[quantileSketch]]'s pass 2: a stream cannot run the pass-1
     * min/max first, so bounds come from configuration and out-of-range
@@ -251,6 +231,29 @@ object Sketches {
         lit((QuantileBins - 1).toLong)).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
 
+  /** Equi-width-histogram percentile sketch over lineitem prices — the
+    * two-pass fixed-memory alternative to a global sort for quantiles
+    * at 100 TB: pass 1 is a min/max agg (map-side combinable, two longs
+    * per partition), pass 2 bins every row into [[QuantileBins]] cells
+    * (one map-side-combinable groupBy; the histogram is 256 rows no
+    * matter the input size, and two histograms over the same [lo, hi]
+    * merge by plain cell addition). Percentile p is read off the
+    * cumulative histogram with linear interpolation inside the first
+    * bin whose cumulative count reaches rank ⌈p·n⌉ — the rank-t value
+    * itself lies in that bin, so the estimate is within one bin width
+    * of exact BY CONSTRUCTION (SketchesSpec pins the bound).
+    *
+    * Determinism: prices are fixed to integer CENTS (floor(x·100+0.5)),
+    * bin indices/bounds and target ranks are pure integer arithmetic
+    * (span·i DIV bins), and the only doubles are the final
+    * interpolation — the same expression text the oracle replays. Two
+    * stages are NOT sketch-scale and are verify-side only: the
+    * cumulative read-off window (256 rows — trivial) and the exact
+    * per-percentile truth, a cumulative count over DISTINCT cent values
+    * in a single window partition — |distinct prices| rows, the same
+    * exactness-for-comparison role as kmv's countDistinct, and exactly
+    * the cost the sketch exists to avoid at scale.
+    */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = Tables.load(spark, dir, "lineitem")

@@ -104,19 +104,11 @@ object StreamSketch {
     */
   def startHistogram(spark: SparkSession, landingDir: String, sketchDir: String,
                      checkpointDir: String, lo: Long, hi: Long): StreamingQuery =
-    spark.readStream
-      .schema(centsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .json(landingDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeHistogramInto(
-          Sketches.centsHistogram(batch.select(col("c")), lo, hi),
-          batchId, sketchDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    startMerge(spark, landingDir, checkpointDir, centsSchema) { (batch, batchId) =>
+      mergeHistogramInto(
+        Sketches.centsHistogram(batch.select(col("c")), lo, hi),
+        batchId, sketchDir)
+    }
 
   /** Union∘sort∘take-k-merge KMV order statistics into `dir` — fourth
     * instance of the staged-swap merge; with it every mergeable sketch
@@ -136,18 +128,10 @@ object StreamSketch {
     */
   def startKmv(spark: SparkSession, landingDir: String, sketchDir: String,
                checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .schema(keySchema)
-      .option("maxFilesPerTrigger", 1)
-      .json(landingDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeKmvInto(Sketches.kmvSketch(batch.select(col("key"))),
-          batchId, sketchDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    startMerge(spark, landingDir, checkpointDir, keySchema) { (batch, batchId) =>
+      mergeKmvInto(Sketches.kmvSketch(batch.select(col("key"))),
+        batchId, sketchDir)
+    }
 
   /** Streaming HLL distinct-count maintenance: NDJSON key landing →
     * per-batch [[Sketches.hllRegisters]] → max-merge. The running state
@@ -157,15 +141,24 @@ object StreamSketch {
     */
   def startHll(spark: SparkSession, landingDir: String, sketchDir: String,
                checkpointDir: String): StreamingQuery =
+    startMerge(spark, landingDir, checkpointDir, keySchema) { (batch, batchId) =>
+      mergeRegistersInto(Sketches.hllRegisters(batch.select(col("key"))),
+        batchId, sketchDir)
+    }
+
+  /** The shared stream scaffold of every sketch-maintenance job: NDJSON
+    * landing → one file per micro-batch → the per-batch merge callback,
+    * drained with AvailableNow.
+    */
+  private def startMerge(spark: SparkSession, landingDir: String,
+      checkpointDir: String, schema: StructType)(
+      merge: (DataFrame, Long) => Unit): StreamingQuery =
     spark.readStream
-      .schema(keySchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .json(landingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeRegistersInto(Sketches.hllRegisters(batch.select(col("key"))),
-          batchId, sketchDir)
-      }
+      .foreachBatch(merge)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -173,15 +166,7 @@ object StreamSketch {
   /** Streaming job: NDJSON key landing → per-batch sketch → merge. */
   def start(spark: SparkSession, landingDir: String, sketchDir: String,
             checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .schema(keySchema)
-      .option("maxFilesPerTrigger", 1)
-      .json(landingDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeInto(Sketches.cmsCells(batch.select(col("key"))), batchId, sketchDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    startMerge(spark, landingDir, checkpointDir, keySchema) { (batch, batchId) =>
+      mergeInto(Sketches.cmsCells(batch.select(col("key"))), batchId, sketchDir)
+    }
 }

@@ -16,6 +16,18 @@ import graft.streaming.StreamSketch
 class StreamSketchSpec extends AnyFunSuite {
   private lazy val spark = SparkT.spark
 
+  /** Land `values` as 3 NDJSON files with deterministic mtimes so the
+    * AvailableNow drain sees a stable micro-batch order.
+    */
+  private def land(landing: String, field: String, values: Seq[Long]): Unit =
+    values.grouped(math.max(1, values.length / 3 + 1)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val f = new java.io.File(landing, s"chunk_$i.json")
+        Files.writeString(f.toPath,
+          chunk.map(v => s"""{"$field":$v}""").mkString("\n"))
+        assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+
   test("streamed sketch == batch sketch; replayed batch ids are skipped") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-cms-landing").toString
@@ -24,15 +36,10 @@ class StreamSketchSpec extends AnyFunSuite {
 
     val keys = Tables.load(spark, SparkT.Sf0001, "lineitem")
       .select(col("l_partkey").as("key")).as[Long].collect().toSeq
-    keys.grouped(math.max(1, keys.length / 3 + 1)).zipWithIndex.foreach {
-      case (chunk, i) =>
-        val f = new java.io.File(landing, s"keys_$i.json")
-        Files.writeString(f.toPath, chunk.map(k => s"""{"key":$k}""").mkString("\n"))
-        assert(f.setLastModified(1700000000000L + i * 60000L))
-    }
+    land(landing, "key", keys)
 
     val q = StreamSketch.start(spark, landing, sketch, ckpt)
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(120000L), "stream did not drain in time")
 
     def cellsOf(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
       df.collect().map(r => ((r.getAs[Int]("d"), r.getAs[Long]("bucket")),
@@ -58,15 +65,10 @@ class StreamSketchSpec extends AnyFunSuite {
 
     val keys = Tables.load(spark, SparkT.Sf0001, "orders")
       .select(col("o_custkey").as("key")).as[Long].collect().toSeq
-    keys.grouped(math.max(1, keys.length / 3 + 1)).zipWithIndex.foreach {
-      case (chunk, i) =>
-        val f = new java.io.File(landing, s"keys_$i.json")
-        Files.writeString(f.toPath, chunk.map(k => s"""{"key":$k}""").mkString("\n"))
-        assert(f.setLastModified(1700000000000L + i * 60000L))
-    }
+    land(landing, "key", keys)
 
     val q = StreamSketch.startHll(spark, landing, sketch, ckpt)
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(120000L), "stream did not drain in time")
 
     def regsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
       df.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("m")).toMap
@@ -89,15 +91,10 @@ class StreamSketchSpec extends AnyFunSuite {
 
     val keys = Tables.load(spark, SparkT.Sf0001, "orders")
       .select(col("o_custkey").as("key")).as[Long].collect().toSeq
-    keys.grouped(math.max(1, keys.length / 3 + 1)).zipWithIndex.foreach {
-      case (chunk, i) =>
-        val f = new java.io.File(landing, s"keys_$i.json")
-        Files.writeString(f.toPath, chunk.map(k => s"""{"key":$k}""").mkString("\n"))
-        assert(f.setLastModified(1700000000000L + i * 60000L))
-    }
+    land(landing, "key", keys)
 
     val q = StreamSketch.startKmv(spark, landing, sketch, ckpt)
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(120000L), "stream did not drain in time")
 
     val streamed = spark.read.parquet(s"$sketch/kmv")
       .collect().map(_.getDouble(0)).sorted.toSeq
@@ -118,15 +115,10 @@ class StreamSketchSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     // fixed bounds narrower than the data, so the clamp path is hit too
     val (lo, hi) = (cents.min + 1000, cents.max - 1000)
-    cents.grouped(math.max(1, cents.length / 3 + 1)).zipWithIndex.foreach {
-      case (chunk, i) =>
-        val f = new java.io.File(landing, s"c_$i.json")
-        Files.writeString(f.toPath, chunk.map(c => s"""{"c":$c}""").mkString("\n"))
-        assert(f.setLastModified(1700000000000L + i * 60000L))
-    }
+    land(landing, "c", cents)
 
     val q = StreamSketch.startHistogram(spark, landing, sketch, ckpt, lo, hi)
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(120000L), "stream did not drain in time")
 
     def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
