@@ -291,6 +291,92 @@ object QueryCatalog {
                  coalesce(alt_sizes, '') AS alt_sizes
           FROM cust c LEFT JOIN agg USING (c_custkey))"""
 
+  // Shared sketch oracles: each is used VERBATIM by a batch query and by
+  // its streaming-maintenance twin (q_*_stream) — the merge laws are
+  // exact, so the streamed sketch table equals the one-shot batch sketch
+  // and one SQL text checks both paths.
+  private lazy val kmvSql: String = {
+    val P = Sketches.P
+    val hv = s"(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
+    s"""
+    WITH kk AS (SELECT o_custkey AS key FROM orders),
+    u AS (SELECT DISTINCT ($hv / CAST($P AS DOUBLE)) AS u FROM kk
+          ORDER BY u LIMIT ${Sketches.KmvK}),
+    a AS (SELECT max(u) AS u_k, count(*) AS k FROM u),
+    t AS (SELECT count(DISTINCT key) AS true_distinct FROM kk)
+    SELECT k, ${rnd("u_k", 6)} AS u_k,
+           ${rnd("(k - 1) / u_k", 2)} AS kmv_estimate,
+           true_distinct,
+           ${rnd("abs((k - 1) / u_k - true_distinct) / true_distinct", 4)} AS rel_error
+    FROM a, t"""
+  }
+
+  private lazy val hllSql: String = {
+    val P = Sketches.P
+    val m = Sketches.HllBuckets
+    val maxRho = Sketches.HllMaxRho
+    val pow = 1L << maxRho
+    val num = Sketches.HllNumerator
+    val thr = 2.5 * m
+    val hv = s"(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
+    s"""
+    WITH kk AS (SELECT o_custkey AS key FROM orders),
+    b AS (SELECT hv % $m AS bucket, hv // $m AS w
+          FROM (SELECT $hv AS hv FROM kk)),
+    r AS (SELECT bucket,
+                 max(CASE WHEN w = 0 THEN $maxRho
+                          ELSE bit_count((w & -w) - 1) + 1 END) AS m
+          FROM b GROUP BY bucket),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
+                 CAST(sum(CAST(1 AS BIGINT) << ($maxRho - m)) AS BIGINT) AS s_present
+          FROM r),
+    t AS (SELECT count(DISTINCT key) AS true_distinct FROM kk),
+    s AS (SELECT n_registers_used,
+                 s_present + ($m - n_registers_used) * $pow AS harmonic_scaled,
+                 true_distinct
+          FROM a, t),
+    e AS (SELECT *,
+                 CASE WHEN $num / CAST(harmonic_scaled AS DOUBLE) <= $thr
+                           AND n_registers_used < $m
+                      THEN $m * ln($m / CAST($m - n_registers_used AS DOUBLE))
+                      ELSE $num / CAST(harmonic_scaled AS DOUBLE) END AS est
+          FROM s)
+    SELECT n_registers_used, harmonic_scaled,
+           ${rnd("est", 2)} AS hll_estimate, true_distinct,
+           ${rnd("abs(est - true_distinct) / true_distinct", 4)} AS rel_error
+    FROM e"""
+  }
+
+  private lazy val cmsSql: String = {
+    val P = Sketches.P
+    val W = Sketches.Width
+    def bucketList(hv: String) = Sketches.cmsParams
+      .map { case (a, b) => s"($a * $hv + $b) % $P % $W" }
+      .mkString("[", ", ", "]")
+    val hv = s"CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P"
+    s"""
+    WITH k AS (SELECT l_partkey AS key FROM lineitem),
+    h AS (SELECT key, $hv AS hv FROM k),
+    cellrows AS (
+      SELECT unnest(${bucketList("hv")}) AS bucket,
+             generate_subscripts(${bucketList("hv")}, 1) AS d
+      FROM h),
+    cells AS (SELECT d, bucket, count(*) AS cnt FROM cellrows GROUP BY d, bucket),
+    tt AS (SELECT key, count(*) AS true_count FROM k GROUP BY key
+           ORDER BY true_count DESC, key LIMIT ${Sketches.TopN}),
+    pr AS (
+      SELECT key, true_count,
+             unnest(${bucketList("hv")}) AS bucket,
+             generate_subscripts(${bucketList("hv")}, 1) AS d
+      FROM (SELECT key, true_count, $hv AS hv FROM tt)),
+    est AS (
+      SELECT key, true_count, min(cnt) AS cms_estimate
+      FROM pr JOIN cells USING (d, bucket) GROUP BY key, true_count)
+    SELECT key, true_count, cms_estimate,
+           cms_estimate >= true_count AS never_undercounts
+    FROM est ORDER BY true_count DESC, key"""
+  }
+
   val specs: Map[String, Spec] = Map(
 
     "q_pricing_summary" -> Spec(
@@ -1146,65 +1232,126 @@ object QueryCatalog {
         FROM c"""
       }),
 
-    "q_kmv_distinct" -> Spec(
-      Sketches.kmvDistinct,
+    "q_kmv_distinct" -> Spec(Sketches.kmvDistinct, Some(kmvSql)),
+
+    // The STREAMING maintenance paths, oracle-checked on their streamed
+    // results: the engine lands the table as NDJSON micro-batches, runs
+    // the AvailableNow maintenance job to completion, and reads the
+    // RUNNING sketch table back. The merges are exact (cell add /
+    // register max / union-sort-take-k / cell add), so the streamed
+    // sketch equals the one-shot batch sketch and each stream row
+    // shares its batch twin's oracle verbatim.
+    "q_kmv_stream" -> Spec(streaming.StreamOracle.kmvStream, Some(kmvSql)),
+    "q_hll_stream" -> Spec(streaming.StreamOracle.hllStream, Some(hllSql)),
+    "q_cms_stream" -> Spec(streaming.StreamOracle.cmsStream, Some(cmsSql)),
+
+    // Fixed-bounds histogram maintenance: bounds are configuration (a
+    // stream cannot two-pass), so the oracle replays the clamped binning
+    // with the same embedded [lo, hi] literals; percentile read-off and
+    // the exact-rank truth match the batch sketch's arithmetic.
+    "q_histogram_stream" -> Spec(
+      streaming.StreamOracle.histogramStream,
       Some {
-        val P = Sketches.P
-        val hv = s"(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
+        val bins = Sketches.QuantileBins
+        val pcts = Sketches.QuantilePcts.mkString("[", ", ", "]")
+        val lo = Sketches.StreamHistLoCents
+        val hi = Sketches.StreamHistHiCents
+        val span = hi - lo + 1
         s"""
-        WITH kk AS (SELECT o_custkey AS key FROM orders),
-        u AS (SELECT DISTINCT ($hv / CAST($P AS DOUBLE)) AS u FROM kk
-              ORDER BY u LIMIT ${Sketches.KmvK}),
-        a AS (SELECT max(u) AS u_k, count(*) AS k FROM u),
-        t AS (SELECT count(DISTINCT key) AS true_distinct FROM kk)
-        SELECT k, ${rnd("u_k", 6)} AS u_k,
-               ${rnd("(k - 1) / u_k", 2)} AS kmv_estimate,
-               true_distinct,
-               ${rnd("abs((k - 1) / u_k - true_distinct) / true_distinct", 4)} AS rel_error
-        FROM a, t"""
+        WITH c0 AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+                    FROM lineitem),
+        hist AS (SELECT least(greatest((c - $lo) * $bins // $span, 0), ${bins - 1}) AS bin,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM c0 GROUP BY 1),
+        nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        ch AS (SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cm
+               FROM hist),
+        tg AS (SELECT pct, n, (n * pct + 99) // 100 AS t
+               FROM (SELECT unnest($pcts) AS pct), nn),
+        pick AS (SELECT pct, n, t, min(bin) AS bin
+                 FROM tg JOIN ch ON cm >= t
+                 GROUP BY pct, n, t),
+        pe AS (SELECT p.*, c.cnt, c.cm - c.cnt AS cumb,
+                      $lo + $span * bin // $bins AS bl,
+                      $lo + $span * (bin + 1) // $bins AS bh
+               FROM pick p JOIN ch c USING (bin)),
+        est AS (SELECT pct, t, n,
+                       (CAST(bl AS DOUBLE) + CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE) * CAST(bh - bl AS DOUBLE)) / 100.0 AS est_raw
+                FROM pe),
+        vc AS (SELECT c, CAST(sum(vcnt) OVER (ORDER BY c) AS BIGINT) AS vcum
+               FROM (SELECT c, count(*) AS vcnt FROM c0 GROUP BY c)),
+        ex AS (SELECT pct, min(c) AS exact_cents
+               FROM (SELECT pct, t FROM tg) g JOIN vc ON vcum >= t
+               GROUP BY pct)
+        SELECT e.pct, t AS target_rank, n AS n_rows,
+               ${rnd("est_raw", 4)} AS est_price,
+               CAST(exact_cents AS DOUBLE) / 100.0 AS exact_price,
+               ${rnd("abs(est_raw - CAST(exact_cents AS DOUBLE) / 100.0)", 4)} AS abs_err
+        FROM est e JOIN ex USING (pct)
+        ORDER BY pct"""
       }),
+
+    // Streaming exact dedup, projected to the arrival-order-free key
+    // set: the oracle is the distinct normalized-bag-of-words hash.
+    "q_dedup_stream" -> Spec(
+      streaming.StreamOracle.dedupStream,
+      Some("""
+        SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash
+        FROM documents ORDER BY bow_hash""")),
+
+    // Streaming MinHash near-dup pairs: the oracle replays the banding
+    // plus the ONLINE bucket rule — within a bucket, docs take arrival
+    // positions (constant landing event time => doc_id order) and a pair
+    // emits iff the later doc arrived while the bucket was below the
+    // residency cap; exact Jaccard confirms. One row per shared band
+    // (the stream's at-least-once-per-band contract). band_idx - 1:
+    // generate_subscripts is 1-based, the engine's posexplode 0-based.
+    "q_neardup_stream" -> Spec(
+      streaming.StreamOracle.neardupStream,
+      Some(s"""
+        WITH ${minhashSigCtes()},
+        rk AS (SELECT doc_id, band_idx, band_hash,
+                      row_number() OVER (PARTITION BY band_idx, band_hash
+                        ORDER BY doc_id) AS rn
+               FROM bands),
+        pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      CAST(x.band_idx - 1 AS INTEGER) AS band_idx
+               FROM rk x JOIN rk y
+                 ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                AND x.doc_id < y.doc_id
+               WHERE y.rn <= ${TextOps.MaxBandFrequency}),
+        j AS (SELECT doc_a, doc_b, band_idx,
+                     ${rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)", 6)} AS jaccard
+              FROM pr JOIN base a ON doc_a = a.doc_id
+                      JOIN base b ON doc_b = b.doc_id)
+        SELECT doc_a, doc_b, band_idx, jaccard FROM j
+        WHERE jaccard >= ${TextOps.JaccardThreshold}
+        ORDER BY doc_a, doc_b, band_idx""")),
+
+    // Streaming tumbling windows: batch aggregation restricted to the
+    // windows the final watermark finalized (wm = ms-floored max event
+    // time minus the delay; a window is emitted once its end <= wm).
+    "q_windows_stream" -> Spec(
+      streaming.StreamOracle.windowsStream,
+      Some(s"""
+        WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events),
+        wm AS (SELECT (max(us) // 1000 - ${2L * 3600L * 1000L}) * 1000 AS w FROM e),
+        g AS (SELECT time_bucket(INTERVAL '1 hour', t) AS ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM e GROUP BY 1, 2)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, n_events
+        FROM g, wm
+        WHERE epoch_us(ws) + ${3600L * 1000000L} <= w
+        ORDER BY window_start, event_type""")),
 
     // HLL registers replayed in SQL: same 60-bit hash, LSB-rank rho in
     // pure integer arithmetic, harmonic sum kept scaled-integer so the
     // only doubles are the final division + linear-counting branch (the
     // numerator literal is computed once in Scala and embedded in both).
-    "q_hll_distinct" -> Spec(
-      Sketches.hllDistinct,
-      Some {
-        val P = Sketches.P
-        val m = Sketches.HllBuckets
-        val maxRho = Sketches.HllMaxRho
-        val pow = 1L << maxRho
-        val num = Sketches.HllNumerator
-        val thr = 2.5 * m
-        val hv = s"(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P)"
-        s"""
-        WITH kk AS (SELECT o_custkey AS key FROM orders),
-        b AS (SELECT hv % $m AS bucket, hv // $m AS w
-              FROM (SELECT $hv AS hv FROM kk)),
-        r AS (SELECT bucket,
-                     max(CASE WHEN w = 0 THEN $maxRho
-                              ELSE bit_count((w & -w) - 1) + 1 END) AS m
-              FROM b GROUP BY bucket),
-        a AS (SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
-                     CAST(sum(CAST(1 AS BIGINT) << ($maxRho - m)) AS BIGINT) AS s_present
-              FROM r),
-        t AS (SELECT count(DISTINCT key) AS true_distinct FROM kk),
-        s AS (SELECT n_registers_used,
-                     s_present + ($m - n_registers_used) * $pow AS harmonic_scaled,
-                     true_distinct
-              FROM a, t),
-        e AS (SELECT *,
-                     CASE WHEN $num / CAST(harmonic_scaled AS DOUBLE) <= $thr
-                               AND n_registers_used < $m
-                          THEN $m * ln($m / CAST($m - n_registers_used AS DOUBLE))
-                          ELSE $num / CAST(harmonic_scaled AS DOUBLE) END AS est
-              FROM s)
-        SELECT n_registers_used, harmonic_scaled,
-               ${rnd("est", 2)} AS hll_estimate, true_distinct,
-               ${rnd("abs(est - true_distinct) / true_distinct", 4)} AS rel_error
-        FROM e"""
-      }),
+    "q_hll_distinct" -> Spec(Sketches.hllDistinct, Some(hllSql)),
 
     // Histogram quantiles replayed in SQL: integer cents, integer bin
     // and rank arithmetic (// == Spark's DIV), doubles only in the final
@@ -1249,37 +1396,7 @@ object QueryCatalog {
         ORDER BY pct"""
       }),
 
-    "q_cms_heavy_hitters" -> Spec(
-      Sketches.cmsHeavyHitters,
-      Some {
-        val P = Sketches.P
-        val W = Sketches.Width
-        def bucketList(hv: String) = Sketches.cmsParams
-          .map { case (a, b) => s"($a * $hv + $b) % $P % $W" }
-          .mkString("[", ", ", "]")
-        val hv = s"CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % $P"
-        s"""
-        WITH k AS (SELECT l_partkey AS key FROM lineitem),
-        h AS (SELECT key, $hv AS hv FROM k),
-        cellrows AS (
-          SELECT unnest(${bucketList("hv")}) AS bucket,
-                 generate_subscripts(${bucketList("hv")}, 1) AS d
-          FROM h),
-        cells AS (SELECT d, bucket, count(*) AS cnt FROM cellrows GROUP BY d, bucket),
-        tt AS (SELECT key, count(*) AS true_count FROM k GROUP BY key
-               ORDER BY true_count DESC, key LIMIT ${Sketches.TopN}),
-        pr AS (
-          SELECT key, true_count,
-                 unnest(${bucketList("hv")}) AS bucket,
-                 generate_subscripts(${bucketList("hv")}, 1) AS d
-          FROM (SELECT key, true_count, $hv AS hv FROM tt)),
-        est AS (
-          SELECT key, true_count, min(cnt) AS cms_estimate
-          FROM pr JOIN cells USING (d, bucket) GROUP BY key, true_count)
-        SELECT key, true_count, cms_estimate,
-               cms_estimate >= true_count AS never_undercounts
-        FROM est ORDER BY true_count DESC, key"""
-      }),
+    "q_cms_heavy_hitters" -> Spec(Sketches.cmsHeavyHitters, Some(cmsSql)),
 
     "q_ivf_kmeans" -> Spec(
       VectorOps.ivfKmeans,

@@ -119,7 +119,18 @@ object Sketches {
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.load(spark, dir, "orders")
       .select(col("o_custkey").as("key"))
-    val uk = kmvSketch(keys).agg(max(col("u")).as("u_k"), count(lit(1)).as("k"))
+    kmvReport(keys, kmvSketch(keys))
+  }
+
+  /** The KMV estimate read-off over an ALREADY-BUILT sketch frame (`u`
+    * column) — shared by the batch query and the streaming-maintenance
+    * oracle query (q_kmv_stream), whose sketch comes from the
+    * union∘sort∘take-k merge of per-micro-batch sketches. The merge is
+    * EXACT (the k smallest distinct hashes of a union are the k smallest
+    * of the merged k-min sets), so both paths hash-match one oracle.
+    */
+  private[graft] def kmvReport(keys: DataFrame, sk: DataFrame): DataFrame = {
+    val uk = sk.agg(max(col("u")).as("u_k"), count(lit(1)).as("k"))
     val truth = keys.agg(countDistinct(col("key")).as("true_distinct"))
     val r = uk.crossJoin(truth).select(
       col("k"),
@@ -183,7 +194,18 @@ object Sketches {
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.load(spark, dir, "orders")
       .select(col("o_custkey").as("key"))
-    val agg = hllRegisters(keys).agg(
+    hllReport(keys, hllRegisters(keys))
+  }
+
+  /** The HLL estimate read-off over an ALREADY-BUILT register frame
+    * (bucket, m) — shared by the batch query and the streaming-
+    * maintenance oracle query (q_hll_stream). Bucket-wise max-merge of
+    * per-batch registers is EXACT (max is associative/commutative/
+    * idempotent), so the streamed register table equals the one-shot
+    * batch registers and both paths hash-match one oracle.
+    */
+  private[graft] def hllReport(keys: DataFrame, regs: DataFrame): DataFrame = {
+    val agg = regs.agg(
       count(lit(1)).as("n_registers_used"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRho - m)")).as("s_present"))
     val truth = keys.agg(countDistinct(col("key")).as("true_distinct"))
@@ -230,6 +252,70 @@ object Sketches {
         expr(s"(c - ${lo}L) * $QuantileBins DIV ${hi - lo + 1}L"), lit(0L)),
         lit((QuantileBins - 1).toLong)).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Fixed histogram bounds (integer cents) of the STREAMING quantile
+    * maintenance path: a stream cannot run the batch min/max pass first,
+    * so bounds are configuration. Sized to the lineitem price domain
+    * (~901..105000 dollars at every SF) with the low edge INSIDE the
+    * data range, so the q_histogram_stream row also proves the clamp
+    * path: below-range cents land in edge bin 0, which doubles as the
+    * outlier counter.
+    */
+  val StreamHistLoCents = 100000L
+  val StreamHistHiCents = 10500000L
+
+  /** Percentile read-off over an ALREADY-BUILT fixed-bounds histogram
+    * cell frame (bin, cnt) — the streaming twin of [[quantileSketch]]'s
+    * read-off, shared arithmetic, plus the same exact-rank truth
+    * computed from the full `cents` frame for the hash-checked error
+    * column. Cell addition is an exact merge, so the streamed histogram
+    * equals the one-shot batch histogram over the same [lo, hi] and the
+    * oracle replays it deterministically. Clamped edge bins interpolate
+    * over their NOMINAL [bl, bh) span (the histogram cannot know how far
+    * out-of-range its edge mass sits) — still deterministic, and the
+    * honest fixed-bounds tradeoff the scaladoc'd est-vs-exact columns
+    * surface.
+    */
+  private[graft] def histogramPercentiles(cents: DataFrame, cells: DataFrame,
+      lo: Long, hi: Long): DataFrame = {
+    import cents.sparkSession.implicits._
+    val span = hi - lo + 1
+    val hist = cells.select(col("bin"), col("cnt").cast("long").as("cnt"))
+    val nRow = hist.agg(sum(col("cnt")).as("n"))
+    val wb = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(wb).as("cum"))
+      .withColumn("cumb", col("cum") - col("cnt"))
+    val targets = QuantilePcts.toDF("pct").crossJoin(broadcast(nRow))
+      .select(col("pct"), col("n"), expr("(n * pct + 99) DIV 100").as("t"))
+    val picked = targets.join(broadcast(cum), col("cum") >= col("t"))
+      .groupBy("pct", "n", "t")
+      .agg(min(col("bin")).as("bin"))
+      .join(broadcast(cum), Seq("bin"))
+    val est = picked
+      .withColumn("bl", lit(lo) + expr(s"${span}L * bin DIV $QuantileBins"))
+      .withColumn("bh", lit(lo) + expr(s"${span}L * (bin + 1) DIV $QuantileBins"))
+      .withColumn("est_raw",
+        (col("bl").cast("double") +
+          (col("t") - col("cumb")).cast("double") / col("cnt").cast("double") *
+            (col("bh") - col("bl")).cast("double")) / 100.0)
+    val vw = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val valCum = cents.groupBy("c").agg(count(lit(1)).as("vcnt"))
+      .select(col("c"), sum(col("vcnt")).over(vw).as("vcum"))
+    val exact = targets.select(col("pct"), col("t"))
+      .join(valCum, col("vcum") >= col("t"))
+      .groupBy("pct").agg(min(col("c")).as("exact_cents"))
+    val r = est.join(broadcast(exact), Seq("pct"))
+      .withColumn("exact_price", col("exact_cents").cast("double") / 100.0)
+      .select(col("pct"), col("t").as("target_rank"), col("n").as("n_rows"),
+        graft.functions.F.roundHalfUp(col("est_raw"), 4).as("est_price"),
+        col("exact_price"),
+        graft.functions.F.roundHalfUp(abs(col("est_raw") - col("exact_price")), 4)
+          .as("abs_err"))
+    Out.sorted(r)(col("pct"))
+  }
 
   /** Equi-width-histogram percentile sketch over lineitem prices — the
     * two-pass fixed-memory alternative to a global sort for quantiles
@@ -376,10 +462,16 @@ object Sketches {
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.load(spark, dir, "lineitem")
       .select(col("l_partkey").as("key"))
-    val h = keyHash(col("key"))
+    cmsTopEstimates(keys, cmsCells(keys))
+  }
 
-    val cells = cmsCells(keys)
-
+  /** The heavy-hitter probe over an ALREADY-BUILT cell frame — shared by
+    * the batch query and the streaming-maintenance oracle query
+    * (q_cms_stream). Cell-wise addition is an exact merge, so the
+    * streamed cells equal the one-shot batch sketch and both paths
+    * hash-match one oracle.
+    */
+  private[graft] def cmsTopEstimates(keys: DataFrame, cells: DataFrame): DataFrame = {
     // orderBy+limit plans as TakeOrderedAndProject: per-partition partial
     // top-N, no single-partition global window
     val trueTop = keys.groupBy("key").agg(count(lit(1)).as("true_count"))

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.{Out, Tables}
+import graft.operators.{Sketches, TextOps}
+
+/** Driver-oracle entry points for the STREAMING maintenance paths —
+  * the q_event_sessions_stream recipe (Sessions.eventSessionsStream)
+  * generalized: land the input table as NDJSON micro-batch files, run
+  * the streaming job to completion with AvailableNow, and return the
+  * final state / emitted output as a batch frame the DuckDB oracle
+  * hashes. With these, every streaming construct (sketch maintenance,
+  * dedup, near-dup, windows, sessions) is checked by the driver gate on
+  * its streamed result itself, not only by spec-pinned batch twins.
+  *
+  * Determinism contracts, per family:
+  *   - CMS / HLL / histogram / KMV: the per-batch merge laws (cell add,
+  *     register max, cell add, union∘sort∘take-k) are EXACT, so the
+  *     final sketch is independent of micro-batch boundaries and order —
+  *     the streamed result hash-matches the one-shot batch sketch oracle
+  *     no matter how the file source schedules the landing files.
+  *   - Exact dedup: output is projected to the dedup KEY ONLY (which
+  *     doc carried a key first is arrival-order dependent; the key set
+  *     is not).
+  *   - MinHash near-dup: documents land with ONE constant event time, so
+  *     the watermark can never drop a bucket or a row mid-stream
+  *     ([[constTs]]); the emitted pair set is then arrival-order
+  *     independent as long as no band bucket exceeds
+  *     [[TextOps.MaxBandFrequency]] residents (max observed bucket: 3
+  *     docs at sf0.01, 13 at sf0.1, cap 50) — the oracle replays the
+  *     positional cap rule exactly, and the timeout/suppression paths
+  *     stay pinned by StreamNearDupSpec.
+  *   - Event windows: the landing preserves microsecond event times in
+  *     ONE file (one data batch, so no discovery-order watermark
+  *     artifact — Sessions' landing rule), and the oracle restricts the
+  *     batch aggregation to windows the final watermark finalized.
+  */
+object StreamOracle {
+
+  /** Landing files per table = micro-batches per run (maxFilesPerTrigger
+    * is 1 in every stream job here).
+    */
+  val LandingFiles = 4
+
+  /** The constant event time documents land with (see class doc). */
+  val ConstTs = "2024-01-01 00:00:00"
+
+  private def constTs = lit(ConstTs).cast("timestamp").as("ts")
+
+  /** Fresh per-(tmpdir, corpus-dir) working root, wiped at the start of
+    * each call so repeated verify/bench invocations reuse one location
+    * instead of leaking a landing copy per call.
+    */
+  private def freshTmp(spark: SparkSession, dir: String, tag: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_${tag}_q_$digest").toString
+    val hp = new Path(tmp)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    tmp
+  }
+
+  private def drain(q: StreamingQuery, what: String): Unit =
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(s"$what stream did not finish")
+    }
+
+  /** Land a single-column long frame as [[LandingFiles]] NDJSON files. */
+  private def landKeys(df: DataFrame, landing: String): Unit =
+    df.repartition(LandingFiles).write.json(landing)
+
+  /** q_cms_stream: stream lineitem part keys through the CMS maintenance
+    * job, then probe the RUNNING cell table with the true top-N keys —
+    * the batch heavy-hitter read-off over the streamed sketch.
+    */
+  def cmsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "cms")
+    val keys = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("key"))
+    landKeys(keys, s"$tmp/landing")
+    drain(StreamSketch.start(spark, s"$tmp/landing", s"$tmp/sketch", s"$tmp/ckpt"),
+      "cms")
+    Sketches.cmsTopEstimates(keys, spark.read.parquet(s"$tmp/sketch/cells"))
+  }
+
+  /** q_hll_stream: stream orders customer keys through the HLL register
+    * maintenance job, then run the estimate read-off over the RUNNING
+    * register table.
+    */
+  def hllStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "hll")
+    val keys = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("key"))
+    landKeys(keys, s"$tmp/landing")
+    drain(StreamSketch.startHll(spark, s"$tmp/landing", s"$tmp/sketch", s"$tmp/ckpt"),
+      "hll")
+    Sketches.hllReport(keys, spark.read.parquet(s"$tmp/sketch/regs"))
+  }
+
+  /** q_kmv_stream: stream orders customer keys through the KMV
+    * maintenance job, then run the estimate read-off over the RUNNING
+    * k-minimum table.
+    */
+  def kmvStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "kmv")
+    val keys = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("key"))
+    landKeys(keys, s"$tmp/landing")
+    drain(StreamSketch.startKmv(spark, s"$tmp/landing", s"$tmp/sketch", s"$tmp/ckpt"),
+      "kmv")
+    Sketches.kmvReport(keys, spark.read.parquet(s"$tmp/sketch/kmv"))
+  }
+
+  /** q_histogram_stream: stream lineitem price cents through the
+    * fixed-bounds histogram maintenance job, then read percentiles off
+    * the RUNNING cell table ([[Sketches.histogramPercentiles]], bounds
+    * [[Sketches.StreamHistLoCents]]..[[Sketches.StreamHistHiCents]]).
+    */
+  def histogramStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "hist")
+    val cents = Tables.load(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+    landKeys(cents, s"$tmp/landing")
+    drain(StreamSketch.startHistogram(spark, s"$tmp/landing", s"$tmp/sketch",
+      s"$tmp/ckpt", Sketches.StreamHistLoCents, Sketches.StreamHistHiCents),
+      "histogram")
+    Sketches.histogramPercentiles(cents,
+      spark.read.parquet(s"$tmp/sketch/hist"),
+      Sketches.StreamHistLoCents, Sketches.StreamHistHiCents)
+  }
+
+  /** q_dedup_stream: stream the documents table (constant event time)
+    * through the exact-dedup job and return the emitted KEY SET — one
+    * bow_hash per distinct normalized content, the arrival-order-free
+    * projection of the first-seen stream.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "dedup")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), constTs, col("text"))
+      .repartition(LandingFiles).write.json(s"$tmp/landing")
+    drain(StreamDedup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "dedup")
+    val r = spark.read.schema("bow_hash STRING").json(s"$tmp/out")
+      .select("bow_hash")
+    Out.sorted(r)(col("bow_hash"))
+  }
+
+  /** q_neardup_stream: stream the documents table (constant event time)
+    * through the incremental MinHash near-dup job and return every
+    * emitted bucket-confirmed pair — one row per (pair, shared band),
+    * the at-least-once per-band contract made visible. See the class
+    * doc for why the set is deterministic on this corpus.
+    */
+  def neardupStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "neardup")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), constTs, col("text"))
+      .repartition(LandingFiles).write.json(s"$tmp/landing")
+    drain(StreamNearDup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "neardup")
+    val r = spark.read
+      .schema("doc_a LONG, doc_b LONG, jaccard DOUBLE, band_idx INT")
+      .json(s"$tmp/out")
+      .select("doc_a", "doc_b", "band_idx", "jaccard")
+    Out.sorted(r)(col("doc_a"), col("doc_b"), col("band_idx"))
+  }
+
+  /** q_windows_stream: land the events table (microsecond timestamps
+    * preserved, ONE file = one data batch), run the tumbling-window job
+    * to completion, and return the finalized windows append mode
+    * emitted — the oracle is the batch aggregation restricted to
+    * windows whose end the final watermark passed.
+    */
+  def windowsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "windows")
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .coalesce(1)
+      .write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$tmp/landing")
+    drain(EventWindows.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "windows")
+    val r = spark.read
+      .schema("window_start STRING, event_type STRING, n_events LONG")
+      .json(s"$tmp/out")
+      .select("window_start", "event_type", "n_events")
+    Out.sorted(r)(col("window_start"), col("event_type"))
+  }
+}
