@@ -965,6 +965,68 @@ object QueryCatalog {
         FROM allb a LEFT JOIN per p ON a.doc_id = p.doc_id
         ORDER BY a.doc_id""")),
 
+    // Two-batch admission WITH index write-back: the oracle replays
+    // batch 1 against the corpus index, adds batch 1's ADMITTED docs to
+    // the index, then replays batch 2 against the grown index — so a
+    // batch-2 doc duplicating a batch-1 admission must come out
+    // rejected, which is exactly what the row hashes.
+    "q_incremental_dedup_chain" -> Spec(
+      TextOps.incrementalDedupChain,
+      Some {
+        val cap = TextOps.MaxBandFrequency
+        val thr = TextOps.JaccardThreshold
+        val jac = rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)", 6)
+        // one admission round: batch `nb` vs index `cx` -> decision rows
+        def round(no: Int, cx: String, rem: Int) = s"""
+        nb$no AS (SELECT * FROM bands
+                  WHERE doc_id % ${TextOps.BatchMod} = $rem),
+        hot$no AS (
+          SELECT band_idx, band_hash FROM $cx
+          GROUP BY band_idx, band_hash HAVING count(*) > $cap),
+        kc$no AS (
+          SELECT c.* FROM $cx c
+          WHERE NOT EXISTS (SELECT 1 FROM hot$no h
+                            WHERE h.band_idx = c.band_idx
+                              AND h.band_hash = c.band_hash)),
+        cd$no AS (
+          SELECT n.doc_id AS batch_doc, c.doc_id AS corpus_doc
+          FROM nb$no n JOIN kc$no c
+            ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+          GROUP BY n.doc_id, c.doc_id),
+        jj$no AS (
+          SELECT batch_doc, $jac AS jaccard
+          FROM cd$no JOIN base a ON batch_doc = a.doc_id
+                     JOIN base b ON corpus_doc = b.doc_id),
+        pp$no AS (
+          SELECT batch_doc AS doc_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(count(*) FILTER (WHERE jaccard >= $thr) AS BIGINT) AS n_matches,
+                 max(jaccard) AS best_jaccard
+          FROM jj$no GROUP BY batch_doc),
+        dd$no AS (
+          SELECT CAST($no AS INTEGER) AS batch_no, a.doc_id,
+                 coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+                 coalesce(n_matches, CAST(0 AS BIGINT)) AS n_matches,
+                 coalesce(best_jaccard, -1.0) AS best_jaccard,
+                 coalesce(n_matches, CAST(0 AS BIGINT)) = 0 AS admitted
+          FROM (SELECT doc_id FROM base
+                WHERE doc_id % ${TextOps.BatchMod} = $rem) a
+          LEFT JOIN pp$no p ON a.doc_id = p.doc_id)"""
+        s"""
+        WITH ${minhashSigCtes()},
+        cx0 AS (SELECT * FROM bands
+                WHERE doc_id % ${TextOps.BatchMod}
+                  NOT IN (${TextOps.ChainRem1}, ${TextOps.ChainRem2})),
+        ${round(1, "cx0", TextOps.ChainRem1)},
+        cx1 AS (SELECT * FROM cx0
+                UNION ALL
+                SELECT b.* FROM bands b
+                WHERE b.doc_id IN (SELECT doc_id FROM dd1 WHERE admitted)),
+        ${round(2, "cx1", TextOps.ChainRem2)}
+        SELECT * FROM dd1 UNION ALL SELECT * FROM dd2
+        ORDER BY batch_no, doc_id"""
+      }),
+
     "q_neardup_clusters" -> Spec(
       TextOps.nearDupClusters,
       Some(s"""

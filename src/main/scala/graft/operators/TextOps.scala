@@ -727,7 +727,17 @@ object TextOps {
       docsDistributed(spark, dir)
         .filter(col("doc_id") % BatchMod === BatchRem)))
     val batchSig = batchBase.join(minhashSignatures(batchBase), Seq("doc_id"))
-    val corpusBands = bandRows(corpusSig)
+    Out.sorted(admitAgainst(corpusSig, batchSig))(col("doc_id"))
+  }
+
+  /** Admission DECISIONS of a signature batch against an index signature
+    * frame — the shared probe of [[incrementalDedup]] and the two-batch
+    * write-back chain: hot-band cap computed on the INDEX side, banded
+    * candidate join, exact-Jaccard confirm, one row per batch doc
+    * (doc_id, n_candidates, n_matches, best_jaccard, admitted).
+    */
+  private def admitAgainst(indexSig: DataFrame, batchSig: DataFrame): DataFrame = {
+    val corpusBands = bandRows(indexSig)
     val hot = corpusBands.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("f"))
       .filter(col("f") > MaxBandFrequency)
@@ -744,8 +754,9 @@ object TextOps {
       size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
         size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
     val confirmed = cand
-      .join(batchBase.as("a"), col("batch_doc") === col("a.doc_id"))
-      .join(corpusSig.select(col("doc_id"), col("shingles")).as("b"),
+      .join(batchSig.select(col("doc_id"), col("shingles")).as("a"),
+        col("batch_doc") === col("a.doc_id"))
+      .join(indexSig.select(col("doc_id"), col("shingles")).as("b"),
         col("corpus_doc") === col("b.doc_id"))
       .select(col("batch_doc"), jac.as("jaccard"))
     val perDoc = confirmed.groupBy(col("batch_doc").as("doc_id")).agg(
@@ -753,14 +764,100 @@ object TextOps {
       sum(when(col("jaccard") >= JaccardThreshold, lit(1L)).otherwise(lit(0L)))
         .as("n_matches"),
       max(col("jaccard")).as("best_jaccard"))
-    val r = batchBase.select(col("doc_id"))
+    batchSig.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("best_jaccard"), lit(-1.0)).as("best_jaccard"),
         (coalesce(col("n_matches"), lit(0L)) === 0L).as("admitted"))
-    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Residues selecting the two simulated arrival batches of
+    * [[incrementalDedupChain]] (chosen so the corpus contains a doc pair
+    * split across the batches: on the sf corpora, a batch-1 doc whose
+    * ONLY near-dup arrives in batch 2 gets admitted, and its batch-2
+    * twin is then rejected purely by the write-back).
+    */
+  val ChainRem1 = 1
+  val ChainRem2 = 3
+
+  /** Two-batch incremental dedup WITH INDEX WRITE-BACK — the loop the
+    * single-batch [[incrementalDedup]] leaves open, closed: after batch
+    * N's admission decisions, the ADMITTED docs' signature rows are
+    * appended into the persisted index, so batch N+1 dedups against
+    * batch N's admissions as well as the original corpus.
+    *
+    * Write-back contract (IncrementalDedupChainSpec asserts it on the
+    * filesystem): the append writes ONLY delta files — every
+    * pre-existing index file survives byte-identical, so a reader racing
+    * the write-back sees at worst the index minus the newest delta,
+    * never a partial rewrite. (At warehouse scale the same protocol
+    * lands on the bucketed [[signatureTable]] via MERGE INTO on a
+    * transactional table format; the admission/write-back dataflow —
+    * what this query gates — is identical.)
+    *
+    * Decisions for batch 1 are MATERIALIZED before the write-back
+    * mutates the index (Out.eager), so the append cannot feed back into
+    * the probe that produced it.
+    */
+  def incrementalDedupChain(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_incchain_q_$digest").toString
+    val hp = new org.apache.hadoop.fs.Path(tmp)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    incrementalDedupChainOn(docsDistributed(spark, dir), s"$tmp/index")
+  }
+
+  /** Testable core of [[incrementalDedupChain]] over any
+    * `documents`-shaped frame, with the persisted index at `indexDir`
+    * (must not pre-exist).
+    */
+  private[graft] def incrementalDedupChainOn(
+      docsDf: DataFrame, indexDir: String): DataFrame = {
+    val spark = docsDf.sparkSession
+    val base = Out.eager(shingleBase(docsDf))
+    val sig = Out.eager(base.join(minhashSignatures(base), Seq("doc_id")))
+    val sigCols = sig.columns.map(col).toIndexedSeq
+    val residue = col("doc_id") % BatchMod
+    sig.filter(residue =!= ChainRem1 && residue =!= ChainRem2)
+      .write.parquet(indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // data-file snapshot (name -> (length, mtime)); commit markers like
+    // _SUCCESS are bookkeeping, not index content
+    def snapshot(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime))
+        .toMap
+    def batchSig(rem: Int) = sig.filter(residue === rem)
+    def decide(rem: Int, no: Int): DataFrame =
+      Out.eager(admitAgainst(spark.read.parquet(indexDir), batchSig(rem))
+        .select(lit(no).as("batch_no") +: Seq("doc_id", "n_candidates",
+          "n_matches", "best_jaccard", "admitted").map(col): _*))
+    // append the admitted docs' signatures; the delta-only contract is a
+    // RUNTIME invariant, verified on every run, not just in the spec
+    def writeBack(rem: Int, decisions: DataFrame): Unit = {
+      val before = snapshot()
+      batchSig(rem)
+        .join(decisions.filter(col("admitted")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select(sigCols: _*)
+        .write.mode("append").parquet(indexDir)
+      val after = snapshot()
+      if (!before.forall { case (n, st) => after.get(n).contains(st) })
+        throw new IllegalStateException(
+          s"index write-back rewrote pre-existing files at $indexDir")
+    }
+    val d1 = decide(ChainRem1, 1)
+    writeBack(ChainRem1, d1)
+    val d2 = decide(ChainRem2, 2)
+    writeBack(ChainRem2, d2)
+    Out.sorted(d1.unionByName(d2))(col("batch_no"), col("doc_id"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the confirmed
