@@ -1470,18 +1470,22 @@ object QueryCatalog {
         FROM a2 GROUP BY cluster ORDER BY cluster""")),
 
     // SemDeDup replayed: the oracle re-trains the same two unrolled
-    // Lloyd iterations, self-joins within the final cells only, and
-    // applies the same lowest-id-canonical removal rule.
+    // Lloyd iterations, excludes cells over the MaxCellSize cap exactly
+    // as the engine does, self-joins within the surviving cells only,
+    // and applies the same lowest-id-canonical removal rule.
     "q_sem_dedup" -> Spec(
       VectorOps.semDedup,
       Some {
         val sim = rnd("list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])", 6)
         s"""
         WITH $lloydCtes,
+        okc AS (SELECT cluster FROM a2 GROUP BY cluster
+                HAVING count(*) <= ${VectorOps.MaxCellSize}),
         sp AS (
           SELECT x.cluster AS cell, y.vec_id AS vec_id, $sim AS cos_sim
           FROM a2 x JOIN a2 y
-            ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          JOIN okc ON x.cluster = okc.cluster)
         SELECT vec_id, cell,
                CAST(count(*) AS BIGINT) AS n_better,
                max(cos_sim) AS best_sim
@@ -1489,6 +1493,22 @@ object QueryCatalog {
         GROUP BY vec_id, cell
         ORDER BY vec_id"""
       }),
+
+    // The cap's observability twin: per trained cell, members, the skip
+    // decision and the pair budget it contributes — what makes the
+    // MaxCellSize guard non-silent at any scale.
+    "q_semdedup_cells" -> Spec(
+      VectorOps.semDedupCells,
+      Some(s"""
+        WITH $lloydCtes,
+        s AS (SELECT cluster AS cell, CAST(count(*) AS BIGINT) AS n_members
+              FROM a2 GROUP BY cluster)
+        SELECT cell, n_members,
+               n_members > ${VectorOps.MaxCellSize} AS skipped,
+               CASE WHEN n_members > ${VectorOps.MaxCellSize}
+                    THEN CAST(0 AS BIGINT)
+                    ELSE n_members * (n_members - 1) // 2 END AS n_pair_candidates
+        FROM s ORDER BY cell""")),
 
     "q_ann_ivf_trained" -> Spec(
       VectorOps.annIvfTrained,

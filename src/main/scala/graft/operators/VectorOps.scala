@@ -316,8 +316,43 @@ object VectorOps {
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = trainedIndex(spark, dir)
-    val a = assigned.select(col("cluster"), col("vec_id"), col("embedding"))
-    val pairs = a.as("x").join(a.as("y"),
+    val pairs = semDedupPairsOn(
+      assigned.select(col("cluster"), col("vec_id"), col("embedding")),
+      MaxCellSize)
+    val r = pairs.groupBy("vec_id", "cell")
+      .agg(count(lit(1)).as("n_better"), max(col("cos_sim")).as("best_sim"))
+    Out.sorted(r)(col("vec_id"))
+  }
+
+  /** Oversized-cell cap of the SemDeDup pairwise stage: pair cost is
+    * Σ|cell|², so ONE skewed cell reintroduces the all-pairs blowup the
+    * clustering exists to prevent. Cells above this size are excluded
+    * from the pairwise join entirely (the [[TextOps.MaxBandFrequency]]
+    * pattern: a cell this overgrown signals a degenerate quantizer
+    * region — boilerplate embeddings — not actionable duplication, and
+    * the production response is to re-train / sub-cluster it, not to
+    * pay |cell|² anyway). Never silent: [[semDedupCells]] is the
+    * oracle-checked per-cell accounting (q_semdedup_cells) that surfaces
+    * exactly which cells were skipped and what pair budget each cell
+    * costs, and the q_sem_dedup oracle replays the cap bit-for-bit.
+    * Sized to never bind at the tested SFs (max observed cell ≈ 200
+    * members at sf0.1) while bounding any single cell's pair cost at
+    * ~500k comparisons; SemDedupGuardSpec proves the bound on a
+    * deliberately hot cell.
+    */
+  val MaxCellSize = 1000
+
+  /** Guarded within-cell near-dup pairs of a (cluster, vec_id,
+    * embedding) assignment — the SemDeDup pairwise stage with cells
+    * above `maxCell` members excluded (broadcast anti-join; the hot
+    * list is ≤ k rows).
+    */
+  private[graft] def semDedupPairsOn(a: DataFrame, maxCell: Int): DataFrame = {
+    val hot = a.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxCell)
+      .select("cluster")
+    val kept = a.join(broadcast(hot), Seq("cluster"), "left_anti")
+    kept.as("x").join(kept.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.cluster").as("cell"),
@@ -325,9 +360,24 @@ object VectorOps {
         F.roundHalfUp(dot(col("x.embedding"), col("y.embedding")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= NearDupCosine)
-    val r = pairs.groupBy("vec_id", "cell")
-      .agg(count(lit(1)).as("n_better"), max(col("cos_sim")).as("best_sim"))
-    Out.sorted(r)(col("vec_id"))
+  }
+
+  /** Per-cell pair-budget accounting of the guarded SemDeDup — the
+    * observability query that makes the [[MaxCellSize]] cap non-silent
+    * (q_semdedup_cells): members, skip decision, and the pair
+    * comparisons the cell contributes to the Σ|cell|² budget (0 when
+    * skipped).
+    */
+  def semDedupCells(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = trainedIndex(spark, dir)
+    val r = assigned.groupBy(col("cluster").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cell"), col("n_members"),
+        (col("n_members") > MaxCellSize).as("skipped"),
+        when(col("n_members") > MaxCellSize, lit(0L))
+          .otherwise(expr("n_members * (n_members - 1) DIV 2"))
+          .as("n_pair_candidates"))
+    Out.sorted(r)(col("cell"))
   }
 
   /** IVF search over the TRAINED quantizer — closes the loop between
