@@ -599,7 +599,31 @@ object VectorOps {
     * against the broadcast (q_id-aware) LUT — the corpus-sized frames
     * (assignment, codes) are never shuffled by the search.
     */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqWithCeiling(spark, dir, IvfPqBroadcastCeiling)
+
+  /** Broadcast ceiling (estimated CANDIDATE rows) of the IVF-PQ scoring
+    * join: the candidate set is queries × nprobe × probed-cell members,
+    * which is tiny for an interactive query batch but UNBOUNDED in
+    * general — at billion-vector scale with √N-sized cells and a bulk
+    * query batch it can exceed any driver broadcast limit. Above the
+    * ceiling the scoring join runs as a plain shuffle join on `vec_id`
+    * (both sides hash-partition; the codes table shuffles 16-byte rows).
+    * 100k candidate rows ≈ tens of MB broadcast — comfortably inside
+    * Spark's default ceilings; IvfPqJoinGateSpec plan-asserts both
+    * regimes.
+    */
+  val IvfPqBroadcastCeiling = 100000L
+
+  /** Nominal cell count of the coarse quantizer for the size estimate.
+    * In a production IVF index this is the build-time `nlist` config;
+    * here the label-seeded quantizer yields the label cardinality (10
+    * on this corpus at every SF).
+    */
+  val IvfNominalCells = 10L
+
+  private[graft] def annIvfPqWithCeiling(
+      spark: SparkSession, dir: String, ceiling: Long): DataFrame = {
     val (coarseCents, assigned) = trainedIndex(spark, dir)
     val (cents, codes) = pqIndex(pqSubs(spark, dir))
     val q = emb(spark, dir).filter(col("vec_id") < NQueries)
@@ -618,7 +642,15 @@ object VectorOps {
         Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cluster").as("cell"), col("cell_sim"), col("vec_id"))
-    val r = codes.join(broadcast(cand), Seq("vec_id"))
+    // Size gate: estimated candidate rows = queries × nprobe × avg cell
+    // size. The corpus row count comes from a zero-column count (parquet
+    // footer totals — planner-weight statistics, the same class of
+    // scalar AQE reads at runtime; no vector data crosses the driver).
+    val corpusRows = emb(spark, dir).count()
+    val estCandidates =
+      NQueries.toLong * 1L * math.max(1L, corpusRows / IvfNominalCells)
+    val candSide = if (estCandidates <= ceiling) broadcast(cand) else cand
+    val r = codes.join(candSide, Seq("vec_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("cell"), col("cell_sim"),
         col("vec_id").as("neighbor_id"))
