@@ -2364,6 +2364,27 @@ object QueryCatalog {
                     ELSE CAST(${Multimodal.FrameBytes} AS BIGINT) END AS last_sampled_bytes
         FROM g ORDER BY media_id""")),
 
+    // REAL-codec decode over the committed PNG fixtures: the oracle
+    // recomputes dimensions and channel sums from the fixture
+    // GENERATOR's pixel formulas (tools/MakeMediaFixtures), so the
+    // javax.imageio decode inside the mapPartitions stage is checked
+    // against ground truth that never touches javax.imageio.
+    "q_media_decode" -> Spec(
+      Multimodal.mediaDecode,
+      Some(s"""
+        WITH imgs AS (SELECT CAST(t.range AS BIGINT) AS i
+                      FROM range(0, ${Multimodal.MediaFixtureCount}) t),
+        xs AS (SELECT i, unnest([v FOR v IN range(0, 16 + i)]) AS x FROM imgs),
+        px AS (SELECT i, x, unnest([v FOR v IN range(0, 12 + i)]) AS y FROM xs)
+        SELECT i AS media_id,
+               CAST(16 + i AS INTEGER) AS width,
+               CAST(12 + i AS INTEGER) AS height,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum((x * 7 + y * 13 + i * 31) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((x * 3 + y * 5 + i * 17) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((x * 11 + y * 2 + i * 7) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY i ORDER BY media_id""")),
+
     "q_media_features" -> Spec(
       Multimodal.mediaFeatures,
       Some {

@@ -16,11 +16,13 @@ import graft.functions.F
   * transformation is either a pure column expression (lengths, slices,
   * hashes, chunk counts) or a `mapPartitions` stage whose per-batch
   * shape (Iterator→Iterator, no per-row session state) is the real
-  * contract. The actual CODEC is stubbed: this container has no
-  * image/audio libraries, so [[MediaCodec.decodeStub]] derives
-  * deterministic fake pixels/metadata from the bytes. Swapping in a real
-  * decoder changes one function, not the plumbing, partitioning or
-  * schema.
+  * contract. The IMAGE codec is real — [[MediaCodec.decodeImage]] is a
+  * javax.imageio PNG/JPEG parse (core JVM, so the zero-egress build
+  * holds), exercised over committed fixtures by q_media_decode. The
+  * audio/video codecs remain stubbed ([[MediaCodec.decodeStub]] derives
+  * deterministic fake metadata from the bytes — no such libraries in
+  * the container); swapping one in changes one function, not the
+  * plumbing, partitioning or schema.
   *
   * The media corpus itself is synthesized from `documents` (text bytes
   * as payload) — deterministic, so the DuckDB oracle can reproduce the
@@ -73,6 +75,31 @@ object Multimodal {
       */
     def featureStub(content: Array[Byte]): Array[Float] =
       laneSums(content).map(_ / 255.0f)
+
+    /** REAL image decode (core-JVM javax.imageio, so the zero-egress
+      * build constraint holds): parse the compressed payload, return
+      * dimensions, pixel count and exact per-channel sums — pure integer
+      * outputs a SQL oracle can check against the fixture generator's
+      * formulas. PNG is lossless, so a correct decoder reproduces the
+      * sums EXACTLY.
+      */
+    def decodeImage(content: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      require(img != null, s"undecodable image payload (${content.length} bytes)")
+      var (r, g, b) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, r, g, b)
+    }
   }
 
   /** Synthetic media corpus over `documents`: payload = UTF-8 bytes of
@@ -185,6 +212,59 @@ object Multimodal {
     val r = decodeExact(m).toDF()
       .select(Seq(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height")) ++ lanes: _*)
+    Out.sorted(r)(col("media_id"))
+  }
+
+  /** Decoded image row of the REAL codec path. */
+  case class ImageDecoded(media_id: Long, width: Int, height: Int,
+                          n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The REAL-codec decode stage: the same batched mapPartitions shape
+    * as [[decodeFeatures]] (decoder init amortizes per partition, rows
+    * stream through), but the work inside is an honest javax.imageio
+    * parse of compressed PNG bytes, not a stub.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipelines initialize codec/scaler state once per partition
+      // here; ImageIO is stateless, so the comment IS the init
+      it.map { m =>
+        val (w, h, r, g, b) = MediaCodec.decodeImage(m.content)
+        ImageDecoded(m.media_id, w, h, w.toLong * h, r, g, b)
+      }
+    }
+  }
+
+  /** Committed real-image fixture corpus (see
+    * graft.tools.MakeMediaFixtures for the generative formulas the
+    * oracle replays).
+    */
+  val MediaFixturesGlob: String = s"${Ingestion.FixturesDir}/media/*.png"
+
+  /** Number of committed PNG fixtures (image i is (16+i)×(12+i)). */
+  val MediaFixtureCount = 12
+
+  /** q_media_decode — the REAL-CODEC oracle query: scan the committed
+    * PNG fixtures with binaryFile (the distributed ingest shape —
+    * payloads never touch the driver), decode each with javax.imageio
+    * inside [[decodeImages]]'s mapPartitions stage, and emit integer
+    * dimensions + exact channel sums. The DuckDB oracle recomputes the
+    * same values from the fixture GENERATOR's pixel formulas, so the
+    * gate checks the decode itself against ground truth that does not
+    * come from javax.imageio. (`dir` is unused — the fixtures are the
+    * corpus — but kept for the uniform query signature.)
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = spark.read.format("binaryFile").load(MediaFixturesGlob)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast(LongType)
+          .as("media_id"),
+        lit("image").as("kind"),
+        col("content"))
+      .as[MediaRow]
+    val r = decodeImages(m).toDF()
     Out.sorted(r)(col("media_id"))
   }
 

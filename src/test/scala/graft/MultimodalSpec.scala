@@ -34,6 +34,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeImage: real PNG roundtrip reproduces exact pixel sums") {
+    // in-memory ground truth independent of the committed fixtures
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (x <- 0 until 5; y <- 0 until 4) {
+      val (r, g, b) = ((x * 50 + y) % 256, (y * 60) % 256, (x + y * 7) % 256)
+      er += r; eg += g; eb += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, r, g, b) = Multimodal.MediaCodec.decodeImage(bos.toByteArray)
+    assert((w, h, r, g, b) === ((5, 4, er, eg, eb)))
+    // undecodable payloads fail loudly, not as silent nulls
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.decodeImage("not an image".getBytes)
+    }
+  }
+
   test("decodeFeatures: mapPartitions stage is deterministic and typed") {
     import spark.implicits._
     val media = Multimodal.media(spark, SparkT.Sf0001).limit(10)
