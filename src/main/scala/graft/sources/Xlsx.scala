@@ -524,13 +524,39 @@ object Excel {
     * reader's inverse), but the reference's export is a single
     * user-facing file; this sink matches that contract.
     */
-  def writeXlsx(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+  def writeXlsx(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
+    writeXlsxCapped(df, path, sheetName, MaxXlsxDataRows)
+
+  /** Row cap of the single-workbook export: the OOXML sheet limit
+    * (2^20 rows) minus the header. The cap is the sink's CONTRACT
+    * guard — this is a driver-streamed, user-facing export (the
+    * reference's priced-sheet download), and handing it a fact table is
+    * a misuse that must fail loudly, not grind one core for an
+    * unopenable file. Bulk data exports as many workbooks (partition
+    * the frame, one writeXlsx per slice) or a distributed format.
+    */
+  val MaxXlsxDataRows: Long = (1L << 20) - 1
+
+  /** [[writeXlsx]] with an explicit cap (SinksSpec exercises the guard
+    * without constructing 2^20 rows). Enforced DURING the row stream —
+    * no extra counting job; the write aborts on the first over-cap row.
+    */
+  private[graft] def writeXlsxCapped(df: DataFrame, path: String,
+      sheetName: String, cap: Long): Unit = {
     import scala.jdk.CollectionConverters._
     val p = new Path(path)
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(p, true)
+    var n = 0L
     try Xlsx.write(df.columns.toSeq,
-      df.toLocalIterator().asScala.map(_.toSeq), out, sheetName)
+      df.toLocalIterator().asScala.map { r =>
+        n += 1
+        require(n <= cap,
+          s"writeXlsx is a single-workbook export sink capped at $cap data " +
+            s"rows ($path): partition the frame and export multiple " +
+            "workbooks for bulk data")
+        r.toSeq
+      }, out, sheetName)
     finally out.close()
   }
 }

@@ -66,6 +66,19 @@ class SinksSpec extends AnyFunSuite {
       Seq((1L, "a")))
   }
 
+  test("writeXlsx refuses a frame over the single-workbook row cap") {
+    val big = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    val path = tmp("xlsx_cap") + "/over.xlsx"
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Excel.writeXlsxCapped(big, path, "Sheet1", cap = 10L)
+    }
+    assert(e.getMessage.contains("single-workbook"))
+    // under the cap the same frame exports fine
+    val ok = tmp("xlsx_ok") + "/ok.xlsx"
+    graft.sources.Excel.writeXlsx(big, ok)
+    assert(graft.sources.Excel.readXlsx(spark, ok).count() === 20)
+  }
+
   test("appendNdjsonPartitioned lands one directory per key and appends") {
     val path = tmp("ndjson")
     val b1 = Seq((1L, 5.0), (2L, 6.0)).toDF("user_id", "v")
