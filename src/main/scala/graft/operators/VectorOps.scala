@@ -336,11 +336,11 @@ object VectorOps {
     * exactly which cells were skipped and what pair budget each cell
     * costs, and the q_sem_dedup oracle replays the cap bit-for-bit.
     * Sized to never bind at the tested SFs (max observed cell ≈ 200
-    * members at sf0.1) while bounding any single cell's pair cost at
-    * ~500k comparisons; SemDedupGuardSpec proves the bound on a
-    * deliberately hot cell.
+    * members at sf0.1, ≈ 2000 at the derived sf1) while bounding any
+    * single cell's pair cost at ~12.5M comparisons; SemDedupGuardSpec
+    * proves the bound on a deliberately hot cell.
     */
-  val MaxCellSize = 1000
+  val MaxCellSize = 5000
 
   /** Guarded within-cell near-dup pairs of a (cluster, vec_id,
     * embedding) assignment — the SemDeDup pairwise stage with cells
