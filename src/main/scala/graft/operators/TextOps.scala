@@ -1011,6 +1011,15 @@ object TextOps {
     * (unlike probabilistic MinHash banding) while never comparing docs
     * that differ in every band. The exact bit_count(xor) filter runs
     * only on banded candidates.
+    *
+    * Scaling note (measured, BENCH_sf1.json vs sf0.1: 12.5× wall at 10×
+    * docs): the band keyspace is FIXED (4 × 2^8 values per band), so
+    * per-bucket occupancy — and the candidate join, quadratic in it —
+    * grows linearly with the corpus. The production dial is fingerprint
+    * width: a 64-bit SimHash split into 4 16-bit bands (the common
+    * web-scale choice) gives 2^16 values per band, pushing the same
+    * occupancy crossover out by 256×; width is pinned at 32 here only
+    * because the oracle replays the exact integer arithmetic.
     */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashTable(spark, dir)
@@ -1287,6 +1296,8 @@ object TextOps {
     * Scale shape: both channels are the already-bounded candidate
     * pipelines (never all-pairs); the ensemble join adds one shuffle of
     * two near-dup-pair-sized frames — negligible next to either channel.
+    * Its sf1 wall time tracks the embed channel's fixed-bucket-space
+    * growth — see the scaling note on [[VectorOps.embedNearDup]].
     */
   def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
     val text = nearDupPairsCore(signatureTable(spark, dir))

@@ -102,6 +102,18 @@ object VectorOps {
     * set roughly triples it. Recall tuning = planes/probes, and the
     * oracle replicates the probing exactly, so the gate stays
     * deterministic.)
+    *
+    * Scaling note (measured, BENCH_sf1.json vs sf0.1: 63× wall at 10×
+    * vectors — the one super-linear query family in the sweep, shared
+    * with its [[graft.operators.TextOps.dedupEnsemble]] consumer): the
+    * bucket space is FIXED at 2^[[NPlanes]] = 16, so per-bucket
+    * occupancy grows linearly with the corpus and the bucket self-join
+    * quadratically. The production dial is planes ≈ log₂(N / target
+    * occupancy) — bucket count must GROW with the corpus (64 planes'
+    * worth of sign bits costs the same per row to compute; only the
+    * probe fan-out grows). Pinned at 4 here because the oracle embeds
+    * the 4 hyperplanes as literals and the testdata needs populated
+    * buckets to exercise recall.
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(embedNearDupPairs(spark, dir))(col("vec_a"), col("vec_b"))
