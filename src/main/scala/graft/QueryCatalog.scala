@@ -1402,6 +1402,31 @@ object QueryCatalog {
         WHERE jaccard >= ${TextOps.JaccardThreshold}
         ORDER BY doc_a, doc_b, band_idx""")),
 
+    // Stream-stream interval join, oracle-checked on the streamed
+    // matches themselves: with both sides landed in one micro-batch
+    // nothing is ever late, and an inner interval join then emits
+    // exactly the batch join's matches — which is what the oracle
+    // restates over the same residue split of events.
+    "q_interval_join_stream" -> Spec(
+      streaming.StreamOracle.intervalJoinStream,
+      Some(s"""
+        WITH obs AS (
+          SELECT event_id AS obs_id, CAST(ts AS TIMESTAMP) AS t,
+                 user_id % 100 AS product_id, event_type AS seller,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS price
+          FROM events WHERE event_id % 5 <> 0),
+        act AS (
+          SELECT event_id AS action_id, CAST(ts AS TIMESTAMP) AS t,
+                 user_id % 100 AS product_id,
+                 CAST(floor(value * 90 + 0.5) AS BIGINT) AS new_price
+          FROM events WHERE event_id % 5 = 0)
+        SELECT obs_id, action_id, o.product_id, seller, price, new_price,
+               epoch_us(a.t) // 1000000 - epoch_us(o.t) // 1000000 AS response_secs
+        FROM obs o JOIN act a ON o.product_id = a.product_id
+          AND a.t >= o.t
+          AND a.t <= o.t + INTERVAL '${streaming.StreamJoin.ResponseWindow}'
+        ORDER BY obs_id, action_id""")),
+
     // Streaming tumbling windows: batch aggregation restricted to the
     // windows the final watermark finalized (wm = ms-floored max event
     // time minus the delay; a window is emitted once its end <= wm).

@@ -172,6 +172,44 @@ object StreamOracle {
     Out.sorted(r)(col("doc_a"), col("doc_b"), col("band_idx"))
   }
 
+  /** q_interval_join_stream: split the events table into an
+    * observation stream and an action stream (deterministic residue
+    * split, both with microsecond timestamps preserved, ONE file per
+    * side so both sides land in a single micro-batch — no cross-batch
+    * watermark artifact), run the stream-stream interval join to
+    * completion, and return every emitted match. An inner interval join
+    * emits exactly the batch join's matches when nothing is late, so
+    * the oracle is the plain batch interval join over the same split.
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "sjoin")
+    val events = Tables.load(spark, dir, "events")
+    def land(df: DataFrame, path: String): Unit =
+      df.coalesce(1).write
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    land(events.filter(col("event_id") % 5 =!= 0).select(
+      col("event_id").as("obs_id"), col("ts"),
+      (col("user_id") % 100).as("product_id"),
+      col("event_type").as("seller"),
+      floor(col("value") * 100 + 0.5).cast("long").as("price")),
+      s"$tmp/obs")
+    land(events.filter(col("event_id") % 5 === 0).select(
+      col("event_id").as("action_id"), col("ts"),
+      (col("user_id") % 100).as("product_id"),
+      floor(col("value") * 90 + 0.5).cast("long").as("new_price")),
+      s"$tmp/actions")
+    drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
+      s"$tmp/out", s"$tmp/ckpt"), "interval join")
+    val r = spark.read
+      .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
+        "price LONG, new_price LONG, response_secs LONG")
+      .json(s"$tmp/out")
+      .select("obs_id", "action_id", "product_id", "seller", "price",
+        "new_price", "response_secs")
+    Out.sorted(r)(col("obs_id"), col("action_id"))
+  }
+
   /** q_windows_stream: land the events table (microsecond timestamps
     * preserved, ONE file = one data batch), run the tumbling-window job
     * to completion, and return the finalized windows append mode
