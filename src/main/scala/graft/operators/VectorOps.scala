@@ -45,15 +45,20 @@ object VectorOps {
     * md5("p_d") so they are reproducible anywhere: integer k in
     * [-500, 500], used as the double k/500.0. Exposed as integers so the
     * SQL oracle can embed the exact same "k/500.0" expression.
+    * [[planeIntsFor]] extends the same family to any plane count — the
+    * scaling dial ([[embedNearDup]]'s note) uses planes beyond the
+    * oracle-pinned first [[NPlanes]].
     */
-  lazy val planeInts: IndexedSeq[IndexedSeq[Int]] = {
+  def planeIntsFor(nPlanes: Int): IndexedSeq[IndexedSeq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    IndexedSeq.tabulate(NPlanes, Dim) { (p, d) =>
+    IndexedSeq.tabulate(nPlanes, Dim) { (p, d) =>
       val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
         .take(2).map("%02x".format(_)).mkString
       (java.lang.Long.parseLong(hex, 16) % 1001 - 500).toInt
     }
   }
+
+  lazy val planeInts: IndexedSeq[IndexedSeq[Int]] = planeIntsFor(NPlanes)
 
   private def emb(spark: SparkSession, dir: String) =
     Tables.load(spark, dir, "embeddings")
@@ -123,11 +128,24 @@ object VectorOps {
     * text channel (a terminal sort inside a composed plan would be
     * dead weight Catalyst cannot always eliminate).
     */
-  private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupCandidates(spark, dir, NPlanes)
+      .filter(col("cos_sim") >= NearDupCosine)
+
+  /** Bucket-matched candidate pairs (pre-threshold) at an arbitrary
+    * plane count — the scaling dial made callable: more planes = more
+    * buckets = lower per-bucket occupancy = fewer candidates per
+    * corpus row (LshDialSpec measures the shrink and that precision is
+    * untouched). The oracle-checked query pins nPlanes = [[NPlanes]],
+    * whose hyperplanes are embedded in the SQL as literals.
+    */
+  private[graft] def embedNearDupCandidates(
+      spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     val b = emb(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        bucketOfN(col("embedding"), nPlanes).as("bucket"))
     val probeList = array(
-      col("bucket") +: (0 until NPlanes).map(p =>
+      col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val probes = b.select(col("vec_id"), col("embedding"),
       explode(probeList).as("probe_bucket"))
@@ -138,7 +156,6 @@ object VectorOps {
       .select(
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         F.roundHalfUp(dot(col("x.embedding"), col("y.embedding")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= NearDupCosine)
   }
 
   /** ANN scale path #2 — IVF (inverted-file) search: vectors are
@@ -201,11 +218,16 @@ object VectorOps {
   }
 
   /** Sign-pattern LSH bucket id of an embedding column. */
-  private def bucketOf(e: Column): Column =
-    (0 until NPlanes).map { p =>
-      val plane = array(planeInts(p).map(k => lit(k / 500.0)): _*)
+  private def bucketOf(e: Column): Column = bucketOfN(e, NPlanes)
+
+  /** Same, over the first `n` planes of the shared md5-derived family. */
+  private def bucketOfN(e: Column, n: Int): Column = {
+    val planes = planeIntsFor(n)
+    (0 until n).map { p =>
+      val plane = array(planes(p).map(k => lit(k / 500.0)): _*)
       when(dot(e, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** ANN scale path — LSH-bucketed cosine top-k: bucket all vectors by
     * hyperplane sign pattern, join queries to same-bucket candidates,
