@@ -830,6 +830,30 @@ object QueryCatalog {
         SELECT lang AS actual_lang, plang AS predicted_lang, count(*) AS n_docs
         FROM pred GROUP BY lang, plang ORDER BY actual_lang, predicted_lang""")),
 
+    // Concat-and-chunk packing manifest: the oracle replays the global
+    // running total directly (one window is fine for DuckDB); the
+    // engine computes the same prefix sums in the two-phase distributed
+    // form, so value equality here proves the decomposition exact.
+    "q_doc_packing" -> Spec(
+      TextOps.docPacking,
+      Some {
+        val cap = TextOps.PackCapacity
+        s"""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS gend
+              FROM t),
+        g AS (SELECT doc_id, n, gend - n AS gstart, gend FROM c),
+        e AS (SELECT doc_id, n, gstart, gend,
+                     unnest([x FOR x IN range(gstart // $cap, (gend - 1) // $cap + 1)]) AS chunk_id
+              FROM g)
+        SELECT doc_id, n AS n_tokens, chunk_id,
+               least(gend, (chunk_id + 1) * $cap) - greatest(gstart, chunk_id * $cap) AS tokens_in_chunk,
+               (gend - 1) // $cap > gstart // $cap AS is_split
+        FROM e ORDER BY doc_id, chunk_id"""
+      }),
+
     "q_doc_exact_dedup" -> Spec(
       TextOps.exactDedup,
       Some("""

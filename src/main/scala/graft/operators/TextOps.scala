@@ -1284,6 +1284,60 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
+  /** Tokens per packed training sequence and docs per prefix-sum shard
+    * of [[docPacking]].
+    */
+  val PackCapacity = 512L
+  val PackShardDocs = 100L
+
+  /** Sequence PACKING manifest — the concat-and-chunk step a
+    * pretraining pipeline runs after curation: documents are
+    * concatenated in doc_id order and cut into fixed-[[PackCapacity]]
+    * token training sequences; the manifest emits one row per
+    * (document, sequence) span so the loader knows exactly which token
+    * range of which sequence each document occupies (and which docs
+    * straddle a boundary).
+    *
+    * Scale shape — the interesting part is the PREFIX SUM: a naive
+    * running total over doc_id is one global window = one task at any
+    * scale. Here it is the classic two-phase distributed form: docs
+    * group into contiguous [[PackShardDocs]]-sized shards, the running
+    * total windows WITHIN each shard (partitioned, parallel), and each
+    * shard's global offset comes from a tiny per-shard total frame
+    * (|shards| rows — broadcast back). The only unpartitioned window
+    * runs over that shard-total frame, whose cardinality is
+    * corpus/[[PackShardDocs]] — at 100 TB you add one more level of the
+    * same trick, never a corpus-sized single task. Chunk spans are then
+    * pure per-row arithmetic (explode over the covered chunk range).
+    */
+  def docPacking(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      expr(s"doc_id DIV $PackShardDocs").as("shard"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("local_end", sum(col("n_tokens")).over(wLocal))
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("shard").agg(sum(col("n_tokens")).as("st"))
+      .select(col("shard"),
+        coalesce(sum(col("st")).over(wShard), lit(0L)).as("shard_offset"))
+    val g = local.join(broadcast(offsets), Seq("shard"))
+      .withColumn("gend", col("shard_offset") + col("local_end"))
+      .withColumn("gstart", col("gend") - col("n_tokens"))
+    val r = g
+      .select(col("doc_id"), col("n_tokens"), col("gstart"), col("gend"),
+        explode(sequence(expr(s"gstart DIV $PackCapacity"),
+          expr(s"(gend - 1) DIV $PackCapacity"))).as("chunk_id"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+        (least(col("gend"), (col("chunk_id") + 1) * PackCapacity) -
+          greatest(col("gstart"), col("chunk_id") * PackCapacity))
+          .as("tokens_in_chunk"),
+        (expr(s"(gend - 1) DIV $PackCapacity") =!=
+          expr(s"gstart DIV $PackCapacity")).as("is_split"))
+    Out.sorted(r)(col("doc_id"), col("chunk_id"))
+  }
+
   /** Multi-channel dedup ensemble — the cross-modal report a curation
     * run uses to decide scrub lists: every near-duplicate pair found by
     * EITHER the text channel (banded MinHash + exact-Jaccard confirm,
