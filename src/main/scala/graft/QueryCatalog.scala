@@ -1426,6 +1426,28 @@ object QueryCatalog {
         WHERE jaccard >= ${TextOps.JaccardThreshold}
         ORDER BY doc_a, doc_b, band_idx""")),
 
+    // The full price-watch pipeline (T1 file source -> T2 explode ->
+    // T3/T6 stateful sliding window -> T4 partitioned append),
+    // oracle-checked on the streamed sink content: running-min undercut
+    // and the 5-flag window replayed as SQL windows over event order.
+    "q_watch_stream" -> Spec(
+      streaming.StreamOracle.watchStream,
+      Some("""
+        WITH w AS (
+          SELECT event_id, user_id,
+                 CASE WHEN value <= min(value) OVER (PARTITION BY user_id
+                        ORDER BY event_id ROWS UNBOUNDED PRECEDING) + 50.0
+                      THEN 1 ELSE 0 END AS undercut
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, CAST(undercut AS BIGINT) AS undercut,
+                 CAST(sum(undercut) OVER (PARTITION BY user_id
+                   ORDER BY event_id ROWS 4 PRECEDING) AS BIGINT) AS sliding_hits
+          FROM w)
+        SELECT event_id, user_id, undercut, sliding_hits,
+               sliding_hits >= 3 AS is_bot
+        FROM s ORDER BY event_id""")),
+
     // Stream-stream interval join, oracle-checked on the streamed
     // matches themselves: with both sides landed in one micro-batch
     // nothing is ever late, and an inner interval join then emits

@@ -172,6 +172,37 @@ object StreamOracle {
     Out.sorted(r)(col("doc_a"), col("doc_b"), col("band_idx"))
   }
 
+  /** q_watch_stream: batch the events table into capture records
+    * (observation arrays, the T2 input shape), land them as ONE NDJSON
+    * file (one data batch — the per-user state core then orders all
+    * observations by event_id, so the streamed flags are
+    * order-deterministic; cross-batch carry is StreamNearDupSpec-style
+    * spec territory, WatchStreamSpec), run the full T1→T4 pipeline to
+    * completion, and read back the partitioned NDJSON sink. The oracle
+    * replays the running-min undercut and 5-wide sliding window as
+    * plain SQL windows.
+    */
+  def watchStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "watch")
+    Tables.load(spark, dir, "events")
+      .select(expr("event_id DIV 200").as("capture_id"),
+        struct(col("event_id"), col("user_id"), col("value")).as("o"))
+      .groupBy("capture_id")
+      .agg(sort_array(collect_list(col("o"))).as("observations"))
+      .coalesce(1).write.json(s"$tmp/landing")
+    // TTL off for the finite drain: with ProcessingTimeTimeout armed an
+    // AvailableNow run cannot terminate before the whole TTL elapses
+    // (see WatchStream.start's doc); expiry is WatchStreamSpec's test.
+    drain(WatchStream.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
+      stateTtl = None), "watch")
+    val r = spark.read
+      .schema("event_id LONG, undercut LONG, sliding_hits LONG, " +
+        "is_bot BOOLEAN, user_id LONG")
+      .json(s"$tmp/out")
+      .select("event_id", "user_id", "undercut", "sliding_hits", "is_bot")
+    Out.sorted(r)(col("event_id"))
+  }
+
   /** q_interval_join_stream: split the events table into an
     * observation stream and an action stream (deterministic residue
     * split, both with microsecond timestamps preserved, ONE file per

@@ -109,10 +109,20 @@ object WatchStream {
 
   /** Full T1→T4 wiring: landing dir → explode → stateful bot window →
     * NDJSON append partitioned by user key.
+    *
+    * `stateTtl` defaults to the production 10-minute expiry (T6). A
+    * caller draining a FINITE landing with AvailableNow and reading the
+    * result (StreamOracle.watchStream) passes None: with
+    * ProcessingTimeTimeout armed, the micro-batch engine keeps
+    * scheduling timeout-check batches until the TTL fires, so an
+    * AvailableNow run cannot terminate before the full TTL elapses —
+    * the expiry path is pinned separately by WatchStreamSpec's
+    * short-TTL test.
     */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery =
-    detectBots(flatten(readLanding(spark, landingDir)), stateTtl = Some("10 minutes"))
+            checkpointDir: String,
+            stateTtl: Option[String] = Some("10 minutes")): StreamingQuery =
+    detectBots(flatten(readLanding(spark, landingDir)), stateTtl)
       .writeStream
       .outputMode(OutputMode.Append)
       .format("json")

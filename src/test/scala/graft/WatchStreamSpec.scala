@@ -101,8 +101,11 @@ class WatchStreamSpec extends AnyFunSuite {
       assert(f.setLastModified(1700000000000L + i * 60000L))
     }
 
-    val q = WatchStream.start(spark, landing, outDir, ckpt)
-    q.awaitTermination(120000L)
+    // TTL off: with ProcessingTimeTimeout armed an AvailableNow drain
+    // cannot terminate before the whole TTL elapses (this line used to
+    // silently eat its entire 120 s timeout); expiry has its own test.
+    val q = WatchStream.start(spark, landing, outDir, ckpt, stateTtl = None)
+    assert(q.awaitTermination(120000L), "watch stream did not drain")
 
     val got = spark.read
       .schema("event_id LONG, undercut LONG, sliding_hits LONG, is_bot BOOLEAN, user_id LONG")
