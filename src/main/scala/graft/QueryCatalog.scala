@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Html
-import graft.operators.{Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, Sketches, TextOps, VectorOps}
+import graft.operators.{CorpusOps, Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, Sketches, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -2488,8 +2488,185 @@ object QueryCatalog {
                CAST(32 + (n_bytes * 31) % 89 AS INTEGER) AS height,
                $lanes
         FROM m ORDER BY media_id"""
+      }),
+
+    // C4-style cross-document segment dedup: first-wins is ordered by
+    // (doc_id, seg_idx), so the window tie-break — and therefore every
+    // per-doc count and the reassembled-text hash — is deterministic.
+    "q_segment_dedup" -> Spec(
+      CorpusOps.segmentDedup,
+      Some {
+        val st = CorpusOps.SegTokens
+        s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        seg AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                 array_to_string(list_slice(ws, i * $st + 1,
+                   least((i + 1) * $st, len(ws))), ' ') AS seg_text,
+                 CAST(least((i + 1) * $st, len(ws)) - i * $st AS BIGINT) AS n_seg_tokens
+          FROM d, unnest(range(0, (len(ws) + ${st - 1}) // $st)) AS t(i)),
+        f AS (
+          SELECT *, row_number() OVER (PARTITION BY md5(seg_text)
+                   ORDER BY doc_id, seg_idx) = 1 AS kept
+          FROM seg)
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_removed,
+               CAST(coalesce(sum(n_seg_tokens) FILTER (kept), 0) AS BIGINT) AS kept_tokens,
+               CAST(coalesce(sum(n_seg_tokens) FILTER (NOT kept), 0) AS BIGINT) AS removed_tokens,
+               md5(coalesce(array_to_string(list(seg_text ORDER BY seg_idx)
+                 FILTER (kept), ' '), '')) AS cleaned_hash
+        FROM f GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // Mixture weights under temperature 1/2: sqrt is IEEE-correctly-
+    // rounded on both engines, each group's sqrt is rounded to 6 dp
+    // and summed as an exact decimal — the denominator is bit-identical.
+    "q_mixture_weights" -> Spec(
+      CorpusOps.mixtureWeights,
+      Some(s"""
+        $mixtureCtes
+        SELECT lang, n_docs, n_tokens, raw_share, mix_weight,
+               ${rnd("mix_weight * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS epochs
+        FROM mixw ORDER BY lang""")),
+
+    // Deterministic materialization of the mixture: floor(epochs)
+    // copies plus one more iff the doc's md5 bucket clears the rounded
+    // fractional threshold — a pure key function, like q_doc_sample.
+    "q_mixture_resample" -> Spec(
+      CorpusOps.mixtureResample,
+      Some(s"""
+        $mixtureCtes,
+        e AS (SELECT lang,
+                     ${rnd("mix_weight * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS epochs
+              FROM mixw)
+        SELECT d.doc_id, d.lang, e.epochs,
+               CAST(floor(epochs) + CASE WHEN
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+                     < floor((epochs - floor(epochs)) * 256 + 0.5)
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM documents d JOIN e USING (lang) ORDER BY doc_id""")),
+
+    // PII planting is doc_id-keyed and replayed verbatim, so the
+    // hash-checked counts measure real extraction (langid convention).
+    "q_pii_redact" -> Spec(
+      CorpusOps.piiRedact,
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS pt
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pt, '${CorpusOps.EmailRe}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(pt, '${CorpusOps.PhoneRe}')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(pt, '${CorpusOps.IpRe}')) AS BIGINT) AS n_ips,
+                 md5(regexp_replace(regexp_replace(regexp_replace(pt,
+                   '${CorpusOps.EmailRe}', '<EMAIL>', 'g'),
+                   '${CorpusOps.PhoneRe}', '<PHONE>', 'g'),
+                   '${CorpusOps.IpRe}', '<IP>', 'g')) AS redacted_hash
+          FROM p)
+        SELECT doc_id, n_emails, n_phones, n_ips,
+               n_emails + n_phones + n_ips AS n_pii, redacted_hash
+        FROM c ORDER BY doc_id""")),
+
+    // Naive-Bayes learned quality filter: labels are "above the
+    // corpus-median q_doc_quality score"; every token's log-likelihood
+    // ratio is log2 of a ratio of exact-integer doubles, rounded to
+    // 6 dp and summed as an exact decimal (surprisal recipe), so the
+    // confusion matrix and per-cell means hash identically.
+    "q_nb_quality" -> Spec(
+      CorpusOps.nbQualityFilter,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        val quality = rnd(
+          """0.4 * (least(1.0, n / 20.0) * least(1.0, 80.0 / greatest(n, 80.0)))
+             + 0.3 * (CASE WHEN nstop / n BETWEEN 0.02 AND 0.3 THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (nd / n)""", 6)
+        s"""
+        WITH s AS (
+          SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) AS nstop,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) AS nd
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        qv AS (SELECT doc_id, ws, $quality AS q FROM s),
+        med AS (SELECT ${rnd("quantile_cont(q, 0.5)", 6)} AS m FROM qv),
+        lab AS (SELECT doc_id, ws, q >= m AS label_keep FROM qv, med),
+        dtt AS (SELECT doc_id, label_keep, token, CAST(count(*) AS BIGINT) AS dcnt
+                FROM (SELECT doc_id, label_keep, unnest(ws) AS token FROM lab)
+                WHERE token <> '' GROUP BY doc_id, label_keep, token),
+        dlf AS (SELECT doc_id, label_keep,
+                       unnest(['#len' || CAST(CAST(floor(len(ws) / 10.0) AS INTEGER) AS VARCHAR),
+                               '#ttr' || CAST(CAST(floor(CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) * 10) AS INTEGER) AS VARCHAR)]) AS token,
+                       CAST(1 AS BIGINT) AS dcnt
+                FROM lab),
+        dt AS (SELECT * FROM dtt UNION ALL SELECT * FROM dlf),
+        cc AS (SELECT token,
+                      CAST(coalesce(sum(dcnt) FILTER (label_keep), 0) AS BIGINT) AS c1,
+                      CAST(coalesce(sum(dcnt) FILTER (NOT label_keep), 0) AS BIGINT) AS c0
+               FROM dt GROUP BY token),
+        voc AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+                       CAST(count(*) AS BIGINT) AS v FROM cc),
+        model AS (SELECT token,
+                         CAST(${rnd("log2(CAST((c1 + 1) * (n0 + v) AS DOUBLE) / CAST((c0 + 1) * (n1 + v) AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS llr
+                  FROM cc, voc),
+        pri AS (SELECT CAST(${rnd("log2(CAST(count(*) FILTER (label_keep) AS DOUBLE) / CAST(count(*) FILTER (NOT label_keep) AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS prior
+                FROM lab),
+        sc AS (SELECT doc_id, label_keep, sum(dcnt * llr) AS sum_llr
+               FROM dt JOIN model USING (token) GROUP BY doc_id, label_keep)
+        SELECT label_keep, score > 0 AS pred_keep, count(*) AS n_docs,
+               ${rnd("CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS mean_score
+        FROM (SELECT doc_id, label_keep, sum_llr + prior AS score FROM sc, pri)
+        GROUP BY label_keep, pred_keep ORDER BY label_keep, pred_keep"""
+      }),
+
+    // Winnowing: every hash is an exact integer, the window minima and
+    // the distinct selected set are integer ops — no float anywhere.
+    "q_winnow_fingerprint" -> Spec(
+      CorpusOps.winnowFingerprints,
+      Some {
+        val w = CorpusOps.WinnowWindow
+        s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN [CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8) AS BIGINT)
+                                FOR i IN range(1, len(ws) - 1)]
+                          ELSE CAST([] AS BIGINT[]) END AS hs
+              FROM d),
+        win AS (SELECT doc_id, hs,
+                       CASE WHEN len(hs) >= $w
+                            THEN [list_min(list_slice(hs, j, j + ${w - 1}))
+                                  FOR j IN range(1, len(hs) - ${w - 2})]
+                            WHEN len(hs) >= 1 THEN [list_min(hs)]
+                            ELSE CAST([] AS BIGINT[]) END AS wins
+                FROM g)
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(list_transform(list_sort(list_distinct(wins)),
+                 x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
+        FROM win ORDER BY doc_id"""
       })
   )
+
+  // Shared CTE chain of the mixture queries: per-language token totals
+  // → 6-dp-rounded sqrt summed as exact decimal → rounded shares; ends
+  // in `mixw` (lang, n_docs, n_tokens, total_tokens, raw_share,
+  // mix_weight). Generated from the same constants CorpusOps uses.
+  private lazy val mixtureCtes: String =
+    s"""WITH gl AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        sq AS (SELECT *, CAST(${rnd("sqrt(CAST(n_tokens AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS sqv FROM gl),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, sum(sqv) AS total_sq FROM sq),
+        mixw AS (
+          SELECT lang, n_docs, n_tokens, total_tokens,
+                 ${rnd("CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)} AS raw_share,
+                 ${rnd("CAST(sqv AS DOUBLE) / CAST(total_sq AS DOUBLE)", 6)} AS mix_weight
+          FROM sq, tot)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, s) => k -> s.builder }

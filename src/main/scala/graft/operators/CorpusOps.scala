@@ -1,0 +1,388 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Out, Tables}
+import graft.functions.F
+
+/** Corpus-curation operators beyond the per-document statistics in
+  * [[TextOps]]: cross-document boilerplate removal, data-mixture
+  * computation and resampling, PII redaction, a learned (Naive-Bayes)
+  * quality filter, and winnowing fingerprints.
+  *
+  * Same engineering contract as TextOps: built-in Catalyst expressions
+  * only (array HOFs + md5 + regexp — zero UDFs, everything stays in
+  * whole-stage codegen), hashes and transcendentals follow the
+  * cross-engine determinism rules (md5-derived keys; any double that
+  * feeds an aggregate is rounded to a fixed scale and summed as an
+  * exact decimal, the [[TextOps.surprisalScores]] recipe).
+  */
+object CorpusOps {
+
+  private def docs(spark: SparkSession, dir: String) =
+    Tables.load(spark, dir, "documents")
+
+  /** One cheap doc_id-keyed shuffle to spread CPU-heavy per-doc map
+    * work across cores (the testdata parquet is a single row group —
+    * see [[TextOps]]'s docsDistributed note; at 100 TB the scan already
+    * has thousands of splits and this collapses into the partitioning
+    * the per-doc groupBys need anyway).
+    */
+  private def docsDistributed(spark: SparkSession, dir: String) =
+    docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  private val toks: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- //
+  // Segment-level dedup (C4-style boilerplate removal)
+  // ---------------------------------------------------------------- //
+
+  /** Tokens per dedup segment. C4 dedups at line granularity; this
+    * corpus has no line structure, so segments are consecutive
+    * [[SegTokens]]-token spans — the Spark shape (explode → corpus-wide
+    * group on the span hash → first-occurrence-wins → ordered
+    * reassembly) is identical.
+    */
+  val SegTokens = 10
+
+  /** Cross-document segment dedup: split every document into
+    * consecutive [[SegTokens]]-token segments, keep only the FIRST
+    * corpus-wide occurrence of each distinct segment (ordered by
+    * (doc_id, seg_idx) — deterministic), and report per document how
+    * much text survives plus the md5 of the reassembled cleaned text.
+    * This is the C4 "three-sentence span" / line-dedup boilerplate
+    * remover: a span shared by many documents survives only where it
+    * first appears.
+    *
+    * Scale shape: one explode (corpus tokens → corpus segments, ~n/10
+    * rows), ONE shuffle on seg_hash for the first-wins window (high-
+    * cardinality key — no hot buckets, since a segment repeated enough
+    * to skew one reducer is exactly one group row), and one shuffle
+    * back on doc_id for ordered reassembly. No self-joins, no
+    * all-pairs anything; state per key is O(1).
+    */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("ws"))
+    val nSegs = floor((n + lit(SegTokens - 1)).cast("double") / lit(SegTokens))
+      .cast("int")
+    val segArr = transform(sequence(lit(0), nSegs - 1), i =>
+      struct(
+        i.as("seg_idx"),
+        concat_ws(" ",
+          slice(col("ws"), i * SegTokens + 1,
+            least(lit(SegTokens), n - i * SegTokens))).as("seg_text"),
+        least(lit(SegTokens), n - i * SegTokens).cast(LongType)
+          .as("n_seg_tokens")))
+    val segs = docsDistributed(spark, dir)
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id"), explode(segArr).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"),
+        col("s.seg_text").as("seg_text"),
+        col("s.n_seg_tokens").as("n_seg_tokens"),
+        md5(col("s.seg_text")).as("seg_hash"))
+    val firstWins = Window.partitionBy(col("seg_hash"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    val flagged = segs
+      .withColumn("kept", row_number().over(firstWins) === 1)
+    val keptStructs = sort_array(collect_list(
+      when(col("kept"), struct(col("seg_idx"), col("seg_text")))))
+    val r = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("kept"), col("n_seg_tokens")).otherwise(0L))
+        .as("kept_tokens"),
+      sum(when(!col("kept"), col("n_seg_tokens")).otherwise(0L))
+        .as("removed_tokens"),
+      md5(concat_ws(" ",
+        transform(keptStructs, s => s.getField("seg_text"))))
+        .as("cleaned_hash"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Data-mixture weights + deterministic resampling
+  // ---------------------------------------------------------------- //
+
+  /** Mixture temperature exponent α = 1/2: group weight ∝ tokens^α.
+    * Chosen as the one non-trivial temperature whose power function
+    * (sqrt) is IEEE-correctly-rounded on every engine — the standard
+    * low-resource-upweighting shape (multilingual LM sampling à la
+    * XLM-R's α≈0.3–0.7) with a cross-engine-exact gate.
+    */
+  val MixtureAlpha = 0.5
+
+  /** Per-language data-mixture weights: token share under temperature
+    * [[MixtureAlpha]] — `w_g = tokens_g^α / Σ tokens^α` — plus the
+    * effective epochs per group (`w_g · T / tokens_g`: how many times
+    * the group's data is seen in one pass of the mixed stream).
+    * Tiny-output global aggregate: one map-side-combinable groupBy,
+    * then a broadcast of the 5-row totals frame.
+    *
+    * Determinism: sqrt is exactly rounded per IEEE-754 on both engines;
+    * each group's sqrt is rounded to 6 dp and summed as an exact
+    * decimal, so the denominator is bit-identical cross-engine.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(mixtureFrame(spark, dir).select(
+      col("lang"), col("n_docs"), col("n_tokens"), col("raw_share"),
+      col("mix_weight"), col("epochs")))(col("lang"))
+
+  /** Shared (lang, n_docs, n_tokens, raw_share, mix_weight, epochs)
+    * frame of [[mixtureWeights]] and [[mixtureResample]].
+    */
+  private def mixtureFrame(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = docs(spark, dir)
+      .select(col("lang"), size(toks).cast(LongType).as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("sq",
+        F.roundHalfUp(sqrt(col("n_tokens").cast("double")), 6)
+          .cast("decimal(20,6)"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("sq")).as("total_sq"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("raw_share",
+        F.roundHalfUp(col("n_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6))
+      .withColumn("mix_weight",
+        F.roundHalfUp(col("sq").cast("double") /
+          col("total_sq").cast("double"), 6))
+      .withColumn("epochs",
+        F.roundHalfUp(col("mix_weight") * col("total_tokens").cast("double") /
+          col("n_tokens").cast("double"), 4))
+  }
+
+  /** Deterministic resampling to the [[mixtureWeights]] mixture: every
+    * document gets `floor(epochs_g)` guaranteed copies plus one more
+    * iff its md5 bucket (0..255, the [[TextOps.hashSample]] key) falls
+    * below the rounded fractional acceptance threshold — i.e. epochs
+    * 1.3 means every doc appears once and a deterministic ~30% slice
+    * appears twice. Pure key function: reproducible across runs,
+    * engines and reshards, no shuffle beyond the 5-row weight
+    * broadcast; the classic upsample-low-resource / downsample-
+    * high-resource mixture materializer.
+    */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = mixtureFrame(spark, dir)
+      .select(col("lang"), col("epochs"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val base = floor(col("epochs")).cast(LongType)
+    val thr = floor((col("epochs") - floor(col("epochs"))) * 256 + 0.5)
+      .cast("int")
+    val r = docs(spark, dir)
+      .join(broadcast(weights), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("epochs"),
+        (base + when(bucket < thr, 1L).otherwise(0L)).as("n_copies"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // PII redaction
+  // ---------------------------------------------------------------- //
+
+  /** Regexes shared verbatim with the DuckDB oracle (kept to the
+    * POSIX-class subset where Java regex and RE2 agree).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+  val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The synthetic corpus contains no PII, so the operator plants it
+    * deterministically (doc_id-keyed email / phone / IP suffixes —
+    * the [[TextOps.langId]] derived-fixture convention: the oracle
+    * replays the identical planting, so the hash-checked counts
+    * measure real extraction, not vacuous zeros).
+    */
+  private def plantedText: Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
+      .otherwise(lit("")))
+
+  /** PII detection + redaction over the (planted) corpus: count and
+    * mask emails, NANP test-range phone numbers and 10.x.x.x IPs,
+    * emitting per-doc counts and the md5 of the redacted text. Pure
+    * per-row regexp map — codegen'd `RegExpReplace`/`RegExpExtractAll`,
+    * no shuffle at any scale. Replacement order (email → phone → IP)
+    * is part of the contract: earlier masks can never create or
+    * destroy later patterns ('<EMAIL>' matches none of them).
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(plantedText, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>")
+    val nEmails = size(regexp_extract_all(plantedText, lit(EmailRe), lit(0)))
+    val nPhones = size(regexp_extract_all(plantedText, lit(PhoneRe), lit(0)))
+    val nIps = size(regexp_extract_all(plantedText, lit(IpRe), lit(0)))
+    val r = docsDistributed(spark, dir).select(
+      col("doc_id"),
+      nEmails.cast(LongType).as("n_emails"),
+      nPhones.cast(LongType).as("n_phones"),
+      nIps.cast(LongType).as("n_ips"),
+      (nEmails + nPhones + nIps).cast(LongType).as("n_pii"),
+      md5(redacted).as("redacted_hash"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Naive-Bayes learned quality filter
+  // ---------------------------------------------------------------- //
+
+  /** Learned quality filter, fastText-classifier shape: train a
+    * unigram Naive Bayes on the corpus against an above-corpus-median
+    * [[TextOps.qualityScores]] heuristic score as the (pseudo-)label,
+    * score
+    * every document with the summed log-likelihood ratio plus the
+    * class prior, and report the confusion matrix of heuristic label ×
+    * learned prediction with per-cell mean scores. This is the
+    * standard bootstrap for a learned filter (seed labels from a
+    * heuristic, train, inspect agreement) — the whole train+apply
+    * cycle as one declarative plan.
+    *
+    * Scale shape: training is two map-side-combinable groupBys ((doc,
+    * token) counts → per-class token counts = a vocab-sized model
+    * frame); scoring is one join of the (doc, token) frame against the
+    * model and a per-doc sum. No driver-side state — the "model" is a
+    * DataFrame.
+    *
+    * Determinism: each token's log-likelihood ratio is log2 of a ratio
+    * of exact-integer-valued doubles (Laplace-smoothed counts), rounded
+    * to 6 dp and summed as an exact decimal — the
+    * [[TextOps.surprisalScores]] recipe.
+    */
+  def nbQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    // Label = "above the corpus-median heuristic quality": two-class by
+    // construction (the fixed 0.5 keep cut is single-class on this
+    // corpus — every doc passes). Exact percentile over the 6-dp-rounded
+    // scores; the interpolated midpoint is one IEEE mean of two rounded
+    // doubles, identical in DuckDB's quantile_cont.
+    val qdoc = docsDistributed(spark, dir)
+      .select(col("doc_id"), TextOps.qualityScore.as("q"), toks.as("ws"))
+    val med = qdoc.agg(expr("percentile(q, 0.5D)").as("med"))
+    val labeled = qdoc.crossJoin(broadcast(med))
+      .select(col("doc_id"),
+        (col("q") >= F.roundHalfUp(col("med"), 6)).as("label_keep"),
+        col("ws"))
+    val tokenRows = labeled
+      .select(col("doc_id"), col("label_keep"), explode(col("ws")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "label_keep", "token")
+      .agg(count(lit(1)).as("dcnt"))
+    // Engineered feature tokens (fastText-style): the label is mostly a
+    // function of length and type-token ratio, which unigram identity
+    // over a SHARED vocabulary cannot encode — so each doc's bag also
+    // carries a bucketed-length and a bucketed-TTR feature ('#' cannot
+    // appear in a corpus word, so the feature space never collides).
+    val n = size(col("ws")).cast("double")
+    val featRows = labeled.select(col("doc_id"), col("label_keep"),
+      array(
+        concat(lit("#len"), floor(n / 10).cast("int").cast("string")),
+        concat(lit("#ttr"), floor(
+          size(array_distinct(col("ws"))).cast("double") / n * 10)
+          .cast("int").cast("string"))).as("feats"))
+      .select(col("doc_id"), col("label_keep"),
+        explode(col("feats")).as("token"), lit(1L).as("dcnt"))
+    val dt = tokenRows.unionByName(featRows)
+    val classCounts = dt.groupBy("token").agg(
+      sum(when(col("label_keep"), col("dcnt")).otherwise(0L)).as("c1"),
+      sum(when(!col("label_keep"), col("dcnt")).otherwise(0L)).as("c0"))
+    val voc = classCounts.agg(
+      sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v"))
+    val model = classCounts.crossJoin(broadcast(voc)).select(
+      col("token"),
+      F.roundHalfUp(
+        log2(((col("c1") + 1) * (col("n0") + col("v"))).cast("double") /
+          ((col("c0") + 1) * (col("n1") + col("v"))).cast("double")), 6)
+        .cast("decimal(20,6)").as("llr"))
+    val priors = labeled.agg(
+      sum(when(col("label_keep"), 1L).otherwise(0L)).as("nd1"),
+      sum(when(!col("label_keep"), 1L).otherwise(0L)).as("nd0"))
+    val prior = F.roundHalfUp(
+      log2(col("nd1").cast("double") / col("nd0").cast("double")), 6)
+      .cast("decimal(20,6)")
+    val scored = dt.join(model, Seq("token"))
+      .groupBy("doc_id", "label_keep")
+      .agg(sum(col("dcnt") * col("llr")).as("sum_llr"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("label_keep"),
+        (col("sum_llr") + prior).as("score"))
+    val cells = scored
+      .withColumn("pred_keep", col("score") > 0)
+      .groupBy("label_keep", "pred_keep")
+      .agg(count(lit(1)).as("n_docs"),
+        F.roundHalfUp(F.avgFromSums(sum(col("score")), count(lit(1))), 4)
+          .as("mean_score"))
+    Out.sorted(cells)(col("label_keep"), col("pred_keep"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Winnowing fingerprints
+  // ---------------------------------------------------------------- //
+
+  /** Winnowing window size w: a fingerprint is selected from every
+    * [[WinnowWindow]] consecutive k-gram hashes, giving the standard
+    * guarantee that any shared run of w+k-1 tokens between two
+    * documents shares at least one selected fingerprint.
+    */
+  val WinnowWindow = 4
+
+  /** Winnowing document fingerprints (the MOSS local-fingerprinting
+    * algorithm): hash every POSITIONAL word-3-gram, slide a
+    * [[WinnowWindow]]-wide window over the hash sequence, select each
+    * window's minimum, and emit the distinct selected set per doc
+    * (size + canonical md5). Unlike [[TextOps.fingerprints]]'
+    * single min-shingle, the selected-set density tracks document
+    * length, so overlap between fingerprint sets localizes SHARED
+    * PASSAGES — the plagiarism / near-exact-reuse detector that
+    * complements whole-document MinHash. Pure per-row array HOFs, no
+    * shuffle; docs shorter than one window still yield one fingerprint
+    * (min of all grams), matching the algorithm's ≥1 guarantee.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val grams = transform(sequence(lit(1), size(ws) - 2), i =>
+      conv(substring(md5(concat_ws(" ",
+        element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))),
+        1, 8), 16, 10).cast(LongType))
+    val m = size(col("hs"))
+    val wins =
+      when(m >= WinnowWindow,
+        transform(sequence(lit(1), m - (WinnowWindow - 1)),
+          j => array_min(slice(col("hs"), j, lit(WinnowWindow)))))
+        .when(m >= 1, array(array_min(col("hs"))))
+        .otherwise(array().cast("array<bigint>"))
+    val fps = array_sort(array_distinct(col("wins")))
+    val r = docsDistributed(spark, dir)
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id"), when(size(ws) >= 3, grams)
+        .otherwise(array().cast("array<bigint>")).as("hs"))
+      .select(col("doc_id"), col("hs"), wins.as("wins"))
+      .select(col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"),
+        size(array_distinct(col("wins"))).cast(LongType)
+          .as("n_fingerprints"),
+        md5(concat_ws(",", transform(fps, x => x.cast("string"))))
+          .as("fp_hash"))
+    Out.sorted(r)(col("doc_id"))
+  }
+}

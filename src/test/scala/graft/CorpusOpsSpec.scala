@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusOps
+
+/** Round-6 corpus-curation operators: segment-level (C4-style) dedup,
+  * mixture weights + deterministic resampling, PII redaction, the
+  * Naive-Bayes learned quality filter and winnowing fingerprints. Each
+  * is oracle-checked end-to-end (q_segment_dedup, q_mixture_weights,
+  * q_mixture_resample, q_pii_redact, q_nb_quality,
+  * q_winnow_fingerprint); these tests pin the invariants a hash-compare
+  * can't express — conservation laws, direction-of-effect, and per-row
+  * Scala recomputation.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+  private val dir = SparkT.Sf0001
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("segment dedup: token conservation and exactly-once survival per distinct segment") {
+    val rows = CorpusOps.segmentDedup(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length === docs.size)
+    // Per-doc conservation: kept + removed tokens == doc tokens; kept +
+    // removed segments == ceil(n/SegTokens).
+    rows.foreach { r =>
+      val n = docs(r.getAs[Long]("doc_id")).split(" ").length
+      assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("removed_tokens") === n.toLong)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ===
+        (n + CorpusOps.SegTokens - 1) / CorpusOps.SegTokens)
+    }
+    // Corpus law: total kept segments == number of DISTINCT segment
+    // texts (each survives exactly once, first occurrence wins).
+    val distinctSegs = docs.values.flatMap { t =>
+      t.split(" ").grouped(CorpusOps.SegTokens).map(_.mkString(" "))
+    }.toSet
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === distinctSegs.size.toLong)
+  }
+
+  test("mixture weights: shares normalize and temperature upweights low-resource groups") {
+    val rows = CorpusOps.mixtureWeights(spark, dir).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("raw_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-4)
+    // α = 1/2 compresses the range: the smallest group gains weight
+    // (epochs > 1-per-pass share), the largest loses.
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("mix_weight") >
+      bySize.head.getAs[Double]("raw_share"))
+    assert(bySize.last.getAs[Double]("mix_weight") <
+      bySize.last.getAs[Double]("raw_share"))
+    assert(bySize.head.getAs[Double]("epochs") >
+      bySize.last.getAs[Double]("epochs"))
+  }
+
+  test("mixture resample: per-group copy mass tracks epochs, bucket rule recomputed") {
+    val weights = CorpusOps.mixtureWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("epochs"), r.getAs[Long]("n_docs"))).toMap
+    val rows = CorpusOps.mixtureResample(spark, dir).collect()
+    rows.foreach { r =>
+      // Recompute the copy rule per doc from the md5 bucket.
+      val e = r.getAs[Double]("epochs")
+      val bucket = Integer.parseInt(
+        md5Hex(r.getAs[Long]("doc_id").toString).take(2), 16)
+      val thr = math.floor((e - math.floor(e)) * 256 + 0.5)
+      val want = math.floor(e).toLong + (if (bucket < thr) 1L else 0L)
+      assert(r.getAs[Long]("n_copies") === want)
+    }
+    // Group mass: sum of copies within ±(n_docs) of epochs * n_docs
+    // (each doc rounds its fractional copy independently).
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val (e, nd) = weights(lang)
+      val mass = rs.map(_.getAs[Long]("n_copies")).sum.toDouble
+      assert(math.abs(mass - e * nd) <= nd.toDouble,
+        s"$lang: copies $mass vs target ${e * nd}")
+    }
+  }
+
+  test("PII redaction: planted pattern counts and hash-change iff redacted") {
+    val rows = CorpusOps.piiRedact(spark, dir).collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // The raw corpus carries no PII, so counts are exactly the plants.
+      assert(r.getAs[Long]("n_emails") === (if (id % 7 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") === (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ips") === (if (id % 11 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_pii") ===
+        r.getAs[Long]("n_emails") + r.getAs[Long]("n_phones") + r.getAs[Long]("n_ips"))
+      // No plants → redacted text is the raw text; plants → it differs.
+      if (r.getAs[Long]("n_pii") == 0L)
+        assert(r.getAs[String]("redacted_hash") === md5Hex(texts(id)))
+      else
+        assert(r.getAs[String]("redacted_hash") !== md5Hex(texts(id)))
+    }
+  }
+
+  test("NB quality filter: two classes, full coverage, learns the label") {
+    val rows = CorpusOps.nbQualityFilter(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val labels = rows.map(_.getAs[Boolean]("label_keep")).toSet
+    assert(labels === Set(true, false), "median label must be two-class")
+    // The learned scores must separate the classes far better than
+    // chance: diagonal mass ≥ 80% (trained and evaluated on the same
+    // corpus, so near-perfect agreement is expected).
+    val diag = rows.filter(r =>
+      r.getAs[Boolean]("label_keep") == r.getAs[Boolean]("pred_keep"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(diag.toDouble / nDocs >= 0.8, s"diagonal $diag of $nDocs")
+    // Mean scores point the right way per label row.
+    rows.filter(_.getAs[Boolean]("pred_keep"))
+      .foreach(r => assert(r.getAs[Double]("mean_score") > 0))
+    rows.filterNot(_.getAs[Boolean]("pred_keep"))
+      .foreach(r => assert(r.getAs[Double]("mean_score") <= 0))
+  }
+
+  test("winnowing: per-doc recompute and the shared-run guarantee") {
+    val rows = CorpusOps.winnowFingerprints(spark, dir).collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length === texts.size)
+    def fingerprints(t: String): Seq[Long] = {
+      val ws = t.split(" ")
+      val hs = if (ws.length < 3) Seq.empty[Long]
+      else ws.sliding(3).map(g =>
+        java.lang.Long.parseLong(md5Hex(g.mkString(" ")).take(8), 16)).toSeq
+      if (hs.isEmpty) Seq.empty
+      else if (hs.length < CorpusOps.WinnowWindow) Seq(hs.min)
+      else hs.sliding(CorpusOps.WinnowWindow).map(_.min).toSeq
+    }
+    rows.foreach { r =>
+      val fp = fingerprints(texts(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_fingerprints") === fp.distinct.size.toLong)
+      assert(r.getAs[String]("fp_hash") ===
+        md5Hex(fp.distinct.sorted.mkString(",")))
+      if (fp.nonEmpty) assert(r.getAs[Long]("n_fingerprints") >= 1L)
+    }
+  }
+}
