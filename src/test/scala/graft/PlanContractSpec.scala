@@ -195,4 +195,50 @@ class PlanContractSpec extends AnyFunSuite {
     assert(finalSection.contains("ExistingRDD"),
       s"bounds frame must be the checkpointed 1-row RDD:\n$plan")
   }
+
+  test("pii redaction and winnowing are map-only: one explicit spread, no other exchange") {
+    // verify-only terminal sort off BEFORE building: Out.sorted reads
+    // the conf at plan-construction time, not at execution
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      for (df <- Seq(operators.CorpusOps.piiRedact(spark, SparkT.Sf0001),
+                     operators.CorpusOps.winnowFingerprints(spark, SparkT.Sf0001))) {
+        val plan = planOf(df)
+        val finalSection = plan.split("== Initial Plan ==").head
+        val exchanges = "Exchange".r.findAllIn(finalSection).length
+        // exactly the deliberate doc_id spread (docsDistributed) — the
+        // regexp / array-HOF pipeline itself must add no shuffle
+        assert(exchanges == 1, s"expected only the explicit spread, got $exchanges:\n$plan")
+        assert(finalSection.contains("*("), s"no codegen span:\n$plan")
+      }
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
+
+  test("segment dedup: no joins — explode, one seg_hash window, one doc_id re-agg") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      val plan = planOf(operators.CorpusOps.segmentDedup(spark, SparkT.Sf0001))
+      val finalSection = plan.split("== Initial Plan ==").head
+      assert(!finalSection.contains("Join"),
+        s"segment dedup must not join — first-wins is a window:\n$plan")
+      assert(finalSection.contains("Window"), s"expected the first-wins window:\n$plan")
+      // corpus scanned once: explode → window → re-agg is one linear chain
+      val scans = "Scan parquet".r.findAllIn(finalSection).length
+      assert(scans == 1, s"expected a single documents scan, got $scans:\n$plan")
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
+
+  test("nb quality filter: scalar stats broadcast as 1-row anchors, no cartesian on data") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      val plan = planOf(operators.CorpusOps.nbQualityFilter(spark, SparkT.Sf0001))
+      val finalSection = plan.split("== Initial Plan ==").head
+      // median / vocab totals / priors join the per-token frames as
+      // broadcast 1-row anchors, never as a shuffle of the token side
+      assert(finalSection.contains("BroadcastNestedLoopJoin"),
+        s"scalar frames must broadcast:\n$plan")
+      assert(!finalSection.contains("CartesianProduct"),
+        s"cartesian product on data:\n$plan")
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
 }
