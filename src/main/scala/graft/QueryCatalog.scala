@@ -2626,10 +2626,46 @@ object QueryCatalog {
     // the distinct selected set are integer ops — no float anywhere.
     "q_winnow_fingerprint" -> Spec(
       CorpusOps.winnowFingerprints,
-      Some {
-        val w = CorpusOps.WinnowWindow
-        s"""
-        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      Some(s"""
+        $winnowCtes
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(list_transform(list_sort(list_distinct(wins)),
+                 x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
+        FROM win ORDER BY doc_id""")),
+
+    // MOSS match step over the winnowing index: the df cap and the
+    // ≥2-df join guard replicate bit-for-bit, so the pair set and the
+    // containment scores hash exactly.
+    "q_shared_passages" -> Spec(
+      CorpusOps.sharedPassages,
+      Some(s"""
+        $winnowCtes,
+        fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f FROM win),
+        dfc AS (SELECT f, count(*) AS c FROM fp GROUP BY f),
+        kept AS (SELECT fp.doc_id, fp.f, dfc.c FROM fp JOIN dfc USING (f)
+                 WHERE c <= ${CorpusOps.MaxFpDf}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+          WHERE a.c >= 2 GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b, n_shared,
+               ${rnd("CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)", 6)} AS containment
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_shared >= ${CorpusOps.MinSharedFp}
+        ORDER BY doc_a, doc_b"""))
+  )
+
+  // Shared winnowing CTE chain (positional gram hashes → window
+  // minima); ends in `win` (doc_id, hs, wins). Constants in lockstep
+  // with CorpusOps.WinnowWindow.
+  private lazy val winnowCtes: String = {
+    val w = CorpusOps.WinnowWindow
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         g AS (SELECT doc_id,
                      CASE WHEN len(ws) >= 3
                           THEN [CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8) AS BIGINT)
@@ -2642,14 +2678,8 @@ object QueryCatalog {
                                   FOR j IN range(1, len(hs) - ${w - 2})]
                             WHEN len(hs) >= 1 THEN [list_min(hs)]
                             ELSE CAST([] AS BIGINT[]) END AS wins
-                FROM g)
-        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
-               CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
-               md5(array_to_string(list_transform(list_sort(list_distinct(wins)),
-                 x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
-        FROM win ORDER BY doc_id"""
-      })
-  )
+                FROM g)"""
+  }
 
   // Shared CTE chain of the mixture queries: per-language token totals
   // → 6-dp-rounded sqrt summed as exact decimal → rounded shares; ends

@@ -359,6 +359,22 @@ object CorpusOps {
     * (min of all grams), matching the algorithm's ≥1 guarantee.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fps = array_sort(array_distinct(col("wins")))
+    val r = winnowBase(spark, dir)
+      .select(col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"),
+        size(array_distinct(col("wins"))).cast(LongType)
+          .as("n_fingerprints"),
+        md5(concat_ws(",", transform(fps, x => x.cast("string"))))
+          .as("fp_hash"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** (doc_id, hs = positional gram hashes, wins = selected window
+    * minima) — the shared core of [[winnowFingerprints]] and
+    * [[sharedPassages]].
+    */
+  private[graft] def winnowBase(spark: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
     val grams = transform(sequence(lit(1), size(ws) - 2), i =>
       conv(substring(md5(concat_ws(" ",
@@ -371,18 +387,57 @@ object CorpusOps {
           j => array_min(slice(col("hs"), j, lit(WinnowWindow)))))
         .when(m >= 1, array(array_min(col("hs"))))
         .otherwise(array().cast("array<bigint>"))
-    val fps = array_sort(array_distinct(col("wins")))
-    val r = docsDistributed(spark, dir)
+    docsDistributed(spark, dir)
       .select(col("doc_id"), toks.as("ws"))
       .select(col("doc_id"), when(size(ws) >= 3, grams)
         .otherwise(array().cast("array<bigint>")).as("hs"))
       .select(col("doc_id"), col("hs"), wins.as("wins"))
-      .select(col("doc_id"),
-        size(col("hs")).cast(LongType).as("n_grams"),
-        size(array_distinct(col("wins"))).cast(LongType)
-          .as("n_fingerprints"),
-        md5(concat_ws(",", transform(fps, x => x.cast("string"))))
-          .as("fp_hash"))
-    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Document-frequency cap on the shared-passage fingerprint index: a
+    * fingerprint present in more than this many documents is template
+    * boilerplate, not a shared passage, and would make the self-join
+    * quadratic on one key (the [[TextOps.MaxBandFrequency]] argument).
+    */
+  val MaxFpDf = 50
+
+  /** Minimum shared fingerprints for a reported passage-sharing pair —
+    * one coincidental window minimum collision shouldn't report. */
+  val MinSharedFp = 3
+
+  /** Cross-document shared-passage pairs over the winnowing index (the
+    * MOSS match step): build the df-capped inverted fingerprint index,
+    * self-join it on the fingerprint, and report pairs sharing at
+    * least [[MinSharedFp]] selected fingerprints with their containment
+    * score (shared / smaller fingerprint set). Winnowing's guarantee
+    * makes this a PASSAGE detector: any shared token run of length ≥
+    * [[WinnowWindow]]+2 contributes at least one shared fingerprint —
+    * localized reuse that whole-document MinHash dilutes away.
+    *
+    * Scale shape: identical to [[TextOps.ngramJaccardNearDup]] — the
+    * inverted index is the materialized frame, candidates come only
+    * from index buckets (never all-pairs), and the df cap bounds every
+    * bucket's pair fan-out.
+    */
+  def sharedPassages(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Out.eager(winnowBase(spark, dir)
+      .select(col("doc_id"), explode_outer(array_distinct(col("wins"))).as("fp"))
+      .filter(col("fp").isNotNull)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= MaxFpDf))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = kept.filter(col("df") >= 2).select("doc_id", "fp")
+    val inter = joinable.as("x").join(joinable.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+    val r = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        F.roundHalfUp(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+    Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 }

@@ -124,6 +124,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Double]("mean_score") <= 0))
   }
 
+  test("shared passages: pair counts and containment match a Scala recompute") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def fpSet(t: String): Set[Long] = {
+      val ws = t.split(" ")
+      val hs = if (ws.length < 3) Seq.empty[Long]
+      else ws.sliding(3).map(g =>
+        java.lang.Long.parseLong(md5Hex(g.mkString(" ")).take(8), 16)).toSeq
+      val wins = if (hs.isEmpty) Seq.empty
+      else if (hs.length < CorpusOps.WinnowWindow) Seq(hs.min)
+      else hs.sliding(CorpusOps.WinnowWindow).map(_.min).toSeq
+      wins.toSet
+    }
+    val all = texts.view.mapValues(fpSet).toMap
+    val df = all.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (f, xs) => f -> xs.size }
+    val kept = all.view.mapValues(_.filter(f => df(f) <= CorpusOps.MaxFpDf)).toMap
+    val rows = CorpusOps.sharedPassages(spark, dir).collect()
+    assert(rows.nonEmpty, "planted near-dups must surface as shared passages")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      val shared = (kept(a) & kept(b)).size
+      assert(shared >= CorpusOps.MinSharedFp)
+      assert(r.getAs[Long]("n_shared") === shared.toLong)
+      val want = shared.toDouble / math.min(kept(a).size, kept(b).size)
+      assert(math.abs(r.getAs[Double]("containment") - want) < 1e-6)
+    }
+    // Completeness: every qualifying pair in the recompute is reported.
+    val reported = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    for (a <- kept.keys; b <- kept.keys if a < b) {
+      val shared = (kept(a) & kept(b)).size
+      if (shared >= CorpusOps.MinSharedFp)
+        assert(reported((a, b)), s"missing pair ($a,$b) with $shared shared")
+    }
+  }
+
   test("winnowing: per-doc recompute and the shared-run guarantee") {
     val rows = CorpusOps.winnowFingerprints(spark, dir).collect()
     val texts = spark.read.parquet(s"$dir/documents.parquet")
