@@ -191,12 +191,17 @@ object QueryCatalog {
   // Multi-probe LSH embedding near-dup pair chain, ending in
   // `epairs(vec_a, vec_b, cos_sim)` — shared by q_embed_neardup and the
   // cross-modal q_dedup_ensemble.
-  private lazy val embedPairCtes: String = {
-    val bucketExpr = (0 until VectorOps.NPlanes).map { p =>
-      val arr = VectorOps.planeInts(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
+  private lazy val embedPairCtes: String = embedPairCtesAt(VectorOps.NPlanes)
+
+  // Same chain at any plane count (the q_embed_neardup_8p dial row
+  // regenerates the hyperplane literals from the same md5 family).
+  private def embedPairCtesAt(nPlanes: Int): String = {
+    val planes = VectorOps.planeIntsFor(nPlanes)
+    val bucketExpr = (0 until nPlanes).map { p =>
+      val arr = planes(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
-    val probeList = ("bucket" +: (0 until VectorOps.NPlanes)
+    val probeList = ("bucket" +: (0 until nPlanes)
       .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
     s"""eb AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
                FROM embeddings),
@@ -1741,6 +1746,16 @@ object QueryCatalog {
       VectorOps.embedNearDup,
       Some(s"""
         WITH $embedPairCtes
+        SELECT vec_a, vec_b, cos_sim FROM epairs
+        ORDER BY vec_a, vec_b""")),
+
+    // The LSH dial at its wide setting (2^8 buckets): same plan, 16x
+    // lower occupancy — the scale remedy for the one super-linear
+    // family, proven end-to-end with its own oracle hash.
+    "q_embed_neardup_8p" -> Spec(
+      VectorOps.embedNearDupWide,
+      Some(s"""
+        WITH ${embedPairCtesAt(VectorOps.NPlanesWide)}
         SELECT vec_a, vec_b, cos_sim FROM epairs
         ORDER BY vec_a, vec_b""")),
 

