@@ -48,4 +48,11 @@ class CacheHygieneSpec extends AnyFunSuite {
       assertCacheEmpty(what)
     }
   }
+
+  test("shared-passage builder releases its fingerprint index frame") {
+    spark.catalog.clearCache()
+    val n = graft.operators.CorpusOps.sharedPassages(spark, SparkT.Sf0001).count()
+    assert(n > 0)
+    assertCacheEmpty("sharedPassages")
+  }
 }
