@@ -2649,6 +2649,43 @@ object QueryCatalog {
                  x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
         FROM win ORDER BY doc_id""")),
 
+    // Ordered funnel: the running conditional minima replay as the
+    // same windows in SQL; (ts, event_id) ordering makes ties exact.
+    "q_event_funnel" -> Spec(
+      Fleet.eventFunnel,
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        x AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                      OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS v_us
+          FROM e),
+        y AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND v_us IS NOT NULL THEN us END)
+                      OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS c_us
+          FROM x),
+        per AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN us END) AS view_us,
+                 min(CASE WHEN event_type = 'click' AND v_us IS NOT NULL THEN us END) AS click_us,
+                 min(CASE WHEN event_type = 'purchase' AND c_us IS NOT NULL THEN us END) AS purchase_us
+          FROM y GROUP BY user_id)
+        SELECT user_id,
+               CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+                         WHEN click_us IS NOT NULL THEN 2
+                         WHEN view_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+               strftime(make_timestamp(view_us), '%Y-%m-%d %H:%M:%S') AS view_time,
+               strftime(make_timestamp(click_us), '%Y-%m-%d %H:%M:%S') AS click_time,
+               strftime(make_timestamp(purchase_us), '%Y-%m-%d %H:%M:%S') AS purchase_time,
+               (click_us - view_us) // 1000000 AS view_to_click_secs,
+               (purchase_us - click_us) // 1000000 AS click_to_purchase_secs
+        FROM per ORDER BY user_id""")),
+
     // MOSS match step over the winnowing index: the df cap and the
     // ≥2-df join guard replicate bit-for-bit, so the pair set and the
     // containment scores hash exactly.

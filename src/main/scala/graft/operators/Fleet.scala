@@ -152,6 +152,58 @@ object Fleet {
     Out.sorted(r)(col("event_type"), col("session_seq"))
   }
 
+  /** Ordered-funnel attribution over the event stream: per user, the
+    * first view, the first click AFTER that view, and the first
+    * purchase AFTER that qualified click — the classic conversion
+    * funnel (match_recognize's PATTERN (V ... C ... P) shape) built
+    * Spark-first as running conditional minima over ONE user-ordered
+    * window pass. "After" is (ts, event_id)-lexicographic, so ties are
+    * deterministic and the oracle replays the identical ordering.
+    *
+    * Scale shape: one shuffle on user_id, one sort per partition; the
+    * three running windows and the final per-user aggregate all reuse
+    * that partitioning (single Exchange in the plan). No self-joins —
+    * the naive funnel (events ⋈ events ⋈ events on user) is quadratic
+    * per hot user; running windows are O(n log n) per partition and
+    * O(1) state per step.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val staged = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      // earliest view at-or-before this row
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      // earliest view-qualified click at-or-before this row
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("v_us").isNotNull,
+          col("us"))).over(w))
+    val per = staged.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("us"))).as("view_us"),
+      min(when(col("event_type") === "click" && col("v_us").isNotNull,
+        col("us"))).as("click_us"),
+      min(when(col("event_type") === "purchase" && col("c_us").isNotNull,
+        col("us"))).as("purchase_us"))
+    val r = per.select(
+      col("user_id"),
+      when(col("purchase_us").isNotNull, 3L)
+        .when(col("click_us").isNotNull, 2L)
+        .when(col("view_us").isNotNull, 1L).otherwise(0L).as("stage"),
+      date_format(timestamp_micros(col("view_us")), "yyyy-MM-dd HH:mm:ss")
+        .as("view_time"),
+      date_format(timestamp_micros(col("click_us")), "yyyy-MM-dd HH:mm:ss")
+        .as("click_time"),
+      date_format(timestamp_micros(col("purchase_us")), "yyyy-MM-dd HH:mm:ss")
+        .as("purchase_time"),
+      expr("(click_us - view_us) div 1000000").as("view_to_click_secs"),
+      expr("(purchase_us - click_us) div 1000000").as("click_to_purchase_secs"))
+    Out.sorted(r)(col("user_id"))
+  }
+
   /** X25 — template message rendering over the size recommendations
     * (reference size_recommendation_engine.py:279-301 WhatsApp text).
     */
