@@ -2649,6 +2649,37 @@ object QueryCatalog {
                  x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
         FROM win ORDER BY doc_id""")),
 
+    // Budget selection: the oracle replays the global running sum in
+    // one window (fine for DuckDB); the engine computes the same
+    // prefix sums in the two-phase bucketed form, so value equality
+    // proves the decomposition exact (the q_doc_packing precedent).
+    "q_token_budget" -> Spec(
+      CorpusOps.tokenBudget,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        val quality = rnd(
+          """0.4 * (least(1.0, n / 20.0) * least(1.0, 80.0 / greatest(n, 80.0)))
+             + 0.3 * (CASE WHEN nstop / n BETWEEN 0.02 AND 0.3 THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (nd / n)""", 6)
+        s"""
+        WITH s AS (
+          SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) AS nstop,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) AS nd
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        qv AS (SELECT doc_id, $quality AS q, CAST(n AS BIGINT) AS n_tokens FROM s),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM qv),
+        o AS (SELECT *, coalesce(CAST(sum(n_tokens)
+                   OVER (ORDER BY q DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS cum_start
+              FROM qv)
+        SELECT doc_id, q AS quality_score, n_tokens, cum_start,
+               cum_start < total // 2 AS selected,
+               (cum_start < total // 2 AND cum_start + n_tokens > total // 2) AS is_cut
+        FROM o, tot ORDER BY doc_id"""
+      }),
+
     // Ordered funnel: the running conditional minima replay as the
     // same windows in SQL; (ts, event_id) ordering makes ties exact.
     "q_event_funnel" -> Spec(

@@ -336,6 +336,63 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // Quality-ranked selection under a token budget
+  // ---------------------------------------------------------------- //
+
+  /** Quality buckets for the distributed budget prefix sum: the shard
+    * key is floor(quality · 10) — derived from the VALUE, so it is
+    * deterministic at any partitioning, and floor is monotone, so
+    * (bucket desc, quality desc, doc_id) is exactly the global
+    * (quality desc, doc_id) order. */
+  val QualityBuckets = 10
+
+  /** "Train on the best documents up to a token budget" — the
+    * selection step between scoring and packing in a curation
+    * pipeline: rank the corpus by heuristic quality (scores rounded
+    * BEFORE ranking, doc_id tie-break — the [[TextOps.docKeywords]]
+    * determinism convention), prefix-sum token counts in that order,
+    * and keep every document whose span starts inside the budget
+    * (here: half the corpus tokens, computed in-query so the cut is
+    * real at every scale). The straddling document is flagged
+    * `is_cut` — log what was dropped, never truncate silently.
+    *
+    * Scale shape: the [[TextOps.docPacking]] TWO-PHASE prefix sum with
+    * a value-derived shard — per-bucket running sums (shuffle on the
+    * bucket key) plus a broadcast ≤[[QualityBuckets]]-row bucket-offset
+    * frame. No corpus-sized single-task window; a skewed quality
+    * distribution concentrates buckets, which bounds parallelism at
+    * [[QualityBuckets]] for the window stage only — widen the bucket
+    * count (quality·100) if the distribution demands it.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(
+      col("doc_id"), TextOps.qualityScore.as("q"),
+      size(toks).cast(LongType).as("n_tokens"))
+      .withColumn("bucket", floor(col("q") * QualityBuckets).cast("int"))
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(desc("q"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("local_start",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBucket = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(sum(col("n_tokens")).as("bt"))
+      .select(col("bucket"),
+        coalesce(sum(col("bt")).over(wBucket), lit(0L)).as("bucket_offset"))
+    val totals = base.agg(sum(col("n_tokens")).as("total"))
+    val r = local.join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_start", col("bucket_offset") + col("local_start"))
+      .withColumn("budget", expr("total div 2"))
+      .select(col("doc_id"), col("q").as("quality_score"), col("n_tokens"),
+        col("cum_start"),
+        (col("cum_start") < col("budget")).as("selected"),
+        (col("cum_start") < col("budget") &&
+          col("cum_start") + col("n_tokens") > col("budget")).as("is_cut"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Winnowing fingerprints
   // ---------------------------------------------------------------- //
 

@@ -124,6 +124,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Double]("mean_score") <= 0))
   }
 
+  test("token budget: two-phase prefix sum equals the global recompute, one cut at most") {
+    val rows = CorpusOps.tokenBudget(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Global recompute: sort by (rounded quality desc, doc_id), prefix.
+    val docs = rows.values.toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy { case (id, q, _) => (-q, id) }
+    val total = docs.map(_._3).sum
+    val budget = total / 2
+    var cum = 0L
+    var cuts = 0
+    docs.foreach { case (id, _, n) =>
+      val r = rows(id)
+      assert(r.getAs[Long]("cum_start") === cum,
+        s"doc $id prefix (two-phase vs global)")
+      assert(r.getAs[Boolean]("selected") === (cum < budget))
+      val isCut = cum < budget && cum + n > budget
+      assert(r.getAs[Boolean]("is_cut") === isCut)
+      if (isCut) cuts += 1
+      cum += n
+    }
+    assert(cum === total)
+    assert(cuts <= 1, "at most one straddling document")
+    val nSel = rows.values.count(_.getAs[Boolean]("selected"))
+    assert(nSel > 0 && nSel < rows.size, "the budget must genuinely cut")
+  }
+
   test("shared passages: pair counts and containment match a Scala recompute") {
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
