@@ -108,7 +108,7 @@ object VectorOps {
     * oracle replicates the probing exactly, so the gate stays
     * deterministic.)
     *
-    * Scaling note (measured, BENCH_sf1.json vs sf0.1: 63× wall at 10×
+    * Scaling note (measured, BENCH_sf1.json vs sf0.1: ~90× wall at 10×
     * vectors — the one super-linear query family in the sweep, shared
     * with its [[graft.operators.TextOps.dedupEnsemble]] consumer): the
     * bucket space is FIXED at 2^[[NPlanes]] = 16, so per-bucket
@@ -120,8 +120,12 @@ object VectorOps {
     * the 4 hyperplanes as literals and the testdata needs populated
     * buckets to exercise recall. The dial's effect is itself
     * driver-checked: [[embedNearDupWide]] (q_embed_neardup_8p) runs
-    * the identical plan at 2^8 buckets — measured 49.9 s → 6.6 s wall
-    * at sf1 (same host, same cores) for the one-step widening.
+    * the identical plan at 2^8 buckets — BENCH_sf1.json measures the
+    * one-step widening at 58.6 s → 7.8 s wall (7.6×). At sf1's 500 k
+    * vectors even 256 buckets sit far below the log₂(N/occupancy)
+    * prescription, so the 8-plane variant is still super-linear — the
+    * dial keeps going (each +1 plane halves occupancy at constant
+    * per-row cost).
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(embedNearDupPairs(spark, dir))(col("vec_a"), col("vec_b"))

@@ -19,6 +19,14 @@ import org.apache.spark.sql.types._
   * state grows forever. Per-product state is O(events in the window),
   * the minimum any correct implementation needs.
   *
+  * Scaling note (BENCH_sf1.json): sf1 packs 10× the events into the
+  * SAME 30-day span, so the per-window match count — and therefore
+  * output size and join CPU — grows ~rate², not linearly (measured
+  * ~123× CPU at 10× rows). That is the semantics of an interval join
+  * under rate growth, not a plan flaw: state stays bounded by the
+  * window, and a deployment whose event RATE grows 10× pays for the
+  * extra matches it asked for.
+  *
   * StreamJoinSpec pins the streamed result equal to the identical batch
   * interval join over the same landed input.
   */
