@@ -2649,6 +2649,42 @@ object QueryCatalog {
                  x -> CAST(x AS VARCHAR)), ',')) AS fp_hash
         FROM win ORDER BY doc_id""")),
 
+    // ROLLUP subtotals: grouping bitmask + exact-decimal sums; both
+    // engines share the SQL-standard GROUPING() bit order.
+    "q_sales_rollup" -> Spec(
+      Relational.salesRollup,
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n_rows,
+               ${sumDec("l_quantity")} AS sum_qty,
+               ${sumDec("l_extendedprice * (1.0 - l_discount)")} AS sum_revenue
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // Date-spine gap fill: generate_series spine, grid completion,
+    // IGNORE NULLS last_value — DuckDB's window form of Spark's
+    // last(ignoreNulls) over the same running frame.
+    "q_daily_price_fill" -> Spec(
+      Relational.dailyPriceFill,
+      Some("""
+        WITH obs AS (
+          SELECT l_partkey AS sku, l_shipdate AS d, min(l_extendedprice) AS p
+          FROM lineitem
+          WHERE l_partkey < 30 AND l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+          GROUP BY sku, d),
+        spine AS (
+          SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+            INTERVAL 1 DAY)) AS DATE) AS d),
+        grid AS (SELECT sku, d FROM (SELECT DISTINCT sku FROM obs), spine),
+        j AS (SELECT g.sku, g.d, o.p FROM grid g
+              LEFT JOIN obs o ON g.sku = o.sku AND g.d = o.d)
+        SELECT strftime(d, '%Y-%m-%d') AS day, sku,
+               last_value(p IGNORE NULLS) OVER (PARTITION BY sku ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS price,
+               p IS NOT NULL AS is_observed
+        FROM j ORDER BY sku, day""")),
+
     // Budget selection: the oracle replays the global running sum in
     // one window (fine for DuckDB); the engine computes the same
     // prefix sums in the two-phase bucketed form, so value equality

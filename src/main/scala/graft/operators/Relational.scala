@@ -589,4 +589,59 @@ object Relational {
           .otherwise(col("min_price")).as("predicted_min_7d"))
     Out.sorted(r)(col("sku"))
   }
+
+  /** OLAP subtotal surface — ROLLUP over (returnflag, linestatus) with
+    * the grouping bitmask: detail rows, per-flag subtotals and the
+    * grand total in ONE pass (Spark expands grouping sets before the
+    * aggregate, so it is still a single map-side-combinable
+    * HashAggregate + one shuffle — not one job per level). Sums ride
+    * the exact-decimal recipe; `grouping_id()` bit order (first column
+    * = MSB) matches the SQL standard GROUPING() both engines share.
+    */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val r = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).cast("double").as("sum_revenue"))
+    Out.sorted(r)(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Time-series regularization — date-spine gap fill with
+    * last-observation-carried-forward: the irregular per-(sku, day)
+    * price observations become a DENSE daily series over a fixed
+    * calendar spine, missing days filled from the most recent earlier
+    * observation (null before the first one), each row flagged
+    * observed/filled. The dashboarding prerequisite every BI layer
+    * needs over event-shaped data.
+    *
+    * Scale shape: the spine is a 365-row broadcast; the grid is
+    * keys × days — exactly the requested OUTPUT, not a working blowup;
+    * the left join and the LOCF window both ride one shuffle on the
+    * key. `last(ignoreNulls)` over a running frame is O(1) state per
+    * row — no per-gap scans.
+    */
+  def dailyPriceFill(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_partkey") < 30 &&
+        col("l_shipdate").between("1995-01-01", "1995-12-31"))
+      .groupBy(col("l_partkey").as("sku"), col("l_shipdate").as("d"))
+      .agg(min(col("l_extendedprice")).as("p"))
+    val spine = spark.range(1).select(explode(expr(
+      "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)"))
+      .as("d"))
+    val w = Window.partitionBy("sku").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = obs.select("sku").distinct()
+      .crossJoin(broadcast(spine))
+      .join(obs, Seq("sku", "d"), "left")
+      .withColumn("price", last(col("p"), ignoreNulls = true).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("sku"),
+        col("price"), col("p").isNotNull.as("is_observed"))
+    Out.sorted(r)(col("sku"), col("day"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** OLAP-surface operators: ROLLUP subtotal consistency and date-spine
+  * gap-fill (LOCF) laws — the invariants the oracle hash can't state.
+  */
+class OlapSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  test("rollup: subtotal levels are internally consistent") {
+    val rows = Relational.salesRollup(spark, SparkT.Sf0001).collect()
+    val detail = rows.filter(_.getAs[Long]("gid") == 0L)
+    val byFlag = rows.filter(_.getAs[Long]("gid") == 1L)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_rows") ===
+      detail.map(_.getAs[Long]("n_rows")).sum)
+    byFlag.foreach { s =>
+      val flag = s.getAs[String]("l_returnflag")
+      val mine = detail.filter(_.getAs[String]("l_returnflag") == flag)
+      assert(s.getAs[Long]("n_rows") === mine.map(_.getAs[Long]("n_rows")).sum)
+      // decimal-exact sums: subtotal equals the sum of its details
+      assert(math.abs(s.getAs[Double]("sum_qty") -
+        mine.map(_.getAs[Double]("sum_qty")).sum) < 1e-6)
+    }
+    // subtotal rows null out exactly the rolled-up column
+    byFlag.foreach(s => assert(s.getAs[String]("l_linestatus") == null))
+    assert(grand.head.getAs[String]("l_returnflag") == null)
+  }
+
+  test("gap fill: dense spine, LOCF law, observed flags match raw minima") {
+    val rows = Relational.dailyPriceFill(spark, SparkT.Sf0001).collect()
+    val bySku = rows.groupBy(_.getAs[Long]("sku"))
+    bySku.foreach { case (_, rs) =>
+      assert(rs.length === 365, "every sku covers the whole spine")
+      val ordered = rs.sortBy(_.getAs[String]("day"))
+      var lastSeen: Option[Double] = None
+      ordered.foreach { r =>
+        if (r.getAs[Boolean]("is_observed"))
+          lastSeen = Some(r.getAs[Double]("price"))
+        // filled value is the running last observation (null before any)
+        (lastSeen, Option(r.getAs[Any]("price"))) match {
+          case (Some(want), Some(got)) => assert(got === want)
+          case (None, got) => assert(got.isEmpty, "price before first observation")
+          case (Some(_), None) => fail("null after an observation")
+        }
+      }
+      assert(lastSeen.isDefined, "a sku with zero observations cannot be on the grid")
+    }
+  }
+}
