@@ -431,7 +431,12 @@ object CorpusOps {
     * minima) — the shared core of [[winnowFingerprints]] and
     * [[sharedPassages]].
     */
-  private[graft] def winnowBase(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowBase(spark: SparkSession, dir: String): DataFrame =
+    winnowBaseFrom(docsDistributed(spark, dir))
+
+  /** Same over any (doc_id, text) frame — lets specs feed constructed
+    * corpora to pin the winnowing guarantee on the engine itself. */
+  private[graft] def winnowBaseFrom(d: DataFrame): DataFrame = {
     val ws = col("ws")
     val grams = transform(sequence(lit(1), size(ws) - 2), i =>
       conv(substring(md5(concat_ws(" ",
@@ -444,8 +449,7 @@ object CorpusOps {
           j => array_min(slice(col("hs"), j, lit(WinnowWindow)))))
         .when(m >= 1, array(array_min(col("hs"))))
         .otherwise(array().cast("array<bigint>"))
-    docsDistributed(spark, dir)
-      .select(col("doc_id"), toks.as("ws"))
+    d.select(col("doc_id"), toks.as("ws"))
       .select(col("doc_id"), when(size(ws) >= 3, grams)
         .otherwise(array().cast("array<bigint>")).as("hs"))
       .select(col("doc_id"), col("hs"), wins.as("wins"))

@@ -191,6 +191,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing theorem: a shared run of WinnowWindow+2 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    // t = w + k - 1 = 4 + 3 - 1 = 6: any shared run of >= 6 tokens
+    // contains one full gram-hash window, whose minimum VALUE is
+    // selected in both documents regardless of surrounding text.
+    val run6 = "r1 r2 r3 r4 r5 r6"
+    val run8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run6 a4 a5 a6"),
+      (2L, s"b1 b2 $run6 b3 b4 b5 b6"),
+      (3L, s"c1 c2 c3 c4 $run8"),
+      (4L, s"$run8 d1 d2 d3 d4"),
+      (5L, "e1 e2 e3 e4 e5 e6 e7 e8 e9")).toDF("doc_id", "text")
+    val fp = CorpusOps.winnowBaseFrom(docs)
+      .selectExpr("doc_id", "array_distinct(wins) AS f").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[Long]]("f").toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "6-token shared run must fingerprint")
+    assert((fp(3L) & fp(4L)).nonEmpty, "8-token shared run must fingerprint")
+    assert((fp(5L) & (fp(1L) | fp(2L) | fp(3L) | fp(4L))).isEmpty,
+      "disjoint text must not share fingerprints")
+  }
+
   test("winnowing: per-doc recompute and the shared-run guarantee") {
     val rows = CorpusOps.winnowFingerprints(spark, dir).collect()
     val texts = spark.read.parquet(s"$dir/documents.parquet")
