@@ -2718,9 +2718,43 @@ object QueryCatalog {
 
     // Ordered funnel: the running conditional minima replay as the
     // same windows in SQL; (ts, event_id) ordering makes ties exact.
-    "q_event_funnel" -> Spec(
-      Fleet.eventFunnel,
+    "q_event_funnel" -> Spec(Fleet.eventFunnel, Some(funnelSql)),
+
+    // The STREAMING funnel (per-user monotone CEP state machine) must
+    // hash-match the batch funnel's own oracle — same SQL verbatim.
+    "q_funnel_stream" -> Spec(
+      streaming.StreamOracle.funnelStream, Some(funnelSql)),
+
+    // MOSS match step over the winnowing index: the df cap and the
+    // ≥2-df join guard replicate bit-for-bit, so the pair set and the
+    // containment scores hash exactly.
+    "q_shared_passages" -> Spec(
+      CorpusOps.sharedPassages,
       Some(s"""
+        $winnowCtes,
+        fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f FROM win),
+        dfc AS (SELECT f, count(*) AS c FROM fp GROUP BY f),
+        kept AS (SELECT fp.doc_id, fp.f, dfc.c FROM fp JOIN dfc USING (f)
+                 WHERE c <= ${CorpusOps.MaxFpDf}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+          WHERE a.c >= 2 GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b, n_shared,
+               ${rnd("CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)", 6)} AS containment
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_shared >= ${CorpusOps.MinSharedFp}
+        ORDER BY doc_a, doc_b"""))
+  )
+
+  // The ordered-funnel oracle (running conditional minima over the
+  // (ts, event_id) per-user order) — shared VERBATIM by the batch row
+  // (q_event_funnel) and the streaming row (q_funnel_stream).
+  private lazy val funnelSql: String = s"""
         WITH e AS (
           SELECT user_id, event_id, event_type,
                  CAST(ts AS TIMESTAMP) AS t,
@@ -2751,33 +2785,7 @@ object QueryCatalog {
                strftime(make_timestamp(purchase_us), '%Y-%m-%d %H:%M:%S') AS purchase_time,
                (click_us - view_us) // 1000000 AS view_to_click_secs,
                (purchase_us - click_us) // 1000000 AS click_to_purchase_secs
-        FROM per ORDER BY user_id""")),
-
-    // MOSS match step over the winnowing index: the df cap and the
-    // ≥2-df join guard replicate bit-for-bit, so the pair set and the
-    // containment scores hash exactly.
-    "q_shared_passages" -> Spec(
-      CorpusOps.sharedPassages,
-      Some(s"""
-        $winnowCtes,
-        fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f FROM win),
-        dfc AS (SELECT f, count(*) AS c FROM fp GROUP BY f),
-        kept AS (SELECT fp.doc_id, fp.f, dfc.c FROM fp JOIN dfc USING (f)
-                 WHERE c <= ${CorpusOps.MaxFpDf}),
-        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(count(*) AS BIGINT) AS n_shared
-          FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
-          WHERE a.c >= 2 GROUP BY doc_a, doc_b)
-        SELECT doc_a, doc_b, n_shared,
-               ${rnd("CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)", 6)} AS containment
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE n_shared >= ${CorpusOps.MinSharedFp}
-        ORDER BY doc_a, doc_b"""))
-  )
+        FROM per ORDER BY user_id"""
 
   // Shared winnowing CTE chain (positional gram hashes → window
   // minima); ends in `win` (doc_id, hs, wins). Constants in lockstep

@@ -172,6 +172,38 @@ object StreamOracle {
     Out.sorted(r)(col("doc_a"), col("doc_b"), col("band_idx"))
   }
 
+  /** q_funnel_stream: land the events table as ONE NDJSON file
+    * (microsecond timestamps preserved — the Sessions landing rule;
+    * one data batch, so the per-user fold orders ALL events and the
+    * monotone machine's single emitted row per user IS its final
+    * state), run the streaming funnel to completion, and project the
+    * read-back to the batch funnel's exact columns. The oracle is the
+    * identical SQL as q_event_funnel — the strongest possible
+    * stream/batch contract: same hash, not just same spec.
+    */
+  def funnelStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "funnel")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .coalesce(1).write.json(s"$tmp/landing")
+    drain(StreamFunnel.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "funnel")
+    val r = spark.read
+      .schema("user_id LONG, stage LONG, view_us LONG, click_us LONG, " +
+        "purchase_us LONG, n_seen LONG")
+      .json(s"$tmp/out")
+      .select(col("user_id"), col("stage"),
+        date_format(timestamp_micros(col("view_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("view_time"),
+        date_format(timestamp_micros(col("click_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("click_time"),
+        date_format(timestamp_micros(col("purchase_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_time"),
+        expr("(click_us - view_us) div 1000000").as("view_to_click_secs"),
+        expr("(purchase_us - click_us) div 1000000").as("click_to_purchase_secs"))
+    Out.sorted(r)(col("user_id"))
+  }
+
   /** q_watch_stream: batch the events table into capture records
     * (observation arrays, the T2 input shape), land them as ONE NDJSON
     * file (one data batch — the per-user state core then orders all
