@@ -31,6 +31,29 @@ class OlapSpec extends AnyFunSuite {
     assert(grand.head.getAs[String]("l_returnflag") == null)
   }
 
+  test("olap plans: rollup is one expand+partial pass; gap-fill spine broadcasts") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      val rdf = Relational.salesRollup(spark, SparkT.Sf0001)
+      rdf.collect()
+      val rp = rdf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // grouping sets expand BEFORE one map-side-combinable aggregate —
+      // one shuffle for all subtotal levels, never one job per level
+      assert(rp.contains("Expand"), s"no grouping-set expand:\n$rp")
+      assert(rp.contains("partial_"), s"no map-side combine:\n$rp")
+      assert(!rp.contains("Join"), s"rollup must not join:\n$rp")
+      val gdf = Relational.dailyPriceFill(spark, SparkT.Sf0001)
+      gdf.collect()
+      val gp = gdf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the 365-row calendar spine must broadcast to the key side
+      assert(gp.contains("BroadcastNestedLoopJoin"),
+        s"spine must broadcast:\n$gp")
+      assert(!gp.contains("CartesianProduct"), s"cartesian on data:\n$gp")
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
+
   test("gap fill: dense spine, LOCF law, observed flags match raw minima") {
     val rows = Relational.dailyPriceFill(spark, SparkT.Sf0001).collect()
     val bySku = rows.groupBy(_.getAs[Long]("sku"))
