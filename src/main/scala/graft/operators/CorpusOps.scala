@@ -340,11 +340,15 @@ object CorpusOps {
   // ---------------------------------------------------------------- //
 
   /** Quality buckets for the distributed budget prefix sum: the shard
-    * key is floor(quality · 10) — derived from the VALUE, so it is
-    * deterministic at any partitioning, and floor is monotone, so
-    * (bucket desc, quality desc, doc_id) is exactly the global
-    * (quality desc, doc_id) order. */
-  val QualityBuckets = 10
+    * key is floor(quality · [[QualityBuckets]]) — derived from the
+    * VALUE, so it is deterministic at any partitioning, and floor is
+    * monotone, so (bucket desc, quality desc, doc_id) is exactly the
+    * global (quality desc, doc_id) order. 100, not 10: the corpus
+    * quality distribution concentrates in a ~0.4-wide band, so 10
+    * buckets left 2-3 hot ones serializing the window stage (measured
+    * 8.9 s → 1.9 s wall at sf1 for this one widening; BENCH_sf1.json
+    * predates it and carries the 8.9 s figure). */
+  val QualityBuckets = 100
 
   /** "Train on the best documents up to a token budget" — the
     * selection step between scoring and packing in a curation
@@ -361,8 +365,8 @@ object CorpusOps {
     * bucket key) plus a broadcast ≤[[QualityBuckets]]-row bucket-offset
     * frame. No corpus-sized single-task window; a skewed quality
     * distribution concentrates buckets, which bounds parallelism at
-    * [[QualityBuckets]] for the window stage only — widen the bucket
-    * count (quality·100) if the distribution demands it.
+    * the occupied-bucket count for the window stage only — widen
+    * [[QualityBuckets]] further if the distribution demands it.
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select(
