@@ -346,8 +346,9 @@ object CorpusOps {
     * global (quality desc, doc_id) order. 100, not 10: the corpus
     * quality distribution concentrates in a ~0.4-wide band, so 10
     * buckets left 2-3 hot ones serializing the window stage (measured
-    * 8.9 s → 1.9 s wall at sf1 for this one widening; BENCH_sf1.json
-    * predates it and carries the 8.9 s figure). */
+    * at sf1: 8.9 s before, 1.9 s after on a targeted min-of-2 run;
+    * the committed single-sample full-sweep BENCH_sf1.json shows
+    * 5.3 s under sweep noise). */
   val QualityBuckets = 100
 
   /** "Train on the best documents up to a token budget" — the
