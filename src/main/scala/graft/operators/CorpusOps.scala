@@ -65,7 +65,12 @@ object CorpusOps {
     * back on doc_id for ordered reassembly. No self-joins, no
     * all-pairs anything; state per key is O(1).
     */
-  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupFrom(docsDistributed(spark, dir))
+
+  /** Same over any (doc_id, text) frame — lets specs plant literal
+    * boilerplate and watch first-wins remove it. */
+  private[graft] def segmentDedupFrom(d: DataFrame): DataFrame = {
     val n = size(col("ws"))
     val nSegs = floor((n + lit(SegTokens - 1)).cast("double") / lit(SegTokens))
       .cast("int")
@@ -77,7 +82,7 @@ object CorpusOps {
             least(lit(SegTokens), n - i * SegTokens))).as("seg_text"),
         least(lit(SegTokens), n - i * SegTokens).cast(LongType)
           .as("n_seg_tokens")))
-    val segs = docsDistributed(spark, dir)
+    val segs = d
       .select(col("doc_id"), toks.as("ws"))
       .select(col("doc_id"), explode(segArr).as("s"))
       .select(col("doc_id"), col("s.seg_idx").as("seg_idx"),

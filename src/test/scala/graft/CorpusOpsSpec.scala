@@ -43,6 +43,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_kept")).sum === distinctSegs.size.toLong)
   }
 
+  test("segment dedup: planted boilerplate is removed from the later doc only") {
+    import spark.implicits._
+    // one identical 10-token block, segment-aligned in both docs
+    val block = (1 to 10).map(i => s"tpl$i").mkString(" ")
+    val aOwn = (1 to 10).map(i => s"a$i").mkString(" ")
+    val bOwn = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$aOwn $block"),
+      (2L, s"$block $bOwn")).toDF("doc_id", "text")
+    val rows = CorpusOps.segmentDedupFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 keeps everything (first corpus-wide occurrence of the block)
+    assert(rows(1L).getAs[Long]("n_removed") === 0L)
+    assert(rows(1L).getAs[String]("cleaned_hash") === md5Hex(s"$aOwn $block"))
+    // doc 2 loses exactly the block, keeps its own segment
+    assert(rows(2L).getAs[Long]("n_removed") === 1L)
+    assert(rows(2L).getAs[Long]("removed_tokens") === 10L)
+    assert(rows(2L).getAs[String]("cleaned_hash") === md5Hex(bOwn))
+  }
+
   test("mixture weights: shares normalize and temperature upweights low-resource groups") {
     val rows = CorpusOps.mixtureWeights(spark, dir).collect()
     assert(rows.length > 1)
