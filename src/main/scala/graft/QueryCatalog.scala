@@ -2662,6 +2662,33 @@ object QueryCatalog {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag, l_linestatus""")),
 
+    // SCD2 history: lag-change detection, run numbering, lead-closed
+    // validity intervals — identical windows on both engines.
+    "q_price_history_scd2" -> Spec(
+      Relational.priceHistoryScd2,
+      Some("""
+        WITH obs AS (
+          SELECT l_partkey AS sku, l_shipdate AS day, min(l_extendedprice) AS price
+          FROM lineitem WHERE l_partkey < 100 GROUP BY sku, day),
+        ch AS (
+          SELECT *, CASE WHEN lag(price) OVER w IS NULL
+                          OR lag(price) OVER w <> price THEN 1 ELSE 0 END AS changed
+          FROM obs WINDOW w AS (PARTITION BY sku ORDER BY day)),
+        runs AS (
+          SELECT *, CAST(sum(changed) OVER (PARTITION BY sku ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+          FROM ch),
+        ver AS (
+          SELECT sku, version, min(price) AS price, min(day) AS from_day,
+                 count(*) AS n_days
+          FROM runs GROUP BY sku, version)
+        SELECT sku, version, price,
+               strftime(from_day, '%Y-%m-%d') AS valid_from,
+               strftime(lead(from_day) OVER wv, '%Y-%m-%d') AS valid_to,
+               lead(from_day) OVER wv IS NULL AS is_current, n_days
+        FROM ver WINDOW wv AS (PARTITION BY sku ORDER BY version)
+        ORDER BY sku, version""")),
+
     // Date-spine gap fill: generate_series spine, grid completion,
     // IGNORE NULLS last_value — DuckDB's window form of Spark's
     // last(ignoreNulls) over the same running frame.

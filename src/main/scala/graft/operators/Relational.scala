@@ -611,6 +611,46 @@ object Relational {
     Out.sorted(r)(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Slowly-changing-dimension (type 2) history build: collapse the
+    * per-(sku, day) price observation stream into VERSIONED validity
+    * intervals — one row per consecutive run of an unchanged price,
+    * with `valid_from` / `valid_to` (next version's start; null while
+    * current) and the observed-day count. The warehouse-standard
+    * change-detection shape: lag() marks changes, a running sum
+    * numbers the runs (gap-islands), one grouping collapses them, and
+    * lead() closes the intervals. No joins, no MERGE — the history IS
+    * a query over the observation log.
+    *
+    * Scale shape: one shuffle on sku; the two windows and the
+    * grouping all reuse that partitioning. At 100 TB the observation
+    * log is the fact table and this plan is one pass over it.
+    */
+  def priceHistoryScd2(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_partkey") < 100)
+      .groupBy(col("l_partkey").as("sku"), col("l_shipdate").as("day"))
+      .agg(min(col("l_extendedprice")).as("price"))
+    val wDay = Window.partitionBy("sku").orderBy("day")
+    val runs = obs
+      .withColumn("changed",
+        when(lag(col("price"), 1).over(wDay).isNull ||
+          lag(col("price"), 1).over(wDay) =!= col("price"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("changed")).over(
+          wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wVer = Window.partitionBy("sku").orderBy("version")
+    val r = runs.groupBy("sku", "version")
+      .agg(min(col("price")).as("price"),
+        min(col("day")).as("from_day"),
+        count(lit(1)).as("n_days"))
+      .withColumn("next_from", lead(col("from_day"), 1).over(wVer))
+      .select(col("sku"), col("version"), col("price"),
+        date_format(col("from_day"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("next_from"), "yyyy-MM-dd").as("valid_to"),
+        col("next_from").isNull.as("is_current"), col("n_days"))
+    Out.sorted(r)(col("sku"), col("version"))
+  }
+
   /** Time-series regularization — date-spine gap fill with
     * last-observation-carried-forward: the irregular per-(sku, day)
     * price observations become a DENSE daily series over a fixed

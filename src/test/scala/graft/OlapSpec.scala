@@ -31,6 +31,28 @@ class OlapSpec extends AnyFunSuite {
     assert(grand.head.getAs[String]("l_returnflag") == null)
   }
 
+  test("scd2 history: contiguous versions, chained intervals, one current, real changes") {
+    val rows = Relational.priceHistoryScd2(spark, SparkT.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("sku")).foreach { case (sku, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("version"))
+      assert(ordered.map(_.getAs[Long]("version")).toSeq ===
+        (1L to ordered.length.toLong), s"sku $sku versions not contiguous")
+      // intervals chain: each valid_to is the next version's valid_from
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") === b.getAs[String]("valid_from"))
+          assert(a.getAs[Double]("price") !== b.getAs[Double]("price"),
+            s"sku $sku adjacent versions must differ")
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ =>
+      }
+      val current = ordered.last
+      assert(current.getAs[Boolean]("is_current"))
+      assert(current.getAs[String]("valid_to") == null)
+    }
+  }
+
   test("olap plans: rollup is one expand+partial pass; gap-fill spine broadcasts") {
     spark.conf.set("graft.sort.results", "false")
     try {
