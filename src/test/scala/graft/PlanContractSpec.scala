@@ -228,6 +228,28 @@ class PlanContractSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.sort.results", "true")
   }
 
+  test("token budget: corpus windows shard by bucket; only tiny frames single-partition") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      val df = operators.CorpusOps.tokenBudget(spark, SparkT.Sf0001)
+      val plan = planOf(df)
+      val finalSection = plan.split("== Initial Plan ==").head
+      // the corpus-side prefix window is sharded on the value-derived
+      // quality bucket — never a single-task window over the corpus
+      assert(finalSection.contains("windowspecdefinition(bucket"),
+        s"data window must shard by bucket:\n$plan")
+      // single-partition exchanges exist only for the <=QualityBuckets
+      // offsets window and the 1-row totals aggregate
+      val singles = "Exchange SinglePartition".r.findAllIn(finalSection).length
+      assert(singles <= 2, s"corpus-sized single-partition stage crept in ($singles):\n$plan")
+      // offsets and totals reach the corpus side as broadcasts
+      assert(finalSection.contains("BroadcastHashJoin"),
+        s"bucket offsets must broadcast:\n$plan")
+      assert(finalSection.contains("BroadcastNestedLoopJoin"),
+        s"totals must broadcast as the 1-row anchor:\n$plan")
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
+
   test("nb quality filter: scalar stats broadcast as 1-row anchors, no cartesian on data") {
     spark.conf.set("graft.sort.results", "false")
     try {
