@@ -167,12 +167,19 @@ object Fleet {
     * per hot user; running windows are O(n log n) per partition and
     * O(1) state per step.
     */
-  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventFunnelFrom(Tables.load(spark, dir, "events"))
+
+  /** Same over any (user_id, event_id, ts, event_type) frame — lets
+    * specs plant out-of-order patterns and watch the rejection
+    * branches (click before any view, purchase before a qualified
+    * click) fire. */
+  private[graft] def eventFunnelFrom(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val staged = Tables.load(spark, dir, "events")
+    val staged = events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("us", unix_micros(col("ts")))
       // earliest view at-or-before this row

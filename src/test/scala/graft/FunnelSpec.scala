@@ -51,6 +51,29 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel rejection branches: out-of-order steps never qualify") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      // user 1: click BEFORE any view — the click must not qualify;
+      // the later view->purchase pair lacks a qualified click: stage 1
+      (1L, 1L, ts(1), "click"), (1L, 2L, ts(2), "view"),
+      (1L, 3L, ts(3), "purchase"),
+      // user 2: purchase between view and click — purchase precedes
+      // the qualified click, so it must not count: stage 2
+      (2L, 4L, ts(1), "view"), (2L, 5L, ts(2), "purchase"),
+      (2L, 6L, ts(3), "click"),
+      // user 3: the happy path, interleaved with noise: stage 3
+      (3L, 7L, ts(1), "error"), (3L, 8L, ts(2), "view"),
+      (3L, 9L, ts(3), "click"), (3L, 10L, ts(4), "purchase"),
+      // user 4: no view at all: stage 0
+      (4L, 11L, ts(1), "click"), (4L, 12L, ts(2), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val rows = Fleet.eventFunnelFrom(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
+  }
+
   test("funnel plan: one user_id shuffle feeds windows and the final aggregate") {
     spark.conf.set("graft.sort.results", "false")
     try {
