@@ -625,11 +625,17 @@ object Relational {
     * grouping all reuse that partitioning. At 100 TB the observation
     * log is the fact table and this plan is one pass over it.
     */
-  def priceHistoryScd2(spark: SparkSession, dir: String): DataFrame = {
-    val obs = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_partkey") < 100)
-      .groupBy(col("l_partkey").as("sku"), col("l_shipdate").as("day"))
-      .agg(min(col("l_extendedprice")).as("price"))
+  def priceHistoryScd2(spark: SparkSession, dir: String): DataFrame =
+    priceHistoryScd2From(
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_partkey") < 100)
+        .groupBy(col("l_partkey").as("sku"), col("l_shipdate").as("day"))
+        .agg(min(col("l_extendedprice")).as("price")))
+
+  /** Same over any (sku, day, price) observation frame — lets specs
+    * plant a revisited price and watch it open a NEW version (history,
+    * not dedup: A→B→A is three versions). */
+  private[graft] def priceHistoryScd2From(obs: DataFrame): DataFrame = {
     val wDay = Window.partitionBy("sku").orderBy("day")
     val runs = obs
       .withColumn("changed",

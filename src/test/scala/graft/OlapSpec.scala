@@ -53,6 +53,26 @@ class OlapSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: a revisited price opens a NEW version — history, not dedup") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val obs = Seq(
+      (7L, d("1995-01-01"), 10.0), (7L, d("1995-01-02"), 10.0),
+      (7L, d("1995-01-03"), 20.0),
+      (7L, d("1995-01-04"), 10.0))
+      .toDF("sku", "day", "price")
+    val rows = Relational.priceHistoryScd2From(obs).collect()
+      .sortBy(_.getAs[Long]("version"))
+    assert(rows.map(_.getAs[Double]("price")).toSeq === Seq(10.0, 20.0, 10.0))
+    assert(rows.map(_.getAs[Long]("n_days")).toSeq === Seq(2L, 1L, 1L))
+    assert(rows.map(_.getAs[String]("valid_from")).toSeq ===
+      Seq("1995-01-01", "1995-01-03", "1995-01-04"))
+    assert(rows.map(_.getAs[String]("valid_to")).toSeq ===
+      Seq("1995-01-03", "1995-01-04", null))
+    assert(rows.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+  }
+
   test("olap plans: rollup is one expand+partial pass; gap-fill spine broadcasts") {
     spark.conf.set("graft.sort.results", "false")
     try {
