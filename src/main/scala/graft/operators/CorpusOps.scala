@@ -228,13 +228,19 @@ object CorpusOps {
     * is part of the contract: earlier masks can never create or
     * destroy later patterns ('<EMAIL>' matches none of them).
     */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val redacted =
+  /** The masking expression itself: email → phone → IP, in an order
+    * whose replacements can never create or destroy later patterns —
+    * which is exactly what makes it IDEMPOTENT (CorpusOpsSpec pins
+    * redact∘redact = redact on adversarial inputs). */
+  private[graft] def redact(c: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(plantedText, EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        IpRe, "<IP>")
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = redact(plantedText)
     val nEmails = size(regexp_extract_all(plantedText, lit(EmailRe), lit(0)))
     val nPhones = size(regexp_extract_all(plantedText, lit(PhoneRe), lit(0)))
     val nIps = size(regexp_extract_all(plantedText, lit(IpRe), lit(0)))

@@ -124,6 +124,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PII masking is idempotent and total on adversarial inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nasty = Seq(
+      "plain text with no pii at all",
+      "a@b.co touching+1-555-0000 and 10.1.2.3 back to back",
+      "double dot a..b@x.y.zz and 10.255.255.255 10.0.0.0",
+      "<EMAIL> already masked plus fresh other@example.org",
+      "email at end a@b.io",
+      "+1-555-9999+1-555-8888 adjacent phones").toDF("s")
+    val once = nasty.select(CorpusOps.redact(col("s")).as("r")).collect()
+      .map(_.getString(0))
+    val twice = nasty
+      .select(CorpusOps.redact(CorpusOps.redact(col("s"))).as("r"))
+      .collect().map(_.getString(0))
+    assert(once.toSeq === twice.toSeq, "redaction must be idempotent")
+    // total: no raw pattern survives one pass
+    once.foreach { r =>
+      assert(!r.matches(s".*${CorpusOps.EmailRe}.*"), s"email survived: $r")
+      assert(!r.matches(s".*${CorpusOps.PhoneRe}.*"), s"phone survived: $r")
+      assert(!r.matches(s".*${CorpusOps.IpRe}.*"), s"ip survived: $r")
+    }
+  }
+
   test("NB quality filter: two classes, full coverage, learns the label") {
     val rows = CorpusOps.nbQualityFilter(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
