@@ -16,6 +16,33 @@ import graft.streaming.StreamFunnel
 class StreamFunnelSpec extends AnyFunSuite {
   private lazy val spark = SparkT.spark
 
+  test("online deviation: a late view cannot retro-qualify a batch-1 click") {
+    val landing = Files.createTempDirectory("graft-funnel-late").toString
+    val outDir = Files.createTempDirectory("graft-funnel-late-out").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-late-ckpt").toString
+    // batch 1: the click (no view yet) — machine rejects it.
+    // batch 2: a view with an EARLIER event time — offline, the click
+    // would qualify; online it must not (the documented CEP contract).
+    val b1 = """{"user_id":9,"event_id":2,"event_type":"click","ts":"2024-01-01T00:10:00Z"}"""
+    val b2 = """{"user_id":9,"event_id":1,"event_type":"view","ts":"2024-01-01T00:05:00Z"}"""
+    for ((content, i) <- Seq(b1, b2).zipWithIndex) {
+      val f = new java.io.File(landing, s"late_$i.json")
+      Files.writeString(f.toPath, content)
+      assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val q = StreamFunnel.start(spark, landing, outDir, ckpt)
+    assert(q.awaitTermination(120000L), "late-view stream did not drain")
+    val rows = spark.read
+      .schema("user_id LONG, stage LONG, view_us LONG, click_us LONG, " +
+        "purchase_us LONG, n_seen LONG")
+      .json(outDir).collect()
+    val fin = rows.maxBy(_.getAs[Long]("n_seen"))
+    assert(fin.getAs[Long]("n_seen") === 2L)
+    assert(fin.getAs[Long]("stage") === 1L,
+      "online funnel must not retro-qualify the batch-1 click")
+    assert(fin.getAs[Any]("click_us") == null)
+  }
+
   test("two in-order landings: state carries across batches to the batch-fold result") {
     val landing = Files.createTempDirectory("graft-funnel-landing").toString
     val outDir = Files.createTempDirectory("graft-funnel-out").toString
