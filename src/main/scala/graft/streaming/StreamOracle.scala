@@ -185,7 +185,9 @@ object StreamOracle {
     val tmp = freshTmp(spark, dir, "funnel")
     Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      .coalesce(1).write.json(s"$tmp/landing")
+      .coalesce(1).write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$tmp/landing")
     drain(StreamFunnel.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
       "funnel")
     val r = spark.read
