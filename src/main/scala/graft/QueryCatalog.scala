@@ -190,8 +190,38 @@ object QueryCatalog {
 
   // Multi-probe LSH embedding near-dup pair chain, ending in
   // `epairs(vec_a, vec_b, cos_sim)` — shared by q_embed_neardup and the
-  // cross-modal q_dedup_ensemble.
-  private lazy val embedPairCtes: String = embedPairCtesAt(VectorOps.NPlanes)
+  // cross-modal q_dedup_ensemble. The plane count is CORPUS-DERIVED with
+  // the same pure-integer rule as VectorOps.derivedPlanes (npv CTE:
+  // smallest p in [NPlanes, MaxPlanes] with count(*) <= occ·2^p), the
+  // full MaxPlanes hyperplane family is embedded as literals, and both
+  // the bucket bits and the probe fan-out are masked to the derived
+  // count — so the scaling dial itself is inside the hash gate.
+  private lazy val embedPairCtes: String = {
+    val occ = VectorOps.TargetOccupancy
+    val maxP = VectorOps.MaxPlanes
+    val planes = VectorOps.planeIntsFor(maxP)
+    val bucketExpr = (0 until maxP).map { p =>
+      val arr = planes(p).map(k => s"$k/500.0").mkString("[", ", ", "]")
+      s"(CASE WHEN $p < np AND list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeFull = ("bucket" +: (0 until maxP)
+      .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""npv AS (
+          SELECT coalesce(min(p), $maxP) AS np
+          FROM (SELECT unnest(generate_series(${VectorOps.NPlanes}, $maxP)) AS p),
+               (SELECT count(*) AS n FROM embeddings)
+          WHERE n <= $occ * (CAST(1 AS BIGINT) << p)),
+        eb AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
+               FROM embeddings, npv),
+        ep AS (SELECT vec_id, embedding,
+                      unnest(list_slice($probeFull, 1, np + 1)) AS probe_bucket
+               FROM eb, npv),
+        es AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                      ${rnd("list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM ep x JOIN eb y ON x.probe_bucket = y.bucket AND x.vec_id < y.vec_id),
+        epairs AS (SELECT vec_a, vec_b, cos_sim FROM es
+                   WHERE cos_sim >= ${VectorOps.NearDupCosine})"""
+  }
 
   // Same chain at any plane count (the q_embed_neardup_8p dial row
   // regenerates the hyperplane literals from the same md5 family).

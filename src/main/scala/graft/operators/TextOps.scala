@@ -1350,8 +1350,10 @@ object TextOps {
     * Scale shape: both channels are the already-bounded candidate
     * pipelines (never all-pairs); the ensemble join adds one shuffle of
     * two near-dup-pair-sized frames — negligible next to either channel.
-    * Its sf1 wall time tracks the embed channel's fixed-bucket-space
-    * growth — see the scaling note on [[VectorOps.embedNearDup]].
+    * The embed channel derives its LSH plane count from the corpus size
+    * ([[VectorOps.derivedPlanes]]), so the ensemble inherits the
+    * constant-occupancy bucket space — no fixed-capacity stage anywhere
+    * in the composition.
     */
   def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
     val text = nearDupPairsCore(signatureTable(spark, dir))

@@ -41,6 +41,23 @@ object VectorOps {
   val NPlanes = 4
   val Dim = 64
 
+  /** Plane-derivation dial for the near-dup channel: the bucket space
+    * GROWS with the corpus so per-bucket occupancy stays ~constant.
+    * [[derivedPlanes]] picks the smallest plane count in
+    * [[NPlanes]]..[[MaxPlanes]] whose expected occupancy
+    * N / 2^planes is at or under [[TargetOccupancy]] — pure integer
+    * comparisons, so the SQL oracle reproduces the choice exactly
+    * (no float log2 edge cases at powers of two).
+    */
+  val TargetOccupancy = 128
+  val MaxPlanes = 24
+
+  /** Smallest p in [[[NPlanes]], [[MaxPlanes]]] with n <= occ·2^p. */
+  def derivedPlanes(n: Long): Int =
+    (NPlanes to MaxPlanes)
+      .find(p => n <= (TargetOccupancy.toLong << p))
+      .getOrElse(MaxPlanes)
+
   /** Deterministic pseudo-random hyperplane coefficients, derived from
     * md5("p_d") so they are reproducible anywhere: integer k in
     * [-500, 500], used as the double k/500.0. Exposed as integers so the
@@ -108,24 +125,23 @@ object VectorOps {
     * oracle replicates the probing exactly, so the gate stays
     * deterministic.)
     *
-    * Scaling note (measured, BENCH_sf1.json vs sf0.1: ~90× wall at 10×
-    * vectors — the one super-linear query family in the sweep, shared
-    * with its [[graft.operators.TextOps.dedupEnsemble]] consumer): the
-    * bucket space is FIXED at 2^[[NPlanes]] = 16, so per-bucket
-    * occupancy grows linearly with the corpus and the bucket self-join
-    * quadratically. The production dial is planes ≈ log₂(N / target
-    * occupancy) — bucket count must GROW with the corpus (64 planes'
-    * worth of sign bits costs the same per row to compute; only the
-    * probe fan-out grows). Pinned at 4 here because the oracle embeds
-    * the 4 hyperplanes as literals and the testdata needs populated
-    * buckets to exercise recall. The dial's effect is itself
-    * driver-checked: [[embedNearDupWide]] (q_embed_neardup_8p) runs
-    * the identical plan at 2^8 buckets — BENCH_sf1.json measures the
-    * one-step widening at 58.6 s → 7.8 s wall (7.6×). At sf1's 500 k
-    * vectors even 256 buckets sit far below the log₂(N/occupancy)
-    * prescription, so the 8-plane variant is still super-linear — the
-    * dial keeps going (each +1 plane halves occupancy at constant
-    * per-row cost).
+    * Scaling contract: the plane count is CORPUS-DERIVED —
+    * [[derivedPlanes]] of the parquet-footer row count (a metadata
+    * read, [[graft.sources.ParquetMeta]]; zero Spark jobs) — so the
+    * bucket space grows with the corpus and per-bucket occupancy stays
+    * at ~[[TargetOccupancy]]. A FIXED bucket space is the classic LSH
+    * scale defect: occupancy grows linearly with N and the bucket
+    * self-join quadratically (measured here before the derivation
+    * landed: ~90× wall at 10× vectors at a pinned 2^4). With the
+    * derivation, sf0.001/sf0.01 sit at the floor (4 planes — buckets
+    * stay populated so recall is exercised), sf1's 20 k vectors derive
+    * 8 planes (the dial setting BENCH_sf1.json measured at 7.9 s vs
+    * 54.2 s pinned-4), and 10^10 rows derive ~23 — each +1 plane
+    * halves occupancy at constant per-row cost (one more sign bit);
+    * only the H≤1 probe fan-out grows linearly in planes. The oracle
+    * SQL derives the SAME count from count(*) with the same integer
+    * comparisons and embeds the full [[MaxPlanes]] hyperplane family
+    * as literals, so the dial itself is hash-checked, not just spec'd.
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(embedNearDupPairs(spark, dir))(col("vec_a"), col("vec_b"))
@@ -135,23 +151,26 @@ object VectorOps {
     * text channel (a terminal sort inside a composed plan would be
     * dead weight Catalyst cannot always eliminate).
     */
-  private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    embedNearDupCandidates(spark, dir, NPlanes)
+  private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+    embedNearDupCandidates(spark, dir, derivedPlanes(n))
       .filter(col("cos_sim") >= NearDupCosine)
+  }
 
   /** The production dial setting for [[embedNearDupWide]]: 2^8 = 256
     * buckets, 16× lower expected occupancy than [[NPlanes]] = 4 — the
     * "planes grow with the corpus" prescription made concrete. */
   val NPlanesWide = 8
 
-  /** [[embedNearDup]] at the next dial setting — the SAME plan at
-    * [[NPlanesWide]] hyperplanes, oracle-checked end-to-end. This is
-    * the scale remedy for the one super-linear family in the sweep
-    * (see [[embedNearDup]]'s scaling note): occupancy per bucket drops
-    * 16×, so the bucket self-join cost drops ~256× at equal corpus
-    * size, trading H≤1-probe recall (LshDialSpec measures both sides
-    * of the trade). Both settings ride the driver gate, so the dial is
-    * proven with hashes, not just a spec. */
+  /** [[embedNearDup]] at a STATICALLY pinned wide setting — the SAME
+    * plan at exactly [[NPlanesWide]] hyperplanes regardless of corpus
+    * size, oracle-checked end-to-end. [[embedNearDup]] itself now
+    * derives its plane count from the corpus ([[derivedPlanes]]); this
+    * row pins one fixed point of the dial so the widening effect —
+    * occupancy per bucket drops 16× vs the floor, bucket self-join
+    * cost ~256× at equal corpus size, trading H≤1-probe recall
+    * (LshDialSpec measures both sides) — stays proven with hashes at
+    * an SF where the derivation would sit at the floor. */
   def embedNearDupWide(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(
       embedNearDupCandidates(spark, dir, NPlanesWide)
@@ -161,8 +180,8 @@ object VectorOps {
     * plane count — the scaling dial made callable: more planes = more
     * buckets = lower per-bucket occupancy = fewer candidates per
     * corpus row (LshDialSpec measures the shrink and that precision is
-    * untouched). The oracle-checked query pins nPlanes = [[NPlanes]],
-    * whose hyperplanes are embedded in the SQL as literals.
+    * untouched). The oracle SQL embeds the [[MaxPlanes]]-deep
+    * hyperplane family as literals and masks to the same derived count.
     */
   private[graft] def embedNearDupCandidates(
       spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
@@ -702,10 +721,11 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cluster").as("cell"), col("cell_sim"), col("vec_id"))
     // Size gate: estimated candidate rows = queries × nprobe × avg cell
-    // size. The corpus row count comes from a zero-column count (parquet
-    // footer totals — planner-weight statistics, the same class of
-    // scalar AQE reads at runtime; no vector data crosses the driver).
-    val corpusRows = emb(spark, dir).count()
+    // size. The corpus row count is a parquet-footer metadata read
+    // (cached; zero Spark jobs), not an eager count() action inside
+    // the query builder.
+    val corpusRows =
+      graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
     val estCandidates =
       NQueries.toLong * 1L * math.max(1L, corpusRows / IvfNominalCells)
     val candSide = if (estCandidates <= ceiling) broadcast(cand) else cand

@@ -45,4 +45,27 @@ class LshDialSpec extends AnyFunSuite {
     // monotonically along the dial, never sideways
     assert(p8.subsetOf(p4), "8-plane pairs must refine the 4-plane set")
   }
+
+  test("derivedPlanes keeps occupancy at or under the target, floors at " +
+    "NPlanes and caps at MaxPlanes") {
+    import VectorOps.{derivedPlanes, MaxPlanes, NPlanes, TargetOccupancy}
+    // the shipped testdata sits at the floor through sf0.1 and derives
+    // the measured-fast 8-plane setting at sf1's 20k vectors
+    assert(derivedPlanes(500L) == NPlanes)
+    assert(derivedPlanes(2000L) == NPlanes)
+    assert(derivedPlanes(20000L) == 8)
+    for (n <- Seq(1L, 4096L, 99999L, 1000000L, 123456789L, 10000000000L)) {
+      val p = derivedPlanes(n)
+      assert(p >= NPlanes && p <= MaxPlanes)
+      // occupancy bound holds whenever the cap is not binding
+      if (p < MaxPlanes)
+        assert(n <= (TargetOccupancy.toLong << p), s"n=$n p=$p")
+      // minimality: one fewer plane would blow the occupancy target
+      if (p > NPlanes)
+        assert(n > (TargetOccupancy.toLong << (p - 1)), s"n=$n p=$p")
+    }
+    // exact power-of-two boundary: integer math, no float log2 edge
+    assert(derivedPlanes(TargetOccupancy.toLong << 5) == 5)
+    assert(derivedPlanes((TargetOccupancy.toLong << 5) + 1) == 6)
+  }
 }
