@@ -2394,6 +2394,73 @@ object QueryCatalog {
         WHERE o_orderkey % 7 BETWEEN 0 AND 1
         ORDER BY o_orderkey""")),
 
+    // K1: partial v1 summary overwritten by the full v2 summary — the
+    // read-back must hold ONLY v2 (an appending or part-file-leaking
+    // overwrite surfaces as extra rows / the v1 tag).
+    "q_overwrite_rerun" -> Spec(
+      sources.SinkRoundTrips.overwriteRerun,
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               ${sumDec("o_totalprice")} AS total, 'v2' AS ver
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // K3: two disjoint appended batches — the read-back is their exact
+    // union (overwrite loses batch0; duplication doubles rows).
+    "q_append_rerun" -> Spec(
+      sources.SinkRoundTrips.appendRerun,
+      Some("""
+        SELECT o_orderkey, o_orderstatus, 'batch0' AS src FROM orders
+        WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'batch1' AS src FROM orders
+        WHERE o_orderkey % 3 = 1
+        ORDER BY o_orderkey""")),
+
+    // K6: per-brand settings document through the JSON sink and back.
+    "q_json_sink_roundtrip" -> Spec(
+      sources.SinkRoundTrips.jsonSinkRoundtrip,
+      Some("""
+        SELECT p_brand AS brand, count(*) AS n_parts,
+               printf('%.2f', min(p_retailprice)) AS min_retail
+        FROM part GROUP BY p_brand
+        ORDER BY brand""")),
+
+    // S3: newest-by-mtime snapshot selection — the stale snapshot is
+    // written LAST but stamped older, so only mtime ordering (not write
+    // order) yields the fresh rows.
+    "q_newest_snapshot" -> Spec(
+      sources.SinkRoundTrips.newestSnapshot,
+      Some("""
+        SELECT o_orderkey, o_orderstatus, 'fresh' AS snapshot FROM orders
+        WHERE o_orderkey % 3 = 1
+        ORDER BY o_orderkey""")),
+
+    // S5: typed-schema CSV read with DROPMALFORMED row validation over
+    // the committed stock fixture (3 planted malformed rows must drop).
+    "q_typed_stock" -> Spec(
+      Ingestion.stockFromTyped,
+      Some(s"""
+        SELECT sku, qty, price
+        FROM read_csv('${Ingestion.FixturesDir}/raw_stock.csv', header=true,
+               columns={'sku': 'BIGINT', 'qty': 'INTEGER', 'price': 'DOUBLE'},
+               ignore_errors=true)
+        ORDER BY sku""")),
+
+    // X12: trailing-id href extraction incl. the no-match -> '' contract.
+    "q_href_ids" -> Spec(
+      Parsing.hrefIds,
+      Some("""
+        WITH h AS (
+          SELECT p_partkey AS sku,
+                 CASE CAST(p_partkey % 3 AS INT)
+                   WHEN 0 THEN '/p/item-' || CAST(p_partkey * 7 AS VARCHAR) || '/'
+                   WHEN 1 THEN '/shop/item-' || CAST(p_partkey * 7 AS VARCHAR)
+                   ELSE '/p/items/' || CAST(p_partkey AS VARCHAR) END AS href
+          FROM part)
+        SELECT sku, href, regexp_extract(href, '-(\d+)/?$', 1) AS href_id
+        FROM h ORDER BY sku""")),
+
     "q_export_roundtrip" -> Spec(
       sources.SinkRoundTrips.exportRoundtrip,
       Some("""
@@ -2448,6 +2515,60 @@ object QueryCatalog {
         SELECT sku, current_price, lowest_comp, target_price
         FROM f WHERE target_price <> current_price
         ORDER BY sku""")),
+
+    // MULTI-BATCH streaming repricer (A12 + T5 cadence): three offer
+    // batches at staged trigger times t0 / t0+30s / t0+120s with a
+    // 1-minute per-SKU interval — the oracle replays the fold: batch 0
+    // acts on every changed price, batch 1 only on SKUs batch 0 did not
+    // act on (inside the interval), batch 2 on every changed price
+    // again; batch_id and action_ts stamps are part of the hash.
+    "q_repricer_stream" -> Spec(
+      streaming.Repricer.repricerStream,
+      Some {
+        val ts = streaming.Repricer.StreamTimes
+        def cohort(k: Int) = s"""
+          c$k AS (
+            SELECT l_partkey AS sku, min(l_extendedprice) AS lowest_comp
+            FROM lineitem
+            WHERE l_extendedprice > 0 AND l_suppkey <> 7 AND l_orderkey % 3 = $k
+            GROUP BY l_partkey),
+          t$k AS (
+            SELECT s.sku, s.cur, lowest_comp,
+                   least(greatest(lowest_comp - 50.0, s.mn), s.mx) AS tgt
+            FROM s JOIN c$k ON s.sku = c$k.sku),
+          a$k AS (
+            SELECT sku, cur AS current_price, lowest_comp,
+                   CASE WHEN abs(tgt - cur) <= 50.0 THEN cur ELSE tgt END
+                     AS target_price
+            FROM t$k)"""
+        s"""
+        WITH s AS (
+          SELECT p_partkey AS sku, p_retailprice AS cur,
+                 ${rnd("p_retailprice * 0.8", 2)} AS mn,
+                 ${rnd("p_retailprice * 1.2", 2)} AS mx
+          FROM part),
+        ${cohort(0)},
+        f0 AS (SELECT sku, CAST(0 AS BIGINT) AS batch_id,
+                      CAST(${ts(0)} AS BIGINT) AS action_ts,
+                      current_price, lowest_comp, target_price
+               FROM a0 WHERE target_price <> current_price),
+        ${cohort(1)},
+        f1 AS (SELECT sku, CAST(1 AS BIGINT) AS batch_id,
+                      CAST(${ts(1)} AS BIGINT) AS action_ts,
+                      current_price, lowest_comp, target_price
+               FROM a1 WHERE target_price <> current_price
+                 AND sku NOT IN (SELECT sku FROM f0)),
+        ${cohort(2)},
+        f2 AS (SELECT sku, CAST(2 AS BIGINT) AS batch_id,
+                      CAST(${ts(2)} AS BIGINT) AS action_ts,
+                      current_price, lowest_comp, target_price
+               FROM a2 WHERE target_price <> current_price)
+        SELECT sku, batch_id, action_ts, current_price, lowest_comp,
+               target_price
+        FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+              UNION ALL SELECT * FROM f2)
+        ORDER BY sku, batch_id"""
+      }),
 
     "q_ann_ivf" -> Spec(VectorOps.annIvf, Some(ivfSql(1))),
 

@@ -90,6 +90,20 @@ object Ingestion {
     Out.sorted(r)(col("sku_id"))
   }
 
+  /** Stock ingestion through the TYPED reader (S5, reference
+    * etl_stock.py:16): explicit DDL schema — no inference pass, which
+    * at scale is a full extra scan — with DROPMALFORMED row validation:
+    * a row whose sku/qty/price fails to parse under the declared types
+    * is dropped whole (the reference drops unparseable stock lines the
+    * same way). The committed fixture plants one junk id and two
+    * unparseable numerics among clean rows so the drop rule itself is
+    * inside the hash.
+    */
+  def stockFromTyped(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(
+      Ingest.readTypedCsv(spark, s"$FixturesDir/raw_stock.csv",
+        "sku BIGINT, qty INT, price DOUBLE"))(col("sku"))
+
   /** Excel orders ingestion (S1/S2/S6/P1/P2/X8): glob every
     * `*rders*.xlsx` workbook, union, normalize Russian headers, type.
     * Mirrors reference etl_sales.py:36-62 (read_excel → header

@@ -105,6 +105,28 @@ object Parsing {
     Out.sorted(r)(col("id"))
   }
 
+  /** X12 — trailing-id extraction from product hrefs (reference
+    * scrape.ts:39-42: the scraper recovers a product id from its page
+    * URL's `-<digits>/` tail). The builder synthesizes the three href
+    * shapes the scraper meets — slash-terminated `…-id/`, bare `…-id`,
+    * and a digits-after-slash path that must NOT match (no dash before
+    * the digits) — so both the extraction and the no-match empty-string
+    * contract of [[F.idFromHref]] sit inside the hash. Pure per-row
+    * regex; no shuffle.
+    */
+  def hrefIds(spark: SparkSession, dir: String): DataFrame = {
+    val href =
+      when(pmod(col("p_partkey"), lit(3)) === 0,
+        concat(lit("/p/item-"), (col("p_partkey") * 7).cast("string"), lit("/")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1,
+          concat(lit("/shop/item-"), (col("p_partkey") * 7).cast("string")))
+        .otherwise(concat(lit("/p/items/"), col("p_partkey").cast("string")))
+    val r = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("sku"), href.as("href"))
+      .withColumn("href_id", F.idFromHref(col("href")))
+    Out.sorted(r)(col("sku"))
+  }
+
   /** S14 — source-priority fallback offers (reference scrape.ts:634-645:
     * sellers come from the captured-XHR JSON parse; the DOM parse runs
     * ONLY when the capture yields zero sellers; both paths then

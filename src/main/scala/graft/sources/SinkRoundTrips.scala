@@ -120,6 +120,94 @@ object SinkRoundTrips {
     Out.sorted(back)(col("l_returnflag"))
   }
 
+  /** K1 overwrite contract end to end (reference
+    * `to_sql(if_exists='replace')`, etl_sales.py:76-79): write a PARTIAL
+    * v1 summary, then overwrite with the full v2 summary. The read-back
+    * must hold ONLY v2 rows — a sink that appended instead of replacing
+    * (or left v1 part-files behind) surfaces as extra rows / the v1 tag
+    * in the hash.
+    */
+  def overwriteRerun(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "overwrite")
+    val orders = Tables.load(spark, dir, "orders")
+    def summary(f: DataFrame, tag: String) =
+      f.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.F.sumDecAsDouble(col("o_totalprice"), 4).as("total"))
+        .withColumn("ver", lit(tag))
+    Sinks.overwrite(summary(orders.filter(col("o_orderkey") % 2 === 0), "v1"), path)
+    Sinks.overwrite(summary(orders, "v2"), path)
+    Out.sorted(spark.read.parquet(path))(col("o_orderstatus"))
+  }
+
+  /** K3 append contract end to end (reference
+    * size_recommendation_engine.py:330-345): two disjoint batches
+    * appended to a fresh location; the read-back must hold their exact
+    * union — an overwrite-behaving sink loses batch0, a duplicating one
+    * doubles rows.
+    */
+  def appendRerun(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "append")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true) // deterministic start state
+    val orders = Tables.load(spark, dir, "orders")
+    def slice(k: Int) =
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === k)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          lit(s"batch$k").as("src"))
+    Sinks.append(slice(0), path)
+    Sinks.append(slice(1), path)
+    Out.sorted(spark.read.parquet(path))(col("o_orderkey"))
+  }
+
+  /** K6 JSON document sink round trip (reference pricebot.json settings
+    * store): a per-brand settings document written through
+    * [[Sinks.writeJson]] and read back with an explicit schema — hashes
+    * the NDJSON encoding of the settings frame (field names, bigint
+    * fidelity, pre-rendered price strings).
+    */
+  def jsonSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpBase(dir, "json_sink")
+    val settings = Tables.load(spark, dir, "part")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        format_string("%.2f", min(col("p_retailprice"))).as("min_retail"))
+    Sinks.writeJson(settings, path)
+    val back = spark.read
+      .schema("brand STRING, n_parts LONG, min_retail STRING")
+      .json(path)
+      .select("brand", "n_parts", "min_retail")
+    Out.sorted(back)(col("brand"))
+  }
+
+  /** S3 newest-file selection end to end (reference etl_stock.py:10-13
+    * `max(glob, key=mtime)`): two single-file snapshot dirs with
+    * explicitly staged modification times — the STALE one written last
+    * but stamped older — then [[Ingest.newestFile]] picks the glob's
+    * newest file and the read-back must hold only the FRESH snapshot's
+    * rows. Stamping mtimes (not relying on write order) pins the
+    * contract to modification time, the thing S3 actually selects on.
+    */
+  def newestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpBase(dir, "snaps")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    val orders = Tables.load(spark, dir, "orders")
+    def snap(k: Int, tag: String) =
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === k)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          lit(tag).as("snapshot"))
+    snap(1, "fresh").coalesce(1).write.parquet(s"$base/snap_b")
+    snap(0, "stale").coalesce(1).write.parquet(s"$base/snap_a")
+    def dataFile(d: String) = fs.listStatus(new Path(d))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.setTimes(dataFile(s"$base/snap_a"), 1000000L, -1L)
+    fs.setTimes(dataFile(s"$base/snap_b"), 2000000L, -1L)
+    val newest = Ingest.newestFile(spark, s"$base/snap_*/part-*.parquet")
+      .getOrElse(throw new IllegalStateException("no snapshot file found"))
+    Out.sorted(spark.read.parquet(newest))(col("o_orderkey"))
+  }
+
   /** The S6 writer under the S6 reader: the workbook import/export round
     * trip of the reference's pricebot sheet (PRICEBOT_SPEC_V2.md:114-121,
     * app/page.tsx:56-80) — export a priced frame as ONE workbook, read it

@@ -119,6 +119,82 @@ object Repricer {
     graft.Out.sorted(r)(col("sku"))
   }
 
+  /** Millisecond batch times of [[repricerStream]]'s three triggers and
+    * the per-SKU cadence: batch 1 fires 30 s after batch 0 (INSIDE the
+    * 1-minute interval — its repeat actions are gated), batch 2 fires
+    * 120 s after batch 0 (past the interval from both earlier batches —
+    * fully eligible again).
+    */
+  val StreamT0 = 1700000000000L
+  val StreamTimes: Seq[Long] = Seq(StreamT0, StreamT0 + 30000L, StreamT0 + 120000L)
+  val StreamIntervalMin = 1
+
+  /** The oracle-checked MULTI-BATCH streaming repricer
+    * (q_repricer_stream) — [[repricerActions]] plus the two pieces that
+    * need more than one trigger to exist at all: the per-batch progress
+    * stamps (`batch_id`, `action_ts` — A12) and the `interval_min`
+    * cadence gate (T5), both inside the driver hash. Three offer
+    * batches land as separate files with staged modification times (the
+    * file source's processing order), the injected clock stamps each
+    * trigger with [[StreamTimes]], and the oracle replays the
+    * batch-by-batch fold: batch 0 acts on every changed price, batch 1
+    * (30 s later) only on SKUs batch 0 did NOT act on, batch 2 (2 min
+    * later) on every changed price again — the JSONL decision log is
+    * hashed with its stamps, so the cadence rule itself is inside the
+    * gate, not just spec'd.
+    */
+  def repricerStream(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_repricer_s_$digest").toString
+    val hp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (landing, actions, ckpt) = (s"$tmp/landing", s"$tmp/actions", s"$tmp/ckpt")
+    val offers = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").as("sku"),
+        col("l_suppkey").cast("string").as("merchant"),
+        col("l_extendedprice").as("price"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+    val now = System.currentTimeMillis()
+    for (k <- 0 until 3) {
+      val staging = s"$tmp/stage$k"
+      offers.filter(pmod(col("l_orderkey"), lit(3)) === k)
+        .drop("l_orderkey")
+        .coalesce(1).write.json(staging)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dest = new org.apache.hadoop.fs.Path(landing, s"b$k.json")
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"rename $part -> $dest failed")
+      // strictly increasing mtimes = deterministic trigger order
+      fs.setTimes(dest, now - 3000L + k * 1000L, -1L)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    val settings = graft.Tables.load(spark, dir, "part").select(
+      col("p_partkey").as("sku"),
+      col("p_retailprice").as("current_price"),
+      F.roundHalfUp(col("p_retailprice") * 0.8, 2).as("min_price"),
+      F.roundHalfUp(col("p_retailprice") * 1.2, 2).as("max_price"),
+      lit(50.0).as("step"),
+      lit(StreamIntervalMin).as("interval_min"))
+    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clock = () => StreamTimes(math.min(tick.getAndIncrement(), 2))
+    val q = start(spark, landing, settings, Seq("7"), actions, ckpt, clock)
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException("repricer stream did not finish")
+    }
+    val r = spark.read
+      .schema("sku LONG, current_price DOUBLE, lowest_comp DOUBLE, " +
+        "target_price DOUBLE, batch_id LONG, action_ts LONG")
+      .json(actions)
+      .select("sku", "batch_id", "action_ts", "current_price",
+        "lowest_comp", "target_price")
+    graft.Out.sorted(r)(col("sku"), col("batch_id"))
+  }
+
   /** Start the streaming repricer over an NDJSON offers landing dir.
     * `clock` stamps each batch's decision time (injectable so cadence
     * tests are deterministic); actions carry it as `action_ts`.
