@@ -2634,6 +2634,30 @@ object QueryCatalog {
                CAST(sum((x * 11 + y * 2 + i * 7) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY i ORDER BY media_id""")),
 
+    // Audio twin of q_media_decode: every value recomputed from the WAV
+    // generator's PCM sample formula (MakeAudioFixtures), never from a
+    // sound API — the decode itself is what the hash checks. RMS is the
+    // one derived double: long→double division and sqrt are both
+    // IEEE-correctly-rounded single ops, so the engines agree bitwise
+    // before the lockstep half-up rounding.
+    "q_media_audio" -> Spec(
+      Multimodal.mediaAudio,
+      Some(s"""
+        WITH a AS (SELECT CAST(t.range AS BIGINT) AS i
+                   FROM range(0, ${Multimodal.AudioFixtureCount}) t),
+        fr AS (SELECT i, unnest([v FOR v IN range(0, 400 + 80 * i)]) AS f FROM a),
+        sm AS (SELECT i, f, unnest([v FOR v IN range(0, 1 + i % 2)]) AS c FROM fr),
+        s AS (SELECT i, ((f * 17 + c * 5 + i * 29) % 2003) - 1001 AS v FROM sm)
+        SELECT i AS media_id,
+               CAST(8000 + 500 * i AS INTEGER) AS sample_rate,
+               CAST(1 + i % 2 AS INTEGER) AS n_channels,
+               CAST(400 + 80 * i AS BIGINT) AS n_frames,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sum_samples,
+               CAST(sum(v * v) AS BIGINT) AS sum_squares,
+               ${rnd("sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))", 6)} AS rms
+        FROM s GROUP BY i ORDER BY media_id""")),
+
     "q_media_features" -> Spec(
       Multimodal.mediaFeatures,
       Some {
@@ -2778,7 +2802,7 @@ object QueryCatalog {
         model AS (SELECT token,
                          CAST(${rnd("log2(CAST((c1 + 1) * (n0 + v) AS DOUBLE) / CAST((c0 + 1) * (n1 + v) AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS llr
                   FROM cc, voc),
-        pri AS (SELECT CAST(${rnd("log2(CAST(count(*) FILTER (label_keep) AS DOUBLE) / CAST(count(*) FILTER (NOT label_keep) AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS prior
+        pri AS (SELECT CAST(${rnd("log2(CAST(count(*) FILTER (label_keep) + 1 AS DOUBLE) / CAST(count(*) FILTER (NOT label_keep) + 1 AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS prior
                 FROM lab),
         sc AS (SELECT doc_id, label_keep, sum(dcnt * llr) AS sum_llr
                FROM dt JOIN model USING (token) GROUP BY doc_id, label_keep)

@@ -280,13 +280,21 @@ object CorpusOps {
     * to 6 dp and summed as an exact decimal — the
     * [[TextOps.surprisalScores]] recipe.
     */
-  def nbQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def nbQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    nbQualityFilterOn(docsDistributed(spark, dir))
+
+  /** Testable core of [[nbQualityFilter]] over any (doc_id, text)
+    * frame — lets a spec plant a degenerate corpus (e.g. all docs tied
+    * at the median → single-class labels) and assert the smoothed
+    * prior keeps the plan total instead of dividing by zero.
+    */
+  private[graft] def nbQualityFilterOn(docsDf: DataFrame): DataFrame = {
     // Label = "above the corpus-median heuristic quality": two-class by
     // construction (the fixed 0.5 keep cut is single-class on this
     // corpus — every doc passes). Exact percentile over the 6-dp-rounded
     // scores; the interpolated midpoint is one IEEE mean of two rounded
     // doubles, identical in DuckDB's quantile_cont.
-    val qdoc = docsDistributed(spark, dir)
+    val qdoc = docsDf
       .select(col("doc_id"), TextOps.qualityScore.as("q"), toks.as("ws"))
     val med = qdoc.agg(expr("percentile(q, 0.5D)").as("med"))
     val labeled = qdoc.crossJoin(broadcast(med))
@@ -325,11 +333,17 @@ object CorpusOps {
         log2(((col("c1") + 1) * (col("n0") + col("v"))).cast("double") /
           ((col("c0") + 1) * (col("n1") + col("v"))).cast("double")), 6)
         .cast("decimal(20,6)").as("llr"))
+    // Laplace-smoothed class prior, matching the token counts: the
+    // unsmoothed ratio divides by zero on a degenerate single-class
+    // corpus (e.g. every doc tied at the median), where Spark yields
+    // Infinity→null after the decimal cast while DuckDB errors the
+    // cast — divergent failure modes. Smoothed, both engines compute
+    // the same finite value on ANY corpus.
     val priors = labeled.agg(
       sum(when(col("label_keep"), 1L).otherwise(0L)).as("nd1"),
       sum(when(!col("label_keep"), 1L).otherwise(0L)).as("nd0"))
     val prior = F.roundHalfUp(
-      log2(col("nd1").cast("double") / col("nd0").cast("double")), 6)
+      log2((col("nd1") + 1).cast("double") / (col("nd0") + 1).cast("double")), 6)
       .cast("decimal(20,6)")
     val scored = dt.join(model, Seq("token"))
       .groupBy("doc_id", "label_keep")

@@ -19,10 +19,12 @@ import graft.functions.F
   * contract. The IMAGE codec is real — [[MediaCodec.decodeImage]] is a
   * javax.imageio PNG/JPEG parse (core JVM, so the zero-egress build
   * holds), exercised over committed fixtures by q_media_decode. The
-  * audio/video codecs remain stubbed ([[MediaCodec.decodeStub]] derives
-  * deterministic fake metadata from the bytes — no such libraries in
-  * the container); swapping one in changes one function, not the
-  * plumbing, partitioning or schema.
+  * AUDIO codec is real too — [[MediaCodec.decodeAudio]] is a
+  * javax.sound.sampled WAV/PCM parse (same core-JVM argument),
+  * exercised by q_media_audio. Only the VIDEO codec remains stubbed
+  * ([[MediaCodec.decodeStub]] derives deterministic fake metadata from
+  * the bytes — no demuxer in the core JVM); swapping one in changes
+  * one function, not the plumbing, partitioning or schema.
   *
   * The media corpus itself is synthesized from `documents` (text bytes
   * as payload) — deterministic, so the DuckDB oracle can reproduce the
@@ -75,6 +77,36 @@ object Multimodal {
       */
     def featureStub(content: Array[Byte]): Array[Float] =
       laneSums(content).map(_ / 255.0f)
+
+    /** REAL audio decode (core-JVM javax.sound.sampled — the same
+      * zero-egress argument as the imageio path): parse a WAV
+      * container, require 16-bit little-endian signed PCM, and return
+      * the header fields plus exact integer sample statistics
+      * (Σ samples, Σ samples² across all channels). WAV PCM is
+      * lossless, so a correct decoder reproduces the sums EXACTLY from
+      * the fixture generator's sample formula.
+      */
+    def decodeAudio(content: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unsupported WAV encoding (need 16-bit LE signed PCM): $fmt")
+        val bytes = in.readAllBytes()
+        var sum = 0L
+        var sq = 0L
+        var k = 0
+        while (k + 1 < bytes.length) {
+          val s = ((bytes(k) & 0xff) | (bytes(k + 1) << 8)).toShort.toLong
+          sum += s; sq += s * s
+          k += 2
+        }
+        (fmt.getSampleRate.toInt, fmt.getChannels,
+          bytes.length.toLong / fmt.getFrameSize, sum, sq)
+      } finally in.close()
+    }
 
     /** REAL image decode (core-JVM javax.imageio, so the zero-egress
       * build constraint holds): parse the compressed payload, return
@@ -265,6 +297,71 @@ object Multimodal {
         col("content"))
       .as[MediaRow]
     val r = decodeImages(m).toDF()
+    Out.sorted(r)(col("media_id"))
+  }
+
+  /** Committed WAV fixture corpus (see graft.tools.MakeAudioFixtures
+    * for the PCM sample formula the oracle replays).
+    */
+  val AudioFixturesGlob: String = s"${Ingestion.FixturesDir}/media/audio_*.wav"
+
+  /** Number of committed WAV fixtures and their generative parameters —
+    * shared by the generator tool, the decode assertions and the DuckDB
+    * oracle so all three derive from one place. Fixture i is
+    * [[audioFrames]] frames of [[audioChannels]]-channel 16-bit PCM at
+    * [[audioRate]] Hz; frame f, channel c holds sample
+    * `((f*17 + c*5 + i*29) % 2003) - 1001` — pure integer arithmetic
+    * within 16-bit range, so Σ and Σ² are engine-exact.
+    */
+  val AudioFixtureCount = 10
+  def audioRate(i: Int): Int = 8000 + 500 * i
+  def audioChannels(i: Int): Int = 1 + i % 2
+  def audioFrames(i: Int): Int = 400 + 80 * i
+  def audioSample(i: Int, f: Int, c: Int): Int =
+    ((f * 17 + c * 5 + i * 29) % 2003) - 1001
+
+  /** Decoded audio row of the REAL codec path. */
+  case class AudioDecoded(media_id: Long, sample_rate: Int, n_channels: Int,
+                          n_frames: Long, n_samples: Long,
+                          sum_samples: Long, sum_squares: Long)
+
+  /** The REAL-codec audio decode stage: identical batched mapPartitions
+    * shape to [[decodeImages]], with an honest javax.sound.sampled WAV
+    * parse inside.
+    */
+  def decodeAudios(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (rate, ch, frames, sum, sq) = MediaCodec.decodeAudio(m.content)
+        AudioDecoded(m.media_id, rate, ch, frames, frames * ch, sum, sq)
+      }
+    }
+  }
+
+  /** q_media_audio — the REAL-CODEC audio oracle query: scan the
+    * committed WAV fixtures with binaryFile (payloads never touch the
+    * driver), decode each inside [[decodeAudios]]'s mapPartitions
+    * stage, and emit header fields + exact integer sample sums + RMS.
+    * The DuckDB oracle recomputes every value from the generator's
+    * sample FORMULA, so the gate checks the decode against ground truth
+    * that does not come from javax.sound.sampled. RMS is the one
+    * derived double: sqrt and long→double division are IEEE-exact in
+    * both engines, rounded half-up in lockstep. (`dir` is unused — the
+    * fixtures are the corpus — but kept for the uniform signature.)
+    */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = spark.read.format("binaryFile").load(AudioFixturesGlob)
+      .select(
+        regexp_extract(col("path"), "audio_(\\d+)\\.wav", 1).cast(LongType)
+          .as("media_id"),
+        lit("audio").as("kind"),
+        col("content"))
+      .as[MediaRow]
+    val r = decodeAudios(m).toDF()
+      .withColumn("rms", F.roundHalfUp(
+        sqrt(col("sum_squares").cast("double") / col("n_samples").cast("double")), 6))
     Out.sorted(r)(col("media_id"))
   }
 

@@ -540,23 +540,41 @@ object Excel {
   /** [[writeXlsx]] with an explicit cap (SinksSpec exercises the guard
     * without constructing 2^20 rows). Enforced DURING the row stream —
     * no extra counting job; the write aborts on the first over-cap row.
+    *
+    * The write is ATOMIC at the destination: bytes stream to a
+    * temporary sibling (`.path.tmp`) that renames over `path` only
+    * after the zip closes cleanly — an over-cap abort (or any mid-zip
+    * failure) must never replace an existing export with a corrupt
+    * partial file, because the destination is a user-facing artifact a
+    * downstream may be watching by mtime (the S3 newest-file pattern).
     */
   private[graft] def writeXlsxCapped(df: DataFrame, path: String,
       sheetName: String, cap: Long): Unit = {
     import scala.jdk.CollectionConverters._
     val p = new Path(path)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     var n = 0L
-    try Xlsx.write(df.columns.toSeq,
-      df.toLocalIterator().asScala.map { r =>
-        n += 1
-        require(n <= cap,
-          s"writeXlsx is a single-workbook export sink capped at $cap data " +
-            s"rows ($path): partition the frame and export multiple " +
-            "workbooks for bulk data")
-        r.toSeq
-      }, out, sheetName)
-    finally out.close()
+    var ok = false
+    try {
+      Xlsx.write(df.columns.toSeq,
+        df.toLocalIterator().asScala.map { r =>
+          n += 1
+          require(n <= cap,
+            s"writeXlsx is a single-workbook export sink capped at $cap data " +
+              s"rows ($path): partition the frame and export multiple " +
+              "workbooks for bulk data")
+          r.toSeq
+        }, out, sheetName)
+      ok = true
+    } finally {
+      out.close()
+      if (ok) {
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+      } else fs.delete(tmp, false)
+    }
   }
 }

@@ -168,6 +168,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Double]("mean_score") <= 0))
   }
 
+  test("NB quality filter: degenerate single-class corpus stays total (smoothed prior)") {
+    import spark.implicits._
+    // identical texts → every doc ties AT the median → label_keep is
+    // true everywhere (q >= median) and the negative class is empty;
+    // the unsmoothed prior log2(nd1/nd0) would be log2(x/0)
+    val planted = (1L to 20L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val rows = CorpusOps.nbQualityFilterOn(planted).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 20L)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("label_keep"), "all docs tie at the median")
+      val m = r.getAs[Double]("mean_score")
+      assert(!m.isNaN && !m.isInfinite, s"score must stay finite, got $m")
+    }
+  }
+
   test("token budget: two-phase prefix sum equals the global recompute, one cut at most") {
     val rows = CorpusOps.tokenBudget(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -54,6 +54,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio: real WAV roundtrip reproduces exact sample sums") {
+    // in-memory ground truth independent of the committed fixtures
+    val (rate, ch, frames) = (11025, 2, 123)
+    val pcm = new Array[Byte](frames * ch * 2)
+    var (es, eq) = (0L, 0L)
+    var k = 0
+    for (f <- 0 until frames; c <- 0 until ch) {
+      val s = ((f * 41 + c * 13) % 1499) - 700
+      es += s; eq += s.toLong * s
+      pcm(k) = (s & 0xff).toByte; pcm(k + 1) = ((s >> 8) & 0xff).toByte
+      k += 2
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (r, c2, fr, sum, sq) = Multimodal.MediaCodec.decodeAudio(bos.toByteArray)
+    assert((r, c2, fr, sum, sq) === ((rate, ch, frames.toLong, es, eq)))
+    // non-WAV payloads fail loudly, not as silent nulls
+    intercept[Exception] {
+      Multimodal.MediaCodec.decodeAudio("not audio".getBytes)
+    }
+    // 8-bit PCM is outside the decode contract: loud failure, not a
+    // silently wrong sample walk
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt8, 64L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.decodeAudio(bos8.toByteArray)
+    }
+  }
+
   test("decodeFeatures: mapPartitions stage is deterministic and typed") {
     import spark.implicits._
     val media = Multimodal.media(spark, SparkT.Sf0001).limit(10)

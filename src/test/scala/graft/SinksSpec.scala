@@ -69,10 +69,21 @@ class SinksSpec extends AnyFunSuite {
   test("writeXlsx refuses a frame over the single-workbook row cap") {
     val big = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS STRING) AS v")
     val path = tmp("xlsx_cap") + "/over.xlsx"
+    // plant a valid previous export at the destination: an over-cap
+    // abort must leave it byte-identical (atomic temp+rename), never a
+    // truncated partial zip
+    graft.sources.Excel.writeXlsx(big.limit(3), path)
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val e = intercept[IllegalArgumentException] {
       graft.sources.Excel.writeXlsxCapped(big, path, "Sheet1", cap = 10L)
     }
     assert(e.getMessage.contains("single-workbook"))
+    val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(java.util.Arrays.equals(before, after),
+      "aborted export must not touch the destination")
+    assert(graft.sources.Excel.readXlsx(spark, path).count() === 3)
+    assert(!new java.io.File(path).getParentFile.listFiles()
+      .exists(_.getName.endsWith(".tmp")), "abort must clean up its temp file")
     // under the cap the same frame exports fine
     val ok = tmp("xlsx_ok") + "/ok.xlsx"
     graft.sources.Excel.writeXlsx(big, ok)
