@@ -62,6 +62,25 @@ class NearDupClustersSpec extends AnyFunSuite {
     } finally labels.unpersist()
   }
 
+  test("adversarial 1000-node chain: log-round convergence well under maxRounds") {
+    import spark.implicits._
+    // diameter 999 — fatal for linear propagation under maxRounds=30,
+    // comfortable for pointer jumping (label hop distance doubles per
+    // round, so ~log2(999) ≈ 10 rounds). This is the planted worst case
+    // for the default bound: if a future edit degrades the jump to
+    // plain propagation, this test fails on rounds, not on wall time.
+    val chain = (0 until 999).map(i => (5000L + i, 5000L + i + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextOps.connectedComponents(chain)
+    try {
+      val got = labels.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      assert(got.length === 1000)
+      got.foreach { case (doc, label) => assert(label === 5000L, s"doc $doc") }
+      assert(rounds <= 11, s"took $rounds rounds — pointer jumping degraded")
+    } finally labels.unpersist()
+  }
+
   test("two disjoint components never merge and each is min-labeled") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
