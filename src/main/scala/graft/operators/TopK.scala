@@ -6,13 +6,25 @@ import org.apache.spark.sql.functions._
 
 import graft.{Out, Tables}
 
-/** Bounded top-k per group as a typed [[Aggregator]] — the scale-correct
-  * twin of the window-rank form (Relational.top3CheapestPerSku):
-  * `row_number() OVER (PARTITION BY key ...)` shuffles EVERY row of the
-  * fact table to its key's partition before any can be discarded, while
-  * a partial-aggregating top-k buffer discards to k rows per key on the
-  * MAP side — at 100 TB the exchange carries k·|keys| rows instead of
-  * the whole table, usually a 100×+ shuffle cut for small k.
+/** Bounded top-k per group as a typed [[Aggregator]] — the hand-built
+  * k·|keys| exchange bound, kept as an oracle-checked DEMONSTRATION.
+  *
+  * Use the window form in production. The classical argument — that
+  * `row_number() OVER (PARTITION BY key ...)` must shuffle every fact
+  * row before any can be discarded — no longer holds on Spark ≥ 3.5:
+  * a `rank <= k` filter over the window triggers
+  * `WindowGroupLimitExec` in Partial mode BELOW the exchange
+  * (plan-asserted in PlanContractSpec), so the window plan already
+  * discards to k rows per key map-side, with codegen and no typed
+  * ser/de. Measured head-to-head (graft.tools.Top3Crossover: 20M rows,
+  * local[32], min-of-3, groups ∈ {2k, 200k, 2M}): identical shuffle
+  * bytes at every cardinality (3.0MB / 280MB / 320MB per run) and
+  * window wall ≤ aggregator wall throughout (1.0/1.0, 1.3/1.8,
+  * 1.3/2.5 s) — the aggregator's typed row↔object churn only grows
+  * with group count, so there is NO crossover to wait for. This class
+  * remains the reference implementation of the merge-bounded buffer
+  * shape (useful where no window-limit rule exists, e.g. arbitrary
+  * stateful reducers), and its oracle row pins output equivalence.
   *
   * The buffer order is the window's exact total order (price, seller,
   * orderkey, linenumber — unique, so no ties exist), which makes the

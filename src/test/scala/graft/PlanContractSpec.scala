@@ -264,6 +264,17 @@ class PlanContractSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.sort.results", "true")
   }
 
+  test("window top-k: partial WindowGroupLimit discards below the exchange") {
+    val plan = planOf(Relational.top3CheapestPerSku(spark, SparkT.Sf0001))
+    // Spark 4 pushes rank()<=k map-side — the k·|keys| exchange bound
+    // the TopK Aggregator hand-builds, free. If this ever stops firing
+    // (plan edit, version change), TopK.scala's guidance flips; fail
+    // loudly here.
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0 && plan.contains(", Partial"),
+      s"no partial window-group-limit below the exchange:\n$plan")
+  }
+
   test("simhash band self-join: AQE reuses the fingerprint exchange at runtime") {
     spark.conf.set("graft.sort.results", "false")
     try {
