@@ -2658,6 +2658,28 @@ object QueryCatalog {
                ${rnd("sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))", 6)} AS rms
         FROM s GROUP BY i ORDER BY media_id""")),
 
+    // Video twin: per-frame channel sums recomputed from the GIF
+    // generator's palette/pixel formulas (MakeVideoFixtures) — the
+    // multi-frame demux AND the LZW pixel decode are inside the hash.
+    "q_media_video" -> Spec(
+      Multimodal.mediaVideo,
+      Some(s"""
+        WITH v AS (SELECT CAST(t.range AS BIGINT) AS i
+                   FROM range(0, ${Multimodal.VideoFixtureCount}) t),
+        fr AS (SELECT i, unnest([f FOR f IN range(0, 3 + i)]) AS f FROM v),
+        xs AS (SELECT i, f, unnest([x FOR x IN range(0, 12 + i)]) AS x FROM fr),
+        px AS (SELECT i, f, x, unnest([y FOR y IN range(0, 10 + i)]) AS y FROM xs),
+        p AS (SELECT i, f, (x * 5 + y * 11 + f * 23 + i * 13) % 256 AS p FROM px)
+        SELECT i AS media_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(12 + i AS INTEGER) AS width,
+               CAST(10 + i AS INTEGER) AS height,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(p) AS BIGINT) AS sum_r,
+               CAST(sum((p * 7) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((p * 13) % 256) AS BIGINT) AS sum_b
+        FROM p GROUP BY i, f ORDER BY media_id, frame_idx""")),
+
     "q_media_features" -> Spec(
       Multimodal.mediaFeatures,
       Some {

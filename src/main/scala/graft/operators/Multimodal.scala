@@ -16,15 +16,19 @@ import graft.functions.F
   * transformation is either a pure column expression (lengths, slices,
   * hashes, chunk counts) or a `mapPartitions` stage whose per-batch
   * shape (Iterator→Iterator, no per-row session state) is the real
-  * contract. The IMAGE codec is real — [[MediaCodec.decodeImage]] is a
-  * javax.imageio PNG/JPEG parse (core JVM, so the zero-egress build
-  * holds), exercised over committed fixtures by q_media_decode. The
-  * AUDIO codec is real too — [[MediaCodec.decodeAudio]] is a
-  * javax.sound.sampled WAV/PCM parse (same core-JVM argument),
-  * exercised by q_media_audio. Only the VIDEO codec remains stubbed
-  * ([[MediaCodec.decodeStub]] derives deterministic fake metadata from
-  * the bytes — no demuxer in the core JVM); swapping one in changes
-  * one function, not the plumbing, partitioning or schema.
+  * contract. All three modality codecs are REAL and core-JVM (the
+  * zero-egress build holds): IMAGE — [[MediaCodec.decodeImage]],
+  * javax.imageio PNG/JPEG parse (q_media_decode); AUDIO —
+  * [[MediaCodec.decodeAudio]], javax.sound.sampled WAV/PCM parse
+  * (q_media_audio); VIDEO — [[MediaCodec.decodeVideo]], javax.imageio
+  * multi-frame GIF demux + LZW decode, one row out per contained frame
+  * (q_media_video). Each is oracle-checked against its fixture
+  * GENERATOR's formulas, never against the decoding API itself.
+  * [[MediaCodec.decodeStub]] remains only for the synthetic
+  * text-payload corpus (q_media_features), where it stands in for a
+  * production codec over payloads that are not real media; swapping a
+  * richer codec in changes one function, not the plumbing,
+  * partitioning or schema.
   *
   * The media corpus itself is synthesized from `documents` (text bytes
   * as payload) — deterministic, so the DuckDB oracle can reproduce the
@@ -106,6 +110,43 @@ object Multimodal {
         (fmt.getSampleRate.toInt, fmt.getChannels,
           bytes.length.toLong / fmt.getFrameSize, sum, sq)
       } finally in.close()
+    }
+
+    /** REAL video decode (core-JVM javax.imageio GIF reader — a real
+      * multi-frame container parse + LZW decode, the closest honest
+      * demuxer the zero-egress JVM offers): iterate the GIF image
+      * sequence and return one row of exact integer channel sums per
+      * frame. With an explicit indexed palette GIF is LOSSLESS, so a
+      * correct demux+decode reproduces the fixture generator's
+      * per-frame formulas exactly.
+      */
+    def decodeVideo(content: Array[Byte]): Seq[(Int, Int, Int, Long, Long, Long)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"undecodable video payload (${content.length} bytes)")
+      val rd = readers.next()
+      require(rd.getFormatName.equalsIgnoreCase("gif"),
+        s"unsupported video container (need GIF): ${rd.getFormatName}")
+      rd.setInput(iis)
+      try {
+        val n = rd.getNumImages(true)
+        (0 until n).map { f =>
+          val img = rd.read(f)
+          var (r, g, b) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (f, img.getWidth, img.getHeight, r, g, b)
+        }
+      } finally { rd.dispose(); iis.close() }
     }
 
     /** REAL image decode (core-JVM javax.imageio, so the zero-egress
@@ -363,6 +404,70 @@ object Multimodal {
       .withColumn("rms", F.roundHalfUp(
         sqrt(col("sum_squares").cast("double") / col("n_samples").cast("double")), 6))
     Out.sorted(r)(col("media_id"))
+  }
+
+  /** Committed GIF video fixtures (see graft.tools.MakeVideoFixtures
+    * for the palette + pixel formulas the oracle replays).
+    */
+  val VideoFixturesGlob: String = s"${Ingestion.FixturesDir}/media/video_*.gif"
+
+  /** Number of committed GIF fixtures and their generative parameters —
+    * shared by the generator, the decode assertions and the DuckDB
+    * oracle. Video i is [[videoFrames]] frames of
+    * [[videoWidth]]×[[videoHeight]] pixels; pixel (x,y) of frame f
+    * carries palette index `(x*5 + y*11 + f*23 + i*13) % 256`, and the
+    * FIXED 256-entry palette maps index p → (p, p·7 mod 256,
+    * p·13 mod 256). Every frame uses only palette colors, so the GIF
+    * encode is lossless and Σ per channel is engine-exact.
+    */
+  val VideoFixtureCount = 6
+  def videoFrames(i: Int): Int = 3 + i
+  def videoWidth(i: Int): Int = 12 + i
+  def videoHeight(i: Int): Int = 10 + i
+  def videoPaletteIndex(i: Int, f: Int, x: Int, y: Int): Int =
+    (x * 5 + y * 11 + f * 23 + i * 13) % 256
+  def videoPalette(p: Int): (Int, Int, Int) = (p, (p * 7) % 256, (p * 13) % 256)
+
+  /** Decoded video frame row of the REAL demux path. */
+  case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+                        height: Int, n_pixels: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The REAL-codec video demux stage: the same batched mapPartitions
+    * shape as [[decodeImages]], but one input row FANS OUT to one row
+    * per contained frame (Iterator→Iterator flatMap — the demux shape:
+    * containers in, frames out, nothing driver-side).
+    */
+  def decodeVideos(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.decodeVideo(m.content).map { case (f, w, h, r, g, b) =>
+          VideoFrame(m.media_id, f, w, h, w.toLong * h, r, g, b)
+        }
+      }
+    }
+  }
+
+  /** q_media_video — the REAL-CODEC video oracle query: scan the
+    * committed multi-frame GIFs with binaryFile, demux + decode every
+    * frame inside [[decodeVideos]]'s mapPartitions stage, and emit
+    * per-frame dimensions + exact channel sums. The DuckDB oracle
+    * recomputes every value from the generator's palette/pixel
+    * FORMULAS, so the gate checks the demux and the LZW decode against
+    * ground truth independent of javax.imageio.
+    */
+  def mediaVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = spark.read.format("binaryFile").load(VideoFixturesGlob)
+      .select(
+        regexp_extract(col("path"), "video_(\\d+)\\.gif", 1).cast(LongType)
+          .as("media_id"),
+        lit("video").as("kind"),
+        col("content"))
+      .as[MediaRow]
+    val r = decodeVideos(m).toDF()
+    Out.sorted(r)(col("media_id"), col("frame_idx"))
   }
 
   /** Oracle-checked corpus stats over the binary column: per modality,

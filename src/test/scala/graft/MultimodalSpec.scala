@@ -91,6 +91,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeVideo: real multi-frame GIF roundtrip reproduces exact per-frame sums") {
+    // in-memory ground truth with formulas DIFFERENT from the fixtures
+    val (w, h, frames) = (9, 7, 5)
+    val (pr, pg, pb) = (new Array[Byte](256), new Array[Byte](256), new Array[Byte](256))
+    (0 until 256).foreach { p =>
+      pr(p) = ((p * 3) % 256).toByte; pg(p) = p.toByte; pb(p) = ((p * 11) % 256).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, pr, pg, pb)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios); wr.prepareWriteSequence(null)
+    val expect = Array.fill(frames)(Array(0L, 0L, 0L))
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (x <- 0 until w; y <- 0 until h) {
+        val p = (x * 29 + y * 31 + f * 37) % 256
+        img.getRaster.setSample(x, y, 0, p)
+        expect(f)(0) += (p * 3) % 256; expect(f)(1) += p; expect(f)(2) += (p * 11) % 256
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    val got = Multimodal.MediaCodec.decodeVideo(bos.toByteArray)
+    assert(got.length === frames)
+    got.foreach { case (f, gw, gh, r, g, b) =>
+      assert((gw, gh) === ((w, h)), s"frame $f dims")
+      assert((r, g, b) === ((expect(f)(0), expect(f)(1), expect(f)(2))), s"frame $f sums")
+    }
+    // non-GIF containers and garbage fail loudly, not as silent nulls
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.decodeVideo("not a video".getBytes)
+    }
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB), "png", png)
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.decodeVideo(png.toByteArray)
+    }
+  }
+
   test("decodeFeatures: mapPartitions stage is deterministic and typed") {
     import spark.implicits._
     val media = Multimodal.media(spark, SparkT.Sf0001).limit(10)
