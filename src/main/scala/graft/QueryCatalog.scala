@@ -158,18 +158,21 @@ object QueryCatalog {
   // Parameterized over the source relation and a CTE-name suffix so the
   // SAME chain trains the full-dimension quantizer (src=embeddings,
   // sfx="") and each PQ subspace codebook (src=es<m>, sfx=_s<m>).
+  // Training CTEs (a0/a1) read the TrainCap-bounded md5 sample `tr` —
+  // the VectorOps.lloydOn sampling rule verbatim — while the final
+  // assignment a2 (the index encode) sweeps the full source.
   private def lloydChain(src: String, sfx: String, seed: String = "label"): String = {
     val mean = rnd("CAST(sum(CAST(v::DOUBLE AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
     val simOf = (cent: String) =>
       rnd(s"list_dot_product(e.embedding::DOUBLE[], $cent.centroid::DOUBLE[])", 6)
-    def assignStep(cent: String, out: String) = s"""
+    def assignStep(from: String, cent: String, out: String) = s"""
         $out AS (
           SELECT vec_id, label, embedding, cluster, sim FROM (
             SELECT e.vec_id, e.label, e.embedding, c.cluster,
                    ${simOf("c")} AS sim,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${simOf("c")} DESC, c.cluster) AS rn
-            FROM $src e, $cent c)
+            FROM $from e, $cent c)
           WHERE rn = 1)"""
     def centStep(src0: String, comp: String, cent: String) = s"""
         $comp AS (
@@ -179,11 +182,13 @@ object QueryCatalog {
                 FROM $src0)
           GROUP BY cluster, dim),
         $cent AS (SELECT cluster, list(c ORDER BY dim) AS centroid FROM $comp GROUP BY cluster)"""
-    s"""a0$sfx AS (SELECT vec_id, label, embedding, $seed AS cluster FROM $src),
+    s"""tr$sfx AS (SELECT * FROM $src
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT ${VectorOps.TrainCap}),
+        a0$sfx AS (SELECT vec_id, label, embedding, $seed AS cluster FROM tr$sfx),
         ${centStep(s"a0$sfx", s"comp0$sfx", s"cent0$sfx")},
-        ${assignStep(s"cent0$sfx", s"a1$sfx")},
+        ${assignStep(s"tr$sfx", s"cent0$sfx", s"a1$sfx")},
         ${centStep(s"a1$sfx", s"comp1$sfx", s"cent1$sfx")},
-        ${assignStep(s"cent1$sfx", s"a2$sfx")}"""
+        ${assignStep(src, s"cent1$sfx", s"a2$sfx")}"""
   }
 
   private lazy val lloydCtes: String = lloydChain("embeddings", "")
