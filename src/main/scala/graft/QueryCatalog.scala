@@ -281,20 +281,47 @@ object QueryCatalog {
   // Shared CTE chain of the SimHash fingerprint computation, generated
   // from TextOps.SimhashBits; ends in `sh(doc_id, n_distinct_tokens,
   // simhash)`. Used by q_doc_simhash and the Hamming near-dup query.
-  private lazy val simhashCtes: String = {
-    val sums = (0 until TextOps.SimhashBits)
+  private def simhashCtesAt(bits: Int): String = {
+    val sums = (0 until bits)
       .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
-    val fp = (0 until TextOps.SimhashBits)
+    val fp = (0 until bits)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""t AS (
           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
           FROM documents),
-        h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hv FROM t),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, ${bits / 4}) AS BIGINT) AS hv FROM t),
         s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens, $sums
               FROM h GROUP BY doc_id),
         sh AS (SELECT doc_id, n_distinct_tokens, CAST($fp AS BIGINT) AS simhash FROM s)"""
+  }
+
+  private lazy val simhashCtes: String = simhashCtesAt(TextOps.SimhashBits)
+
+  // Banded Hamming near-dup SQL at any fingerprint width (shared by the
+  // 32-bit default row and the 60-bit wide-dial row).
+  private def simhashNearDupSqlAt(bits: Int): String = {
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val bandList = (0 until 4)
+      .map(b => s"(simhash >> ${bandBits * b}) & $mask")
+      .mkString("[", ", ", "]")
+    s"""
+        WITH ${simhashCtesAt(bits)},
+        bands AS (
+          SELECT doc_id, simhash, unnest($bandList) AS band_val,
+                 generate_subscripts($bandList, 1) AS band_idx
+          FROM sh)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id, x.simhash, y.simhash
+        HAVING bit_count(xor(x.simhash, y.simhash)) <= ${TextOps.SimhashMaxHamming}
+        ORDER BY doc_a, doc_b"""
   }
 
   // Shared CTE chain of the size-recommendation pipeline (J8/W5); used
@@ -1306,26 +1333,16 @@ object QueryCatalog {
 
     "q_simhash_neardup" -> Spec(
       TextOps.simhashNearDup,
-      Some {
-        val bandList = (0 until 4)
-          .map(b => s"(simhash >> ${8 * b}) & 255")
-          .mkString("[", ", ", "]")
-        s"""
-        WITH $simhashCtes,
-        bands AS (
-          SELECT doc_id, simhash, unnest($bandList) AS band_val,
-                 generate_subscripts($bandList, 1) AS band_idx
-          FROM sh)
-        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-               CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming,
-               CAST(count(*) AS BIGINT) AS n_shared_bands
-        FROM bands x JOIN bands y
-          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-             AND x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id, x.simhash, y.simhash
-        HAVING bit_count(xor(x.simhash, y.simhash)) <= ${TextOps.SimhashMaxHamming}
-        ORDER BY doc_a, doc_b"""
-      }),
+      Some(simhashNearDupSqlAt(TextOps.SimhashBits))),
+
+    // The wide-fingerprint production dial, end-to-end: same pigeonhole
+    // chain at 60 bits / 4×15-bit bands — 128× wider band keyspace, so
+    // band-bucket occupancy (and the quadratic candidate join) shrinks
+    // accordingly at a given corpus. Own hash gate, like the LSH
+    // q_embed_neardup_8p row.
+    "q_simhash_neardup_wide" -> Spec(
+      TextOps.simhashNearDupWide,
+      Some(simhashNearDupSqlAt(TextOps.SimhashWideBits))),
 
     "q_ann_topk" -> Spec(
       VectorOps.annBruteForce,

@@ -984,17 +984,26 @@ object TextOps {
   /** Unsorted (doc_id, n_distinct_tokens, simhash) frame shared by the
     * fingerprint dump and the Hamming near-dup pair search.
     */
-  private def simhashTable(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    simhashTableAt(spark, dir, SimhashBits)
+
+  /** [[simhashTable]] at any fingerprint width (bits must be a multiple
+    * of 4 and ≤ 60 so the md5-hex prefix stays sign-safe BIGINT
+    * arithmetic in every engine).
+    */
+  private def simhashTableAt(
+      spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val tok = docsDistributed(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
-      .withColumn("hv", conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType))
-    val bitSums = (0 until SimhashBits).map { j =>
+      .withColumn("hv",
+        conv(substring(md5(col("token")), 1, bits / 4), 16, 10).cast(LongType))
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"s$j")
     }
     val aggCols = count(lit(1)).as("n_distinct_tokens") +: bitSums
     val agged = tok.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    val fp = (0 until SimhashBits).map { j =>
+    val fp = (0 until bits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     agged.select(col("doc_id"), col("n_distinct_tokens"),
@@ -1016,10 +1025,12 @@ object TextOps {
     * docs): the band keyspace is FIXED (4 × 2^8 values per band), so
     * per-bucket occupancy — and the candidate join, quadratic in it —
     * grows linearly with the corpus. The production dial is fingerprint
-    * width: a 64-bit SimHash split into 4 16-bit bands (the common
-    * web-scale choice) gives 2^16 values per band, pushing the same
-    * occupancy crossover out by 256×; width is pinned at 32 here only
-    * because the oracle replays the exact integer arithmetic.
+    * width, and it is PROVEN end-to-end here: [[simhashNearDupWide]]
+    * runs the same chain at 60 bits / 4×15-bit bands under its own
+    * oracle row (q_simhash_neardup_wide), with SimhashDialSpec
+    * measuring the occupancy/candidate shrink. At web scale pick the
+    * width from corpus size exactly as the LSH plane count is derived
+    * (keyspace ≈ corpus / target occupancy per band).
     *
     * Self-join cost note (closes the round-6 cpu flag): the fingerprint
     * subtree (token explode + 32-column aggregation) appears on BOTH
@@ -1034,13 +1045,42 @@ object TextOps {
     * 6.4–7.8 cpu-s at sf0.1 wall ~1 s, both rounds' binaries unchanged
     * here (git-verified).
     */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashTable(spark, dir)
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupAt(spark, dir, SimhashBits)
+
+  /** Wide-fingerprint PRODUCTION dial of [[simhashNearDup]], proven
+    * end-to-end by its own oracle row (q_simhash_neardup_wide): a
+    * [[SimhashWideBits]]-bit fingerprint in the same 4 pigeonhole
+    * bands. Widening the fingerprint widens each band's keyspace
+    * (2^8 → 2^15 values), cutting band-bucket occupancy — and the
+    * quadratic candidate join riding on it — by ~128× at the same
+    * corpus, with pigeonhole exactness untouched (Hamming ≤ 3 over 4
+    * bands still forces one agreeing band). SimhashDialSpec measures
+    * the occupancy/candidate shrink; 60 not 64 bits so the md5-hex
+    * prefix stays sign-safe BIGINT arithmetic in both engines.
+    */
+  def simhashNearDupWide(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupAt(spark, dir, SimhashWideBits)
+
+  val SimhashWideBits = 60
+
+  /** Banded (doc_id, simhash, band_idx, band_val) rows at a given
+    * fingerprint width — 4 equal bands.
+    */
+  private[graft] def simhashBandsAt(
+      spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
     val bandCols = (0 until 4).map { b =>
-      shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+      shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask))
     }
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    simhashTableAt(spark, dir, bits).select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  private def simhashNearDupAt(
+      spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val bands = simhashBandsAt(spark, dir, bits)
     val r = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
