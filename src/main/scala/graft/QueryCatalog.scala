@@ -901,6 +901,28 @@ object QueryCatalog {
     // running total directly (one window is fine for DuckDB); the
     // engine computes the same prefix sums in the two-phase distributed
     // form, so value equality here proves the decomposition exact.
+    // Sliding-window chunking with overlap — per-row explode only, no
+    // shuffle; the chunk content hash (the vector-store key) is md5 of
+    // the identical joined token slice in both engines.
+    "q_doc_chunks" -> Spec(
+      TextOps.docChunks,
+      Some {
+        val (sz, ov) = (TextOps.ChunkTokens, TextOps.ChunkOverlap)
+        val stride = sz - ov
+        s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                   WHERE len(string_split(text, ' ')) >= 1),
+        c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws,
+                     unnest(range(0, greatest(len(ws) - $ov - 1, 0) + 1, $stride)) AS start_tok,
+                     generate_subscripts(range(0, greatest(len(ws) - $ov - 1, 0) + 1, $stride), 1) - 1 AS chunk_idx
+              FROM d)
+        SELECT doc_id, n_tokens, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(least(start_tok + $sz, n_tokens) AS BIGINT) AS end_tok,
+               md5(array_to_string(ws[start_tok + 1 : start_tok + $sz], ' ')) AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx"""
+      }),
+
     "q_doc_packing" -> Spec(
       TextOps.docPacking,
       Some {

@@ -1121,6 +1121,45 @@ object TextOps {
     Out.sorted(r)(col("lang"))
   }
 
+  /** Chunking geometry of [[docChunks]]: window size and overlap in
+    * tokens; stride = size − overlap.
+    */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+
+  /** Sliding-window document CHUNKING with overlap — the RAG /
+    * long-context preprocessing twin of [[docPacking]] (which concats
+    * and cuts WITHOUT overlap): each document yields windows of
+    * [[ChunkTokens]] tokens starting every stride = size − overlap
+    * tokens, so consecutive chunks share [[ChunkOverlap]] tokens and no
+    * content is orphaned at a boundary. Emits one row per (doc, chunk)
+    * with token offsets and the chunk's content hash (what a vector
+    * store keys on).
+    *
+    * Scale shape: pure per-row arithmetic — an explode over the
+    * per-doc start sequence, no shuffle at all; the chunk hash is md5
+    * of the joined token slice, reproduced verbatim by the oracle.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    val n = size(col("ws"))
+    val starts = sequence(lit(0), greatest(n - ChunkOverlap - 1, lit(0)), lit(stride))
+    val r = docsDistributed(spark, dir)
+      .select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), n.cast(LongType).as("n_tokens"),
+        col("ws"), posexplode(starts).as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        least(col("start_tok") + ChunkTokens, col("n_tokens"))
+          .cast(LongType).as("end_tok"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("start_tok") + 1, lit(ChunkTokens))))
+          .as("chunk_hash"))
+    Out.sorted(r)(col("doc_id"), col("chunk_idx"))
+  }
+
   /** The end-to-end curation funnel — what the whole LLM-data suite is
     * FOR, as one query: raw corpus → quality filter ([[qualityKeep]]) →
     * exact dedup (keep each bag-of-words group's minimum-id survivor) →

@@ -39,4 +39,31 @@ class DocPackingSpec extends AnyFunSuite {
       assert((r.getLong(1) > 1) == r.getBoolean(2), s"row $r")
     }
   }
+
+  test("docChunks: full coverage, exact stride, overlap only between neighbors") {
+    val stride = TextOps.ChunkTokens - TextOps.ChunkOverlap
+    val rows = TextOps.docChunks(spark, SparkT.Sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      // chunk idxs contiguous from 0; starts advance by exactly stride
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_idx") === i, s"doc $doc")
+        assert(r.getAs[Long]("start_tok") === i.toLong * stride, s"doc $doc")
+        val end = r.getAs[Long]("end_tok")
+        assert(end > r.getAs[Long]("start_tok") && end <= n, s"doc $doc chunk $i")
+      }
+      // the last chunk reaches the end of the document: nothing orphaned
+      assert(sorted.last.getAs[Long]("end_tok") === n, s"doc $doc")
+      // consecutive chunks overlap; non-consecutive never do
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") < a.getAs[Long]("end_tok"),
+            s"doc $doc: neighbors must overlap")
+        case _ =>
+      }
+    }
+  }
 }
