@@ -3016,7 +3016,53 @@ object QueryCatalog {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_shared >= ${CorpusOps.MinSharedFp}
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // BM25 "more-like-this": query docs' top TF-IDF keywords probe the
+    // inverted index; Okapi scoring with the Lucene idf, per-term
+    // contributions rounded at 6 dp and decimal-summed, ranks tie-broken
+    // on doc_id — the formula text is kept in IDENTICAL shape on both
+    // engines (never refactor 1.2*(1.0-0.75) into 0.3: the folded IEEE
+    // value differs from the literal).
+    "q_bm25_mlt" -> Spec(
+      CorpusOps.bm25MoreLikeThis,
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          FROM documents),
+        dt AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, token,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, ws, unnest(ws) AS token FROM base)
+          GROUP BY doc_id, len(ws), token),
+        dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY token),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+          FROM (SELECT doc_id, max(dl) AS dl FROM dt GROUP BY doc_id)),
+        kw AS (
+          SELECT doc_id AS q_id, token,
+                 ${rnd("tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))", 6)} AS score,
+                 ${rnd(s"ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 6)} AS idf
+          FROM dt JOIN dft USING (token), stats
+          WHERE doc_id < ${CorpusOps.Bm25Queries}),
+        qt AS (
+          SELECT q_id, token, idf
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, token) AS kw_rank FROM kw)
+          WHERE kw_rank <= ${TextOps.KeywordsPerDoc}),
+        sc AS (
+          SELECT q_id, doc_id,
+                 CAST(${rnd(s"idf * (CAST(tf AS DOUBLE) * (${CorpusOps.Bm25K1} + 1.0)) / (CAST(tf AS DOUBLE) + ${CorpusOps.Bm25K1} * (1.0 - ${CorpusOps.Bm25B}) + ${CorpusOps.Bm25K1} * ${CorpusOps.Bm25B} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))", 6)} AS DECIMAL(20,6)) AS c
+          FROM dt JOIN qt USING (token), stats
+          WHERE doc_id <> q_id),
+        agg AS (
+          SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms, sum(c) AS s
+          FROM sc GROUP BY q_id, doc_id),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY s DESC, doc_id) AS INTEGER) AS rank FROM agg)
+        SELECT q_id, rank, doc_id, n_terms, CAST(s AS DOUBLE) AS bm25
+        FROM rk WHERE rank <= ${CorpusOps.Bm25TopK}
+        ORDER BY q_id, rank"""))
   )
 
   // The ordered-funnel oracle (running conditional minima over the

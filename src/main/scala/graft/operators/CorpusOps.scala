@@ -531,4 +531,101 @@ object CorpusOps {
           least(col("na"), col("nb")).cast("double"), 6).as("containment"))
     Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
+
+  // ---------------------------------------------------------------- //
+  // BM25 retrieval (sparse lexical top-k over the inverted index)
+  // ---------------------------------------------------------------- //
+
+  /** Documents whose TF-IDF keywords seed a retrieval query. */
+  val Bm25Queries = 10
+
+  /** Results returned per query. */
+  val Bm25TopK = 5
+
+  /** Okapi BM25 term-saturation / length-normalization constants (the
+    * Robertson–Walker defaults every IR stack ships).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 "more-like-this" retrieval: each of the first [[Bm25Queries]]
+    * documents contributes its [[TextOps.KeywordsPerDoc]] top TF-IDF
+    * keywords as a bag-of-terms query; every OTHER document is scored
+    * with Okapi BM25 (Lucene's +1-inside-the-log idf, so scores stay
+    * positive for df > n/2) and the [[Bm25TopK]] best per query are
+    * returned with ranks. This is the sparse half of a retrieval stack
+    * — decontamination lookups, hard-negative mining, eval retrieval —
+    * expressed as one declarative plan over the same (doc, token, tf)
+    * frame the keyword/surprisal operators share.
+    *
+    * Scale shape: the query-term frame is Bm25Queries×KeywordsPerDoc
+    * rows — BROADCAST, so the posting-list "inverted index probe" is a
+    * broadcast semi-join that prunes the corpus to matching postings
+    * before anything shuffles; per-doc length rides along from the
+    * explode (no separate dl join), and the only shuffles are the
+    * map-side-combinable tf/df groupBys plus one (q_id, doc_id)
+    * aggregation over matched postings. No all-pairs scoring anywhere.
+    *
+    * Determinism: idf and each per-term contribution are rounded to
+    * 6 dp and summed as exact decimals (the [[TextOps.surprisalScores]]
+    * recipe); avgdl is one IEEE division of two exact integers; ranks
+    * break ties on doc_id bytes. The oracle mirrors the identical
+    * expression shapes, never refactored constants.
+    */
+  def bm25MoreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    bm25MoreLikeThisOn(docsDistributed(spark, dir))
+
+  /** Testable core of [[bm25MoreLikeThis]] over any (doc_id, text)
+    * frame — lets a spec plant a corpus where the expected ranking is
+    * computable by hand (term saturation, length normalization).
+    */
+  private[graft] def bm25MoreLikeThisOn(docsDf: DataFrame): DataFrame = {
+    val nz = filter(toks, t => t =!= "")
+    // dl carried through the explode: at 100 TB a (doc -> length) join
+    // would shuffle the corpus a second time for a per-row scalar.
+    val dt = Out.eager(docsDf
+      .select(col("doc_id"), size(nz).cast("long").as("dl"),
+        explode(nz).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+    val dft = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = Out.eager(dt.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    // Query terms: the q_doc_keywords ranking restricted to the query
+    // docs, idf attached here so the probe join carries everything.
+    val kwScore = F.roundHalfUp(
+      col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+    val idf = F.roundHalfUp(
+      log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    val qterms = dt.filter(col("doc_id") < Bm25Queries)
+      .join(dft, Seq("token")).crossJoin(broadcast(stats))
+      .select(col("doc_id").as("q_id"), col("token"),
+        kwScore.as("score"), idf.as("idf"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= TextOps.KeywordsPerDoc)
+      .select(col("q_id"), col("token"), col("idf"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val contrib = F.roundHalfUp(
+      col("idf") * (col("tf").cast("double") * (lit(Bm25K1) + lit(1.0))) /
+        (col("tf").cast("double") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)) +
+          lit(Bm25K1) * lit(Bm25B) * (col("dl").cast("double") / avgdl)), 6)
+      .cast("decimal(20,6)")
+    val scored = dt.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(contrib).as("bm25"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val r = scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= Bm25TopK)
+      // rank on the exact decimal; emit double (6-dp sums are far below
+      // 2^53, so the cast is lossless and duck-identical)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("bm25").cast("double").as("bm25"))
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
 }
