@@ -3027,7 +3027,52 @@ object QueryCatalog {
     "q_bm25_mlt" -> Spec(
       CorpusOps.bm25MoreLikeThis,
       Some(s"""
-        WITH base AS (
+        WITH $bm25Ctes
+        SELECT q_id, rank, doc_id, n_terms, CAST(s AS DOUBLE) AS bm25
+        FROM rk WHERE rank <= ${CorpusOps.Bm25TopK}
+        ORDER BY q_id, rank""")),
+
+    // Hybrid dense+sparse retrieval: BM25 ranks fused with brute-cosine
+    // dense ranks by reciprocal-rank fusion (k=60). Each channel's
+    // contribution is one 6-dp-rounded double summed as exact decimals;
+    // the full outer join keeps single-channel hits.
+    "q_hybrid_rrf" -> Spec(
+      CorpusOps.hybridRrf,
+      Some(s"""
+        WITH $bm25Ctes,
+        dq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < ${VectorOps.NQueries}),
+        ds AS (SELECT q_id, e.vec_id AS neighbor_id,
+                      ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM dq, embeddings e WHERE e.vec_id <> q_id),
+        dr AS (SELECT q_id, neighbor_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS drank
+               FROM ds),
+        dtop AS (SELECT q_id, neighbor_id AS id, CAST(drank AS INTEGER) AS dense_rank
+                 FROM dr WHERE drank <= ${VectorOps.TopK}),
+        stop AS (SELECT q_id, doc_id AS id, rank AS sparse_rank FROM rk
+                 WHERE rank <= ${CorpusOps.Bm25TopK} AND q_id < ${VectorOps.NQueries}),
+        f AS (SELECT coalesce(d.q_id, st.q_id) AS q_id, coalesce(d.id, st.id) AS id,
+                     d.dense_rank, st.sparse_rank,
+                     (CASE WHEN d.dense_rank IS NOT NULL
+                           THEN CAST(${rnd(s"1.0 / (${CorpusOps.RrfK}.0 + CAST(d.dense_rank AS DOUBLE))", 6)} AS DECIMAL(20,6))
+                           ELSE CAST(0 AS DECIMAL(20,6)) END +
+                      CASE WHEN st.sparse_rank IS NOT NULL
+                           THEN CAST(${rnd(s"1.0 / (${CorpusOps.RrfK}.0 + CAST(st.sparse_rank AS DOUBLE))", 6)} AS DECIMAL(20,6))
+                           ELSE CAST(0 AS DECIMAL(20,6)) END) AS rrf
+              FROM dtop d FULL JOIN stop st ON d.q_id = st.q_id AND d.id = st.id),
+        h AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, id) AS INTEGER) AS rank FROM f)
+        SELECT q_id, rank, id, dense_rank, sparse_rank, CAST(rrf AS DOUBLE) AS rrf
+        FROM h WHERE rank <= ${CorpusOps.HybridTopK}
+        ORDER BY q_id, rank"""))
+  )
+
+  /** BM25 oracle CTEs (base → … → rk), shared VERBATIM by q_bm25_mlt
+    * and the hybrid-fusion row so the sparse channel cannot drift.
+    */
+  private lazy val bm25Ctes: String = s"""base AS (
           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
           FROM documents),
         dt AS (
@@ -3059,11 +3104,7 @@ object QueryCatalog {
           SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms, sum(c) AS s
           FROM sc GROUP BY q_id, doc_id),
         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                 ORDER BY s DESC, doc_id) AS INTEGER) AS rank FROM agg)
-        SELECT q_id, rank, doc_id, n_terms, CAST(s AS DOUBLE) AS bm25
-        FROM rk WHERE rank <= ${CorpusOps.Bm25TopK}
-        ORDER BY q_id, rank"""))
-  )
+                 ORDER BY s DESC, doc_id) AS INTEGER) AS rank FROM agg)"""
 
   // The ordered-funnel oracle (running conditional minima over the
   // (ts, event_id) per-user order) — shared VERBATIM by the batch row

@@ -628,4 +628,53 @@ object CorpusOps {
         col("bm25").cast("double").as("bm25"))
     Out.sorted(r)(col("q_id"), col("rank"))
   }
+
+  /** Reciprocal-rank-fusion constant (the standard k=60 of the original
+    * Cormack/Clarke/Buettcher formulation).
+    */
+  val RrfK = 60
+
+  /** Results returned per query by [[hybridRrf]]. */
+  val HybridTopK = 5
+
+  /** Hybrid dense+sparse retrieval: the [[bm25MoreLikeThis]] lexical
+    * ranks and the [[VectorOps.annBruteForce]] cosine ranks for the
+    * shared query ids (< [[VectorOps.NQueries]], where doc_id and
+    * vec_id name the same item) fused by reciprocal-rank fusion —
+    * score = Σ_channels 1/(k + rank). RRF is the standard zero-tuning
+    * fusion for heterogeneous retrievers (no score normalization
+    * across channels, only ranks), which is exactly what makes it
+    * oracle-friendly: each contribution is one 6-dp-rounded rational
+    * summed as exact decimals.
+    *
+    * Scale shape: both inputs are already top-k frames (queries × k
+    * rows — broadcast-sized regardless of corpus scale); the fusion
+    * itself is a full outer join plus a per-query window on a frame
+    * whose size is bounded by the channel count, not the corpus.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val dense = VectorOps.annBruteForce(spark, dir)
+      .select(col("q_id"), col("neighbor_id").as("id"),
+        col("rank").as("dense_rank"))
+    val sparse = bm25MoreLikeThis(spark, dir)
+      .filter(col("q_id") < VectorOps.NQueries)
+      .select(col("q_id"), col("doc_id").as("id"),
+        col("rank").as("sparse_rank"))
+    def contrib(r: Column): Column =
+      when(r.isNotNull,
+        F.roundHalfUp(lit(1.0) / (lit(RrfK.toDouble) + r.cast("double")), 6)
+          .cast("decimal(20,6)"))
+      .otherwise(lit(0).cast("decimal(20,6)"))
+    val fused = dense.join(sparse, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"), col("dense_rank"), col("sparse_rank"),
+        (contrib(col("dense_rank")) + contrib(col("sparse_rank"))).as("rrf"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    val r = fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("q_id"), col("rank"), col("id"),
+        col("dense_rank"), col("sparse_rank"),
+        col("rrf").cast("double").as("rrf"))
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
 }
