@@ -786,6 +786,41 @@ object QueryCatalog {
                ${rnd("CAST(sumdec AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS mean_surprisal
         FROM p ORDER BY doc_id""")),
 
+    // Bigram LM one order up: bigrams from one array zip per doc (both
+    // engines build "w1 w2" strings the same way), add-one smoothing,
+    // decimal-exact weighted sum — the surprisal recipe on sequences.
+    "q_bigram_lm" -> Spec(
+      TextOps.bigramSurprisal,
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          FROM documents),
+        bgl AS (
+          SELECT doc_id,
+                 unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                        p -> p[1] || ' ' || p[2])) AS bigram
+          FROM base),
+        dbt AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS dcnt
+                FROM bgl GROUP BY doc_id, bigram),
+        cb AS (SELECT bigram, CAST(sum(dcnt) AS BIGINT) AS cnt
+               FROM dbt GROUP BY bigram),
+        ctx AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                       CAST(sum(cnt) AS BIGINT) AS ctx
+                FROM cb GROUP BY w1),
+        voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+                FROM (SELECT unnest(ws) AS t FROM base)),
+        sc AS (
+          SELECT doc_id, dcnt,
+                 CAST(${rnd("log2(CAST(ctx + v AS DOUBLE) / CAST(cnt + 1 AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS s
+          FROM dbt JOIN cb USING (bigram)
+          JOIN ctx ON ctx.w1 = split_part(bigram, ' ', 1), voc),
+        agg AS (SELECT doc_id, CAST(sum(dcnt) AS BIGINT) AS n_bigrams,
+                       sum(dcnt * s) AS sumdec
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               ${rnd("CAST(sumdec AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 4)} AS mean_bigram_surprisal
+        FROM agg ORDER BY doc_id""")),
+
     // Scores rounded BEFORE ranking + token-byte tie-break → the top-k
     // membership itself is deterministic, not just the score values.
     "q_doc_keywords" -> Spec(

@@ -369,6 +369,57 @@ object TextOps {
     Out.sorted(r)(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity scoring (the CCNet recipe, one order up from
+    * [[surprisalScores]]): train an add-one-smoothed bigram language
+    * model over the corpus IN-PLAN — p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)
+    * — and score every document with ≥1 bigram by mean −log₂ p of its
+    * bigrams. High mean = improbable word SEQUENCES (not just rare
+    * words): the signal CCNet's KenLM filter thresholds on.
+    *
+    * Scale shape: bigrams come from one array zip per document (no
+    * positional self-join of the exploded corpus), then everything is
+    * the surprisal recipe one order up — a map-side-combinable
+    * (doc, bigram) count, model frames of |bigram-vocab| and
+    * |unigram-vocab| rows, and a types-not-occurrences scoring join.
+    * Per-bigram surprisal is rounded at 6 dp and fixed to DECIMAL so
+    * the per-doc weighted sum is exact and shuffle-order-immune.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val nz = filter(toks, t => t =!= "")
+    // greatest(…, 0): ANSI slice() throws on negative length, which an
+    // empty/whitespace-only doc would otherwise produce
+    val n1 = greatest(size(nz) - 1, lit(0))
+    val bg = zip_with(
+      slice(nz, lit(1), n1), slice(nz, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val dbt = Out.eager(docsDistributed(spark, dir)
+      .select(col("doc_id"), explode(bg).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("dcnt")))
+    val cb = dbt.groupBy("bigram").agg(sum(col("dcnt")).as("cnt"))
+    val ctx = cb.groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
+      .agg(sum(col("cnt")).as("ctx"))
+    val voc = Out.eager(docsDistributed(spark, dir)
+      .select(explode(nz).as("t"))
+      .agg(count_distinct(col("t")).as("v")))
+    val s = F.roundHalfUp(
+      log2((col("ctx") + col("v")).cast("double") /
+        (col("cnt") + lit(1L)).cast("double")), 6)
+      .cast("decimal(20,6)")
+    val scored = dbt
+      .join(cb, Seq("bigram"))
+      .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .groupBy("doc_id").agg(
+        sum(col("dcnt")).as("n_bigrams"),
+        sum(col("dcnt") * s).as("sumdec"))
+    val r = scored.select(col("doc_id"), col("n_bigrams"),
+      F.roundHalfUp(
+        col("sumdec").cast("double") / col("n_bigrams").cast("double"), 4)
+        .as("mean_bigram_surprisal"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
   /** Keywords reported per document by [[docKeywords]]. */
   val KeywordsPerDoc = 3
 
