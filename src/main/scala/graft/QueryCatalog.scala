@@ -2988,6 +2988,53 @@ object QueryCatalog {
                p IS NOT NULL AS is_observed
         FROM j ORDER BY sku, day""")),
 
+    // Rolling z-score: the oracle mirrors the exact-decimal rolling sums
+    // and the rounded mean/std derivations (q_seller_stats shapes) over
+    // the same trailing frame; the z division runs on the ROUNDED mean
+    // and std in both engines, so one IEEE division matches bit-exactly.
+    "q_price_anomalies" -> Spec(
+      Relational.priceAnomalies,
+      Some {
+        val look = Relational.AnomalyLookback
+        val minObs = Relational.AnomalyMinObs
+        val z = Relational.AnomalyZ
+        s"""
+        WITH daily AS (
+          SELECT l_partkey AS sku, l_shipdate AS d, min(l_extendedprice) AS p
+          FROM lineitem GROUP BY sku, d),
+        w AS (
+          SELECT sku, d, p,
+                 count(p) OVER h AS n_prior,
+                 sum(CAST(p AS $D)) OVER h AS sp,
+                 sum(CAST(p * p AS $D)) OVER h AS sp2
+          FROM daily
+          WINDOW h AS (PARTITION BY sku ORDER BY d
+                       ROWS BETWEEN $look PRECEDING AND 1 PRECEDING)),
+        s AS (
+          SELECT sku, d, p, CAST(n_prior AS BIGINT) AS n_prior,
+                 CASE WHEN n_prior >= $minObs
+                      THEN ${rnd("CAST(sp AS DOUBLE) / CAST(n_prior AS DOUBLE)", 6)}
+                      END AS mean_prior,
+                 CASE WHEN n_prior >= $minObs
+                      THEN ${rnd("""sqrt(greatest(0.0,
+                        CAST(sp2 AS DOUBLE) / CAST(n_prior AS DOUBLE)
+                        - (CAST(sp AS DOUBLE) / CAST(n_prior AS DOUBLE))
+                          * (CAST(sp AS DOUBLE) / CAST(n_prior AS DOUBLE))))""", 6)}
+                      END AS std_prior
+          FROM w),
+        t AS (
+          SELECT sku, d, p, n_prior, mean_prior, std_prior,
+                 CASE WHEN n_prior >= $minObs AND std_prior > 0.0
+                      THEN ${rnd("(p - mean_prior) / std_prior", 6)}
+                      END AS z_score
+          FROM s)
+        SELECT sku, strftime(d, '%Y-%m-%d') AS day, p AS price, n_prior,
+               mean_prior, z_score,
+               coalesce(n_prior >= $minObs AND std_prior > 0.0
+                        AND abs(z_score) >= $z, false) AS is_anomaly
+        FROM t ORDER BY sku, day"""
+      }),
+
     // Budget selection: the oracle replays the global running sum in
     // one window (fine for DuckDB); the engine computes the same
     // prefix sums in the two-phase bucketed form, so value equality

@@ -690,4 +690,57 @@ object Relational {
         col("price"), col("p").isNotNull.as("is_observed"))
     Out.sorted(r)(col("sku"), col("day"))
   }
+
+  /** Rolling z-score anomaly detection constants: each (sku, day) price
+    * is scored against the trailing [[AnomalyLookback]] observed days of
+    * the same sku (current day excluded — the score must not see the
+    * value it judges), requires [[AnomalyMinObs]] priors to score at
+    * all, flags |z| ≥ [[AnomalyZ]]. */
+  private[graft] val AnomalyLookback = 14
+  private[graft] val AnomalyMinObs = 8
+  private[graft] val AnomalyZ = 2.5
+
+  /** Time-series anomaly detection — trailing-window z-score over the
+    * per-sku daily price series (the monitoring twin of the reference's
+    * price-stability score, server/scrape.ts:749-754: where stability
+    * summarizes dispersion, this flags the individual days that break
+    * it). A day's min price is scored against the mean/stddev of its
+    * sku's previous ≤14 observed days; days with fewer than 8 priors or
+    * zero dispersion get a null score and are never flagged.
+    *
+    * Scale shape: ONE exchange end to end — the explicit repartition on
+    * sku satisfies both the (sku, day) grouping's clustering requirement
+    * (subset key) and the window's, so the daily rollup and the trailing
+    * frame ride the same shuffle. The frame is rows-bounded (≤14), so
+    * window state is O(1) per row; exact decimal sums make the rolling
+    * mean/stddev shuffle-order-immune (same derivations as
+    * [[sellerStats]]).
+    */
+  def priceAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = li(spark, dir)
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey").as("sku"), col("l_shipdate").as("d"))
+      .agg(min(col("l_extendedprice")).as("p"))
+    val hist = Window.partitionBy("sku").orderBy("d")
+      .rowsBetween(-AnomalyLookback, -1)
+    val scoreable = col("n_prior") >= AnomalyMinObs
+    val r = daily
+      .withColumn("n_prior", count(col("p")).over(hist))
+      .withColumn("sp", sum(F.dec(col("p"))).over(hist))
+      .withColumn("sp2", sum(F.dec(col("p") * col("p"))).over(hist))
+      .withColumn("mean_prior",
+        when(scoreable, F.avgFromSums(col("sp"), col("n_prior"))))
+      .withColumn("std_prior",
+        when(scoreable,
+          F.stddevPopFromSums(col("sp"), col("sp2"), col("n_prior"))))
+      .withColumn("z_score",
+        when(scoreable && col("std_prior") > 0.0,
+          F.roundHalfUp((col("p") - col("mean_prior")) / col("std_prior"), 6)))
+      .withColumn("is_anomaly",
+        scoreable && col("std_prior") > 0.0 && abs(col("z_score")) >= AnomalyZ)
+      .select(col("sku"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("p").as("price"), col("n_prior"), col("mean_prior"),
+        col("z_score"), col("is_anomaly"))
+    Out.sorted(r)(col("sku"), col("day"))
+  }
 }
