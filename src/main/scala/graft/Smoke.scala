@@ -14,6 +14,9 @@ object Smoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (isAdjustedToUTC=false) must read as
+      // TIMESTAMP_LTZ raw-micros (the DuckDB oracle's epoch_us view), not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,9 @@ object SparkT {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps (isAdjustedToUTC=false) must read as
+      // TIMESTAMP_LTZ raw-micros (the DuckDB oracle's epoch_us view), not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
