@@ -3035,6 +3035,127 @@ object QueryCatalog {
         FROM t ORDER BY sku, day"""
       }),
 
+    // CUBE: all four grouping combinations in one pass; gid via the
+    // SQL-standard GROUPING() bit order both engines share.
+    "q_sales_cube" -> Spec(
+      Relational.salesCube,
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               ${sumDec("o_totalprice")} AS sum_total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority""")),
+
+    // Long→wide pivot with a FIXED value list (no discovery scan):
+    // the oracle is the conditional-aggregation expansion the pivot
+    // compiles to.
+    "q_event_pivot" -> Spec(
+      Relational.eventPivot,
+      Some {
+        val cols = Relational.EventTypes
+          .map(t => s"count(*) FILTER (event_type = '$t') AS n_$t")
+          .mkString(",\n               ")
+        s"""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               $cols
+        FROM events GROUP BY 1 ORDER BY day"""
+      }),
+
+    // Wide→long unpivot of the same matrix — explicit zero cells
+    // included, which a plain group-by can never emit.
+    "q_event_unpivot" -> Spec(
+      Relational.eventUnpivot,
+      Some {
+        val cols = Relational.EventTypes
+          .map(t => s"count(*) FILTER (event_type = '$t') AS n_$t")
+          .mkString(",\n                 ")
+        val arms = Relational.EventTypes
+          .map(t => s"SELECT day, '$t' AS event_type, n_$t AS n_events FROM wide")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH wide AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 $cols
+          FROM events GROUP BY 1)
+        $arms
+        ORDER BY day, event_type"""
+      }),
+
+    // Binned interval join: the oracle runs the plain θ range join
+    // (fine in DuckDB at sf0.01); the engine runs the bin-bucketed
+    // equi-join + residual filter — value equality proves the binning
+    // decomposition exact.
+    "q_range_join_binned" -> Spec(
+      Relational.rangeJoinBinned,
+      Some(s"""
+        WITH p AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s, value AS cv
+          FROM events WHERE event_type = 'click'),
+        m AS (
+          SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_prior_clicks,
+                 ${sumDec("cv")} AS sum_click_value
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.s < p.t AND c.s >= p.t - ${Relational.RangeJoinWindowUs}
+          GROUP BY 1)
+        SELECT p.event_id, p.user_id, p.value AS purchase_value,
+               coalesce(n_prior_clicks, 0) AS n_prior_clicks,
+               coalesce(sum_click_value, 0.0) AS sum_click_value
+        FROM p LEFT JOIN m USING (event_id) ORDER BY event_id""")),
+
+    // DSIR importance weights: hashed-bigram models replayed bucket
+    // for bucket (md5 feature hash, add-one smoothing); per-bucket
+    // log-ratios fixed to DECIMAL(20,6) before the per-doc weighted
+    // sum, selection predicate on the exact decimal.
+    "q_dsir_weights" -> Spec(
+      CorpusOps.dsirWeights,
+      Some {
+        val b = CorpusOps.DsirBuckets
+        val tgtPred = CorpusOps.DsirTargetSources
+          .map(s => s"'$s'").mkString("source IN (", ", ", ")")
+        s"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          FROM documents),
+        bgl AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                        p -> p[1] || ' ' || p[2])) AS bigram
+          FROM base),
+        pb AS (
+          SELECT doc_id, source,
+                 CAST('0x' || substr(md5(bigram), 1, 15) AS BIGINT) % $b AS bucket,
+                 CAST(count(*) AS BIGINT) AS dcnt
+          FROM bgl GROUP BY 1, 2, 3),
+        raw AS (SELECT bucket, CAST(sum(dcnt) AS BIGINT) AS raw_cnt
+                FROM pb GROUP BY 1),
+        tgt AS (SELECT bucket, CAST(sum(dcnt) AS BIGINT) AS tgt_cnt
+                FROM pb WHERE $tgtPred GROUP BY 1),
+        tot AS (SELECT CAST(sum(dcnt) AS BIGINT) AS rawn,
+                       CAST(coalesce(sum(dcnt) FILTER ($tgtPred), 0) AS BIGINT) AS tgtn
+                FROM pb),
+        model AS (
+          SELECT bucket,
+                 CAST(${rnd(
+                   s"""log2(CAST(coalesce(tgt_cnt, 0) + 1 AS DOUBLE)
+                           / CAST(tgtn + $b AS DOUBLE))
+                      - log2(CAST(raw_cnt + 1 AS DOUBLE)
+                           / CAST(rawn + $b AS DOUBLE))""", 6)} AS DECIMAL(20,6)) AS lr
+          FROM raw LEFT JOIN tgt USING (bucket), tot),
+        agg AS (
+          SELECT doc_id, source, CAST(sum(dcnt) AS BIGINT) AS n_bigrams,
+                 sum(dcnt * lr) AS wdec
+          FROM pb JOIN model USING (bucket) GROUP BY 1, 2)
+        SELECT doc_id, $tgtPred AS is_target, n_bigrams,
+               ${rnd("CAST(wdec AS DOUBLE)", 4)} AS dsir_weight,
+               wdec > 0 AS more_target_like
+        FROM agg ORDER BY doc_id"""
+      }),
+
     // Budget selection: the oracle replays the global running sum in
     // one window (fine for DuckDB); the engine computes the same
     // prefix sums in the two-phase bucketed form, so value equality

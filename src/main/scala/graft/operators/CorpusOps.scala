@@ -677,4 +677,79 @@ object CorpusOps {
         col("rrf").cast("double").as("rrf"))
     Out.sorted(r)(col("q_id"), col("rank"))
   }
+
+  // ---------------------------------------------------------------- //
+  // DSIR — data selection via importance resampling
+  // ---------------------------------------------------------------- //
+
+  /** Hashed-feature space size for [[dsirWeights]]. 2^9 buckets keeps
+    * the bucket model broadcast-trivial; real deployments use 10^4–10^5
+    * buckets — the plan is identical, only this literal changes. */
+  val DsirBuckets = 512L
+
+  /** The "target domain" standing in for DSIR's curated corpus
+    * (Wikipedia+books in the paper): a fixed source whitelist. */
+  val DsirTargetSources: Seq[String] = (1 to 5).map(i => s"src$i")
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two bag-of-
+    * hashed-bigrams unigram models — one on the target domain, one on
+    * the full raw corpus — and score every document by
+    * Σ_features log₂ p̂_target(f) − log₂ p̂_raw(f) (add-one smoothed).
+    * Positive weight = the document looks more like the curated domain
+    * than like the raw pool; DSIR then samples the raw corpus with
+    * probability ∝ exp of this weight. The threshold form emitted here
+    * (`more_target_like`) is the scale-correct selection: a per-row
+    * predicate, not a global rank.
+    *
+    * Scale shape: ONE aggregation pass over the exploded bigrams
+    * builds the per-(doc, bucket) counts; both models and their totals
+    * derive from that frame (no second corpus scan); the bucket model
+    * is [[DsirBuckets]] rows — broadcast — so scoring is a map-side
+    * join + one partial-aggregated groupBy on doc_id. Per-bucket
+    * log-ratios are rounded at 6 dp and fixed to DECIMAL so the
+    * per-doc weighted sum is exact and shuffle-order-immune; the
+    * selection predicate compares the EXACT decimal against zero.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val nz = filter(toks, t => t =!= "")
+    val n1 = greatest(size(nz) - 1, lit(0))
+    val bg = zip_with(
+      slice(nz, lit(1), n1), slice(nz, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val bucket = conv(substring(md5(col("bigram")), 1, 15), 16, 10)
+      .cast(LongType) % DsirBuckets
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    val pb = Out.eager(docsDistributed(spark, dir)
+      .select(col("doc_id"), col("source"), explode(bg).as("bigram"))
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("dcnt")))
+    val raw = pb.groupBy("bucket").agg(sum(col("dcnt")).as("raw_cnt"))
+    val tgt = pb.filter(isTarget)
+      .groupBy("bucket").agg(sum(col("dcnt")).as("tgt_cnt"))
+    val totals = pb.agg(
+      sum(col("dcnt")).as("rawn"),
+      coalesce(sum(when(isTarget, col("dcnt"))), lit(0L)).as("tgtn"))
+    val lr = F.roundHalfUp(
+      log2((coalesce(col("tgt_cnt"), lit(0L)) + 1L).cast("double") /
+        (col("tgtn") + DsirBuckets).cast("double")) -
+      log2((col("raw_cnt") + 1L).cast("double") /
+        (col("rawn") + DsirBuckets).cast("double")), 6)
+      .cast("decimal(20,6)")
+    val model = raw
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), lr.as("lr"))
+    val agg = pb
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id", "source").agg(
+        sum(col("dcnt")).as("n_bigrams"),
+        sum(col("dcnt") * col("lr")).as("wdec"))
+    val r = agg.select(col("doc_id"), isTarget.as("is_target"),
+      col("n_bigrams"),
+      F.roundHalfUp(col("wdec").cast("double"), 4).as("dsir_weight"),
+      (col("wdec") > lit(0).cast("decimal(20,6)")).as("more_target_like"))
+    Out.sorted(r)(col("doc_id"))
+  }
 }

@@ -743,4 +743,116 @@ object Relational {
         col("z_score"), col("is_anomaly"))
     Out.sorted(r)(col("sku"), col("day"))
   }
+
+  /** OLAP cube — all four grouping combinations of
+    * (orderstatus, orderpriority) in ONE pass. Like [[salesRollup]],
+    * Spark expands the grouping sets BEFORE the aggregate, so the cube
+    * is a single map-side-combinable HashAggregate + one shuffle (4×
+    * the pre-combine rows, not 4 jobs); `grouping_id()` uses the
+    * SQL-standard bit order (first column = MSB) both engines share.
+    */
+  def salesCube(spark: SparkSession, dir: String): DataFrame = {
+    val r = ord(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(F.dec(col("o_totalprice"))).cast("double").as("sum_total"))
+    Out.sorted(r)(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Pivot value list: fixed in code, NOT discovered with a distinct
+    * scan. At 100 TB `pivot(col)` without explicit values costs an
+    * extra full pass (and a driver collect) just to learn the column
+    * set; the event taxonomy is part of the schema contract, so it
+    * belongs in code. */
+  private[graft] val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event-type matrix (shared by [[eventPivot]] and
+    * [[eventUnpivot]]): one row per day, one count column per event
+    * type. With the explicit value list the pivot compiles to a single
+    * HashAggregate of `count(CASE WHEN type = v)` columns — one shuffle
+    * on day, map-side combinable, no second pass. Absent (day, type)
+    * cells surface as null from pivot and are pinned to 0 here. */
+  private def eventDailyWide(spark: SparkSession, dir: String): DataFrame = {
+    val p = ev(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day") +:
+        EventTypes.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Long→wide pivot: the daily event matrix (P-surface counterpart of
+    * the conditional-count aggregations — same plan shape, but the
+    * categories become SCHEMA, which is what a dashboard or feature
+    * store consumes). */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(eventDailyWide(spark, dir))(col("day"))
+
+  /** Wide→long unpivot (melt) of the same matrix: every (day, type)
+    * cell becomes a row — INCLUDING explicit zero cells, which a plain
+    * group-by can never emit (absent combinations simply don't exist in
+    * the input). Spark's `unpivot` is a zero-shuffle map-side expansion
+    * of the wide frame; the dense long form is what regularized
+    * time-series consumers (forecasters, anomaly scorers) need.
+    */
+  def eventUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = eventDailyWide(spark, dir)
+    val long = wide.unpivot(
+      Array(col("day")),
+      EventTypes.map(t => col(s"n_$t")).toArray,
+      "event_type", "n_events")
+    val r = long.select(col("day"),
+      regexp_replace(col("event_type"), "^n_", "").as("event_type"),
+      col("n_events"))
+    Out.sorted(r)(col("day"), col("event_type"))
+  }
+
+  /** Trailing window of the binned interval join, in microseconds
+    * (6 h): a purchase at t matches clicks in [t − W, t). */
+  private[graft] val RangeJoinWindowUs = 6L * 3600L * 1000000L
+
+  /** Batch interval join via time-bin bucketing — for every purchase,
+    * the count and value sum of the same user's clicks in the trailing
+    * [[RangeJoinWindowUs]] window. The naive form is a θ-join
+    * (`p.user = c.user AND c.s BETWEEN p.t − W AND p.t`), which Spark
+    * can only execute as a broadcast nested loop — quadratic per user
+    * and a non-starter at 100 TB. Binning makes it an EQUI-join: bin
+    * width = the window length W, each click is replicated into its own
+    * bin and the next (2× fanout, constant), each purchase probes
+    * exactly its own bin — every candidate pair lands in one
+    * sort-merge/hash join on (user, bin), then an exact residual filter
+    * keeps the true window. One bounded-fanout shuffle instead of a
+    * per-user cross product; AQE's skew split handles a hot (user, bin).
+    * (The streaming twin is [[graft.streaming.StreamJoin]]; this is the
+    * batch plan a backfill would run.)
+    */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val w = RangeJoinWindowUs
+    val e = ev(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        col("value").as("cv"))
+      // a click serves purchases in its own bin and the next one only:
+      // |t − s| < W bounds the bin distance to ≤ 1
+      .withColumn("bin", explode(array(expr(s"s DIV $w"), expr(s"s DIV $w") + 1L)))
+    val matched = p.withColumn("bin", expr(s"t DIV $w"))
+      .join(c, Seq("user_id", "bin"))
+      .filter(col("s") < col("t") && col("s") >= col("t") - w)
+      .groupBy("event_id").agg(
+        count(lit(1)).as("n_prior_clicks"),
+        sum(F.dec(col("cv"))).cast("double").as("sum_click_value"))
+    val r = p.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        col("value").as("purchase_value"),
+        coalesce(col("n_prior_clicks"), lit(0L)).as("n_prior_clicks"),
+        coalesce(col("sum_click_value"), lit(0.0)).as("sum_click_value"))
+    Out.sorted(r)(col("event_id"))
+  }
 }
