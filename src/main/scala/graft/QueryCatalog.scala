@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Html
-import graft.operators.{CorpusOps, Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, Sketches, TextOps, VectorOps}
+import graft.operators.{Affinity, CorpusOps, Fleet, Ingestion, Multimodal, Parsing, Relational, SellerMerge, Sketches, TextOps, VectorOps}
 
 /** Registry of every driver-checkable query: name → Spark builder +
   * (when SQL-expressible) the ANSI-SQL oracle that DuckDB runs over the
@@ -3154,6 +3154,63 @@ object QueryCatalog {
                ${rnd("CAST(wdec AS DOUBLE)", 4)} AS dsir_weight,
                wdec > 0 AS more_target_like
         FROM agg ORDER BY doc_id"""
+      }),
+
+    // Market-basket lift: exact co-occurrence counts from the bounded
+    // basket self-join; the one derived double is a single IEEE
+    // multiply-divide chain.
+    "q_basket_lift" -> Spec(
+      Affinity.basketLift,
+      Some(s"""
+        WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+        ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM it GROUP BY 1),
+        pc AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                      CAST(count(*) AS BIGINT) AS n_pair
+               FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= ${Affinity.BasketMinSupport})
+        SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+               ${rnd("CAST(n_pair AS DOUBLE) * n_orders / (ia.n_item * ib.n_item)", 6)} AS lift
+        FROM pc JOIN ic ia ON part_a = ia.pk JOIN ic ib ON part_b = ib.pk, n
+        ORDER BY part_a, part_b""")),
+
+    // PageRank, unrolled: both engines run the SAME fixed iteration
+    // chain with per-edge contributions rounded at 1e-10 and fixed to
+    // DECIMAL before summing — an iterative fixpoint under the exact-
+    // decimal recipe. Literals are printed from the Scala doubles so
+    // the bits match.
+    "q_item_pagerank" -> Spec(
+      Affinity.itemPagerank,
+      Some {
+        val d = Affinity.PrDamping
+        val iterCtes = (1 to Affinity.PrIters).map { k =>
+          val prev = s"r${k - 1}"
+          s"""c$k AS (
+          SELECT e.dst AS node,
+                 sum(CAST(${rnd(s"$d * CAST(r AS DOUBLE) / CAST(deg AS DOUBLE)", 10)} AS DECIMAL(20,10))) AS s
+          FROM e JOIN $prev ON e.src = $prev.node GROUP BY 1),
+        r$k AS (
+          SELECT nodes.node, nodes.deg, nodes.nn,
+                 CAST(${rnd(s"${1.0 - d} / CAST(nn AS DOUBLE)", 10)} AS DECIMAL(20,10))
+                   + coalesce(s, CAST(0 AS DECIMAL(20,10))) AS r
+          FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        pc AS (SELECT a.pk AS part_a, b.pk AS part_b
+               FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= ${Affinity.BasketMinSupport}),
+        e AS (SELECT part_a AS src, part_b AS dst FROM pc
+              UNION ALL SELECT part_b, part_a FROM pc),
+        degf AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        nf AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM degf),
+        nodes AS (SELECT src AS node, deg, nn FROM degf, nf),
+        r0 AS (SELECT node, deg, nn,
+                      CAST(${rnd("1.0 / CAST(nn AS DOUBLE)", 10)} AS DECIMAL(20,10)) AS r
+               FROM nodes),
+        $iterCtes
+        SELECT node, deg, ${rnd("CAST(r AS DOUBLE)", 8)} AS pagerank
+        FROM r${Affinity.PrIters} ORDER BY node"""
       }),
 
     // Budget selection: the oracle replays the global running sum in
