@@ -3156,6 +3156,48 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // Cohort retention: both engines truncate to Monday weeks; the
+    // distinct-before-join keeps the joined frame at users × weeks.
+    "q_cohort_retention" -> Spec(
+      Relational.cohortRetention,
+      Some(s"""
+        WITH e AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+          FROM events),
+        cohort AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1),
+        act AS (
+          SELECT DISTINCT user_id, cw,
+                 CAST((w - cw) // 7 AS BIGINT) AS week_index
+          FROM (SELECT DISTINCT user_id, w FROM e) JOIN cohort USING (user_id)),
+        cells AS (SELECT cw, week_index, CAST(count(*) AS BIGINT) AS n_active
+                  FROM act GROUP BY 1, 2),
+        sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+                  FROM cohort GROUP BY 1)
+        SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_index, n_active,
+               cohort_size,
+               ${rnd("CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)", 6)} AS retention
+        FROM cells JOIN sizes USING (cw)
+        ORDER BY cohort_week, week_index""")),
+
+    // Markov transitions: deterministic (ts, event_id) ordering pins
+    // the lead() pairing; the matrix is |types|² rows on any corpus.
+    "q_event_transitions" -> Spec(
+      Relational.eventTransitions,
+      Some(s"""
+        WITH s AS (
+          SELECT user_id, event_id, event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+              FROM t)
+        SELECT from_type, to_type, n,
+               ${rnd("CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE)", 6)} AS p
+        FROM w ORDER BY from_type, to_type""")),
+
     // Market-basket lift: exact co-occurrence counts from the bounded
     // basket self-join; the one derived double is a single IEEE
     // multiply-divide chain.

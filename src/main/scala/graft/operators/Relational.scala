@@ -855,4 +855,65 @@ object Relational {
         coalesce(col("sum_click_value"), lit(0.0)).as("sum_click_value"))
     Out.sorted(r)(col("event_id"))
   }
+
+  /** Cohort retention matrix — users grouped by the week of their FIRST
+    * event; for each (cohort, weeks-since) cell, how many of them were
+    * still active. The standard product-analytics retention triangle.
+    *
+    * Scale shape: one user-keyed aggregation finds each user's cohort
+    * week (map-side combinable min), one distinct collapses activity to
+    * (user, week) before any join — so the join input is bounded by
+    * users × weeks, not raw events — and the cell rollup is a second
+    * small aggregation. The cohort-size frame joins back on cohort week
+    * (tiny, broadcast). Nothing is collected; no window over the raw
+    * event stream.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+    val cohort = e.groupBy("user_id").agg(min(col("w")).as("cw"))
+    val active = e.distinct()
+      .join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cw"),
+        expr("datediff(w, cw) DIV 7").as("week_index"))
+      .distinct()
+    val cells = active.groupBy("cw", "week_index")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    val r = cells.join(broadcast(sizes), Seq("cw"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_index"), col("n_active"), col("cohort_size"),
+        F.roundHalfUp(
+          col("n_active").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+    Out.sorted(r)(col("cohort_week"), col("week_index"))
+  }
+
+  /** First-order Markov transition matrix over the per-user event
+    * stream: counts and conditional probabilities of event_type →
+    * next event_type. The "what happens after a click" surface that
+    * feeds next-event prediction and journey analysis.
+    *
+    * Scale shape: one shuffle on user_id powers the lead() window
+    * (deterministic (ts, event_id) ordering); the transition rollup is
+    * a |types|² aggregation — constant-size output regardless of
+    * corpus; row-normalization is a window over that constant frame.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy("from_type")
+    val r = trans
+      .withColumn("n_from", sum(col("n")).over(rowTotal))
+      .select(col("from_type"), col("to_type"), col("n"),
+        F.roundHalfUp(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+    Out.sorted(r)(col("from_type"), col("to_type"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+import graft.operators.Relational
+
+/** Laws for cohort retention and the Markov transition matrix on a
+  * planted multi-cohort event stream (the shipped testdata is
+  * single-cohort — every user is active in week one — so the
+  * interesting structure must be planted).
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+
+  private def ts(day: Int, h: Int = 12): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  /** Two cohorts: users 1-2 first seen Mon Jan 1 week, user 3 first
+    * seen Mon Jan 8 week. User 1 returns in week 2; user 2 does not. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cohort").toString
+    val rows = Seq(
+      (1L, ts(1), 1L, "view", 1.0, "{}"),
+      (2L, ts(2), 2L, "view", 1.0, "{}"),
+      (3L, ts(9), 1L, "click", 1.0, "{}"),     // user 1 retained in w1
+      (4L, ts(8), 3L, "view", 1.0, "{}"),      // cohort 2 begins
+      (5L, ts(10), 3L, "purchase", 1.0, "{}"),
+      (6L, ts(3), 1L, "click", 1.0, "{}"),
+      (7L, ts(3, 13), 1L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("cohort retention: triangle shape, index-0 full, monotone user counts") {
+    val rows = Relational.cohortRetention(spark, plantedDir).collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("week_index")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toMap
+    // cohort of Jan-1 week: 2 users at index 0, only user 1 at index 1
+    assert(rows(("2024-01-01", 0L)) === ((2L, 2L, 1.0)))
+    assert(rows(("2024-01-01", 1L)) === ((1L, 2L, 0.5)))
+    // cohort of Jan-8 week: one user, index 0 only
+    assert(rows(("2024-01-08", 0L)) === ((1L, 1L, 1.0)))
+    assert(rows.size === 3)
+    // index 0 is always retention 1.0 by construction
+    rows.collect { case ((_, 0L), (_, _, ret)) => assert(ret === 1.0) }
+  }
+
+  test("transitions: per-user ordered pairing, rows sum to 1") {
+    val rows = Relational.eventTransitions(spark, plantedDir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // user 1: view→click→purchase→click; user 3: view→purchase
+    assert(rows(("view", "click"))._1 === 1L)
+    assert(rows(("view", "purchase"))._1 === 1L)
+    assert(rows(("click", "purchase"))._1 === 1L)
+    assert(rows(("purchase", "click"))._1 === 1L)
+    assert(rows.size === 4)
+    // conditional probabilities: each from_type row sums to 1
+    rows.keys.map(_._1).toSet.foreach { (ft: String) =>
+      val s = rows.collect { case ((f, _), (_, p)) if f == ft => p }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"row $ft sums to $s")
+    }
+    // user 2 has a single event — contributes no transition
+  }
+
+  test("transitions on real data: full matrix rows normalize") {
+    val rows = Relational.eventTransitions(spark, SparkT.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val s = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"row $ft sums to $s")
+    }
+  }
+}
