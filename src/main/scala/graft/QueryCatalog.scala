@@ -3156,6 +3156,72 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // Contrastive triplets: positives replay the banded-MinHash pair
+    // chain; negatives replay the md5 bucket/exemplar pick — both
+    // engines derive identical triplets from the corpus alone.
+    "q_contrastive_triplets" -> Spec(
+      CorpusOps.contrastiveTriplets,
+      Some {
+        val b = CorpusOps.TripletNegBuckets
+        s"""
+        WITH ${minhashPairCtes()},
+        dd AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $b AS bucket
+          FROM documents),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+               FROM dd),
+        ex AS (SELECT bucket,
+                      min(CASE WHEN rk = 1 THEN doc_id END) AS ex1,
+                      min(CASE WHEN rk = 2 THEN doc_id END) AS ex2
+               FROM rk WHERE rk <= 2 GROUP BY 1),
+        tri AS (
+          SELECT doc_a AS anchor_id, doc_b AS positive_id,
+                 CASE WHEN ex1 <> doc_a AND ex1 <> doc_b THEN ex1
+                      WHEN ex2 <> doc_a AND ex2 <> doc_b THEN ex2 END AS negative_id,
+                 jaccard AS pos_jaccard
+          FROM pairs JOIN ex
+            ON CAST('0x' || substr(md5('neg' || CAST(doc_a AS VARCHAR)), 1, 15) AS BIGINT) % $b = ex.bucket)
+        SELECT anchor_id, positive_id, negative_id, pos_jaccard
+        FROM tri WHERE negative_id IS NOT NULL
+        ORDER BY anchor_id, positive_id"""
+      }),
+
+    // PIT join: the oracle runs the naive range join of facts to SCD2
+    // validity intervals; the engine runs the union + ignore-nulls
+    // window as-of plan — value equality proves the linear-scan
+    // decomposition implements interval semantics exactly.
+    "q_pit_join" -> Spec(
+      Relational.pitJoin,
+      Some("""
+        WITH obs AS (
+          SELECT l_partkey AS sku, l_shipdate AS day, min(l_extendedprice) AS price
+          FROM lineitem WHERE l_partkey < 100 GROUP BY sku, day),
+        ch AS (
+          SELECT *, CASE WHEN lag(price) OVER w IS NULL
+                          OR lag(price) OVER w <> price THEN 1 ELSE 0 END AS changed
+          FROM obs WINDOW w AS (PARTITION BY sku ORDER BY day)),
+        runs AS (
+          SELECT *, CAST(sum(changed) OVER (PARTITION BY sku ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+          FROM ch),
+        ver AS (
+          SELECT sku, version, min(price) AS price, min(day) AS from_day
+          FROM runs GROUP BY sku, version),
+        hist AS (
+          SELECT sku, version, price, from_day,
+                 lead(from_day) OVER (PARTITION BY sku ORDER BY version) AS to_day
+          FROM ver),
+        f AS (
+          SELECT l_orderkey, l_linenumber, l_partkey AS sku, l_shipdate AS d
+          FROM lineitem WHERE l_partkey < 100)
+        SELECT f.l_orderkey, f.l_linenumber, f.sku,
+               strftime(f.d, '%Y-%m-%d') AS ship_day,
+               hist.version AS asof_version, hist.price AS asof_price
+        FROM f JOIN hist ON f.sku = hist.sku AND f.d >= hist.from_day
+          AND (hist.to_day IS NULL OR f.d < hist.to_day)
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // Cohort retention: both engines truncate to Monday weeks; the
     // distinct-before-join keeps the joined frame at users × weeks.
     "q_cohort_retention" -> Spec(

@@ -752,4 +752,55 @@ object CorpusOps {
       (col("wdec") > lit(0).cast("decimal(20,6)")).as("more_target_like"))
     Out.sorted(r)(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------- //
+  // Contrastive triplet mining
+  // ---------------------------------------------------------------- //
+
+  /** Bucket count for the deterministic negative pick in
+    * [[contrastiveTriplets]]. */
+  val TripletNegBuckets = 64L
+
+  /** Training triplets (anchor, positive, negative) for embedding-model
+    * training: positives are the banded-MinHash near-dup pairs (two
+    * texts that SHOULD embed close), negatives a deterministic
+    * pseudo-random corpus document (text that should embed far). The
+    * triplet-loss data-prep stage of an E5/SBERT-style pipeline.
+    *
+    * Scale shape: positives come from [[TextOps.minhashNearDup]] —
+    * banded LSH, never an all-pairs product. Negatives avoid the other
+    * classic blowup (per-anchor corpus sampling = anchors × corpus):
+    * the corpus collapses to a [[TripletNegBuckets]]-row exemplar
+    * table (two lowest-md5 docs per md5 bucket — broadcast), each
+    * anchor hashes to a bucket and takes the first exemplar that
+    * collides with neither triplet member. Fully deterministic: same
+    * corpus → same triplets on any cluster, any shuffle order.
+    */
+  def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val b = TripletNegBuckets
+    val pos = TextOps.minhashNearDup(spark, dir)
+    val d = docs(spark, dir).select(col("doc_id"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 15), 16, 10).cast(LongType) % b)
+    val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    val ex = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .groupBy("bucket").agg(
+        min(when(col("rk") === 1, col("doc_id"))).as("ex1"),
+        min(when(col("rk") === 2, col("doc_id"))).as("ex2"))
+    val negBucket = conv(
+      substring(md5(concat(lit("neg"), col("doc_a").cast("string"))), 1, 15),
+      16, 10).cast(LongType) % b
+    val r = pos.withColumn("bucket", negBucket)
+      .join(broadcast(ex), Seq("bucket"))
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
+        when(col("ex1") =!= col("doc_a") && col("ex1") =!= col("doc_b"),
+          col("ex1"))
+          .when(col("ex2") =!= col("doc_a") && col("ex2") =!= col("doc_b"),
+            col("ex2"))
+          .as("negative_id"),
+        col("jaccard").as("pos_jaccard"))
+      .filter(col("negative_id").isNotNull)
+    Out.sorted(r)(col("anchor_id"), col("positive_id"))
+  }
 }

@@ -889,6 +889,49 @@ object Relational {
     Out.sorted(r)(col("cohort_week"), col("week_index"))
   }
 
+  /** Point-in-time (PIT) join — each fact row enriched with the
+    * dimension version that was valid AT THE FACT'S OWN TIME, against
+    * the [[priceHistoryScd2]] history. This is the feature-store
+    * correctness join: joining facts to the CURRENT dimension row leaks
+    * the future into training data; the PIT join never does.
+    *
+    * Scale shape: the naive form is a range join of facts to validity
+    * intervals (θ-join — nested loop). Here both frames union into one
+    * sku-keyed stream ordered by (day, kind) — version opens sort
+    * before same-day facts — and ONE ignore-nulls last() window carries
+    * the active version onto every fact row: one shuffle, one sort,
+    * linear scan, any history length. The same as-of shape as
+    * [[asOfAttribution]], applied across TWO tables.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hist = priceHistoryScd2(spark, dir)
+      .select(col("sku"), to_date(col("valid_from")).as("d"),
+        col("version"), col("price"), lit(0).as("kind"))
+    val facts = li(spark, dir)
+      .filter(col("l_partkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("sku"), col("l_shipdate").as("d"))
+      .withColumn("version", lit(null).cast("long"))
+      .withColumn("price", lit(null).cast("double"))
+      .withColumn("kind", lit(1))
+      .select(col("sku"), col("d"), col("version"), col("price"), col("kind"),
+        col("l_orderkey"), col("l_linenumber"))
+    val unioned = hist
+      .withColumn("l_orderkey", lit(null).cast("long"))
+      .withColumn("l_linenumber", lit(null).cast("long"))
+      .unionByName(facts)
+    val w = Window.partitionBy("sku").orderBy(col("d"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = unioned
+      .withColumn("asof_version", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("asof_price", last(col("price"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("sku"),
+        date_format(col("d"), "yyyy-MM-dd").as("ship_day"),
+        col("asof_version"), col("asof_price"))
+    Out.sorted(r)(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** First-order Markov transition matrix over the per-user event
     * stream: counts and conditional probabilities of event_type →
     * next event_type. The "what happens after a click" surface that
