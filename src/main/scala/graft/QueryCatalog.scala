@@ -121,6 +121,36 @@ object QueryCatalog {
         $roundCtes"""
   }
 
+  // Shared CTE chain of the add-one-smoothed bigram LM; ends in
+  // `agg(doc_id, n_bigrams, sumdec)`. Used by q_bigram_lm and the
+  // CCNet perplexity-bucket query.
+  private lazy val bigramLmCtes: String =
+    s"""base AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          FROM documents),
+        bgl AS (
+          SELECT doc_id,
+                 unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                        p -> p[1] || ' ' || p[2])) AS bigram
+          FROM base),
+        dbt AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS dcnt
+                FROM bgl GROUP BY doc_id, bigram),
+        cb AS (SELECT bigram, CAST(sum(dcnt) AS BIGINT) AS cnt
+               FROM dbt GROUP BY bigram),
+        ctx AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                       CAST(sum(cnt) AS BIGINT) AS ctx
+                FROM cb GROUP BY w1),
+        voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+                FROM (SELECT unnest(ws) AS t FROM base)),
+        sc AS (
+          SELECT doc_id, dcnt,
+                 CAST(${rnd("log2(CAST(ctx + v AS DOUBLE) / CAST(cnt + 1 AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS s
+          FROM dbt JOIN cb USING (bigram)
+          JOIN ctx ON ctx.w1 = split_part(bigram, ' ', 1), voc),
+        agg AS (SELECT doc_id, CAST(sum(dcnt) AS BIGINT) AS n_bigrams,
+                       sum(dcnt * s) AS sumdec
+                FROM sc GROUP BY doc_id)"""
+
   // Shared CTE chain of the banded-MinHash near-dup pipeline; ends in
   // `pairs` (confirmed near-dup pairs). Used by q_doc_minhash_neardup
   // and the clustering query.
@@ -792,31 +822,7 @@ object QueryCatalog {
     "q_bigram_lm" -> Spec(
       TextOps.bigramSurprisal,
       Some(s"""
-        WITH base AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
-          FROM documents),
-        bgl AS (
-          SELECT doc_id,
-                 unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
-                        p -> p[1] || ' ' || p[2])) AS bigram
-          FROM base),
-        dbt AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS dcnt
-                FROM bgl GROUP BY doc_id, bigram),
-        cb AS (SELECT bigram, CAST(sum(dcnt) AS BIGINT) AS cnt
-               FROM dbt GROUP BY bigram),
-        ctx AS (SELECT split_part(bigram, ' ', 1) AS w1,
-                       CAST(sum(cnt) AS BIGINT) AS ctx
-                FROM cb GROUP BY w1),
-        voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
-                FROM (SELECT unnest(ws) AS t FROM base)),
-        sc AS (
-          SELECT doc_id, dcnt,
-                 CAST(${rnd("log2(CAST(ctx + v AS DOUBLE) / CAST(cnt + 1 AS DOUBLE))", 6)} AS DECIMAL(20,6)) AS s
-          FROM dbt JOIN cb USING (bigram)
-          JOIN ctx ON ctx.w1 = split_part(bigram, ' ', 1), voc),
-        agg AS (SELECT doc_id, CAST(sum(dcnt) AS BIGINT) AS n_bigrams,
-                       sum(dcnt * s) AS sumdec
-                FROM sc GROUP BY doc_id)
+        WITH $bigramLmCtes
         SELECT doc_id, n_bigrams,
                ${rnd("CAST(sumdec AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 4)} AS mean_bigram_surprisal
         FROM agg ORDER BY doc_id""")),
@@ -3155,6 +3161,33 @@ object QueryCatalog {
                wdec > 0 AS more_target_like
         FROM agg ORDER BY doc_id"""
       }),
+
+    // CCNet buckets: the tertile split replayed at bin granularity
+    // with all-integer boundary arithmetic — no engine percentile
+    // function (they interpolate differently) anywhere near the cut.
+    "q_ccnet_buckets" -> Spec(
+      CorpusOps.ccnetBuckets,
+      Some(s"""
+        WITH $bigramLmCtes,
+        sc2 AS (
+          SELECT doc_id,
+                 ${rnd("CAST(sumdec AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 4)} AS score
+          FROM agg),
+        binned AS (
+          SELECT doc_id, score, CAST(floor(score * 10) AS BIGINT) AS bin
+          FROM sc2),
+        bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY 1),
+        cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+                       (SELECT CAST(count(*) AS BIGINT) FROM binned) AS tot
+                FROM bc),
+        lbl AS (SELECT bin, CASE WHEN 3 * c <= tot THEN 'head'
+                                 WHEN 3 * c <= 2 * tot THEN 'middle'
+                                 ELSE 'tail' END AS bucket
+                FROM cum)
+        SELECT doc_id, score, b.bin, bucket
+        FROM binned b JOIN lbl USING (bin)
+        ORDER BY doc_id""")),
 
     // Contrastive triplets: positives replay the banded-MinHash pair
     // chain; negatives replay the md5 bucket/exemplar pick — both

@@ -754,6 +754,41 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // CCNet perplexity buckets
+  // ---------------------------------------------------------------- //
+
+  /** CCNet's head/middle/tail split: documents bucketed into thirds of
+    * the corpus by LM score (here [[TextOps.bigramSurprisal]]'s mean
+    * bigram surprisal — lowest third = "head", the best text). CCNet
+    * computes the tertile cut-points over the corpus score
+    * distribution; an exact global percentile would need a total sort,
+    * so this uses the scale-correct histogram-quantile: scores land in
+    * fixed-width 0.1-bit bins, the tertile boundary is resolved at bin
+    * granularity from the bin counts (a ~200-row frame — the bounded-
+    * window exception), and each document inherits its bin's bucket
+    * via a broadcast join. All boundary arithmetic is integer
+    * (3·cum ≤ total), so the split is exact and engine-independent.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Out.eager(TextOps.bigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("mean_bigram_surprisal").as("score"))
+      .withColumn("bin", floor(col("score") * 10).cast(LongType)))
+    val bc = scored.groupBy("bin").agg(count(lit(1)).as("n"))
+    val tot = scored.agg(count(lit(1)).as("tot"))
+    val wcum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lbl = bc.withColumn("c", sum(col("n")).over(wcum))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        when(col("c") * 3 <= col("tot"), "head")
+          .when(col("c") * 3 <= col("tot") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    val r = scored.join(broadcast(lbl), Seq("bin"))
+      .select(col("doc_id"), col("score"), col("bin"), col("bucket"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Contrastive triplet mining
   // ---------------------------------------------------------------- //
 

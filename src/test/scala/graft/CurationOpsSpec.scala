@@ -263,4 +263,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(crossPairs.nonEmpty, "fixture has no cross-boundary near-dup pair")
     crossPairs.foreach(d => assert(matched.contains(d), s"batch doc $d escaped"))
   }
+
+  test("ccnet buckets: ordered by score, near-thirds at bin granularity") {
+    val rows = graft.operators.CorpusOps.ccnetBuckets(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("score"))).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // ordering law: head scores ≤ middle scores ≤ tail scores
+    for {
+      h <- byBucket.get("head"); m <- byBucket.get("middle")
+    } assert(h.max <= m.min + 0.1 + 1e-9) // bin-granularity slack
+    for {
+      m <- byBucket.get("middle"); t <- byBucket.get("tail")
+    } assert(m.max <= t.min + 0.1 + 1e-9)
+    // shares are thirds up to the fattest bin straddling a boundary
+    val n = rows.length.toDouble
+    val maxBin = rows.groupBy(_.getAs[Long]("bin")).values.map(_.length).max
+    byBucket.values.foreach { b =>
+      assert(math.abs(b.length - n / 3) <= maxBin + 1,
+        s"bucket share ${b.length} vs n/3=${n / 3} (maxBin $maxBin)")
+    }
+  }
 }
