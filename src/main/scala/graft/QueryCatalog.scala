@@ -3162,6 +3162,39 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // Multi-touch attribution: the oracle pairs via the θ range join,
+    // the engine via the binned equi-join; decay weights and credit
+    // shares are decimal-fixed at 6/4 dp before every sum.
+    "q_multi_touch" -> Spec(
+      Relational.multiTouchAttribution,
+      Some(s"""
+        WITH p AS (
+          SELECT event_id AS p_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT event_id AS c_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS s
+          FROM events WHERE event_type = 'click'),
+        pr AS (
+          SELECT p_id, c_id, t, s, value,
+                 CAST(${rnd(
+                   s"pow(2.0, -(CAST(t - s AS DOUBLE) / 1000000.0) / ${Relational.DecayHalfLifeSecs})",
+                   6)} AS DECIMAL(20,6)) AS w
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.s < p.t AND c.s >= p.t - ${Relational.RangeJoinWindowUs}),
+        nw AS (SELECT *, CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n,
+                      sum(w) OVER (PARTITION BY p_id) AS sw
+               FROM pr),
+        cr AS (SELECT c_id,
+                      CAST(${rnd("value / CAST(n AS DOUBLE)", 4)} AS DECIMAL(20,4)) AS lin,
+                      CAST(${rnd("value * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)", 4)} AS DECIMAL(20,4)) AS dc
+               FROM nw)
+        SELECT c_id AS click_id, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(lin) AS DOUBLE) AS credit_linear,
+               CAST(sum(dc) AS DOUBLE) AS credit_decay
+        FROM cr GROUP BY 1 ORDER BY click_id""")),
+
     // CCNet buckets: the tertile split replayed at bin granularity
     // with all-integer boundary arithmetic — no engine percentile
     // function (they interpolate differently) anywhere near the cut.

@@ -830,30 +830,83 @@ object Relational {
     * (The streaming twin is [[graft.streaming.StreamJoin]]; this is the
     * batch plan a backfill would run.)
     */
-  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+  /** The purchases frame and the binned purchase←click pair frame
+    * shared by [[rangeJoinBinned]] and [[multiTouchAttribution]]:
+    * (purchase p_id/t/value, click c_id/s/cv) for every click of the
+    * same user in the purchase's trailing window. */
+  private def purchaseClickPairs(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w = RangeJoinWindowUs
     val e = ev(spark, dir)
     val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
+      .select(col("event_id").as("p_id"), col("user_id"),
         unix_micros(col("ts")).as("t"), col("value"))
     val c = e.filter(col("event_type") === "click")
-      .select(col("user_id"), unix_micros(col("ts")).as("s"),
-        col("value").as("cv"))
+      .select(col("event_id").as("c_id"), col("user_id"),
+        unix_micros(col("ts")).as("s"), col("value").as("cv"))
       // a click serves purchases in its own bin and the next one only:
       // |t − s| < W bounds the bin distance to ≤ 1
       .withColumn("bin", explode(array(expr(s"s DIV $w"), expr(s"s DIV $w") + 1L)))
-    val matched = p.withColumn("bin", expr(s"t DIV $w"))
+    val pairs = p.withColumn("bin", expr(s"t DIV $w"))
       .join(c, Seq("user_id", "bin"))
       .filter(col("s") < col("t") && col("s") >= col("t") - w)
-      .groupBy("event_id").agg(
+    (p, pairs)
+  }
+
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val (p, pairs) = purchaseClickPairs(spark, dir)
+    val matched = pairs
+      .groupBy("p_id").agg(
         count(lit(1)).as("n_prior_clicks"),
         sum(F.dec(col("cv"))).cast("double").as("sum_click_value"))
-    val r = p.join(matched, Seq("event_id"), "left")
-      .select(col("event_id"), col("user_id"),
+    val r = p.join(matched, Seq("p_id"), "left")
+      .select(col("p_id").as("event_id"), col("user_id"),
         col("value").as("purchase_value"),
         coalesce(col("n_prior_clicks"), lit(0L)).as("n_prior_clicks"),
         coalesce(col("sum_click_value"), lit(0.0)).as("sum_click_value"))
     Out.sorted(r)(col("event_id"))
+  }
+
+  /** Time-decay half-life for [[multiTouchAttribution]], seconds. */
+  private[graft] val DecayHalfLifeSecs = 3600.0
+
+  /** Multi-touch attribution — every purchase's value distributed over
+    * the user's prior clicks in the trailing window, under two models:
+    * linear (equal credit) and time-decay (credit ∝ 2^(−Δ/half-life),
+    * recency-weighted). Output is per CLICK: the total credit it earned
+    * across all purchases it influenced — the marketing-analytics view
+    * of which touchpoints drive revenue.
+    *
+    * Scale shape: rides the [[purchaseClickPairs]] binned equi-join (no
+    * θ-join); per-purchase normalizers are a window over the pair frame
+    * keyed by purchase (bounded by clicks-per-window); per-click credit
+    * is one more partial-aggregated groupBy. Decay weights are rounded
+    * at 6 dp and fixed to DECIMAL before every sum, so both the
+    * normalizer and the credit totals are shuffle-order-immune.
+    */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pairs) = purchaseClickPairs(spark, dir)
+    val wDec = F.roundHalfUp(
+      pow(lit(2.0),
+        -((col("t") - col("s")).cast("double") / 1000000.0) / DecayHalfLifeSecs),
+      6).cast("decimal(20,6)")
+    val perPurchase = Window.partitionBy("p_id")
+    val credited = pairs
+      .withColumn("wdec", wDec)
+      .withColumn("n", count(lit(1)).over(perPurchase))
+      .withColumn("sw", sum(col("wdec")).over(perPurchase))
+      .select(col("c_id"), col("p_id"),
+        F.roundHalfUp(col("value") / col("n").cast("double"), 4)
+          .cast("decimal(20,4)").as("lin"),
+        F.roundHalfUp(
+          col("value") * col("wdec").cast("double") / col("sw").cast("double"), 4)
+          .cast("decimal(20,4)").as("dec"))
+    val r = credited.groupBy("c_id").agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("lin")).cast("double").as("credit_linear"),
+        sum(col("dec")).cast("double").as("credit_decay"))
+      .withColumnRenamed("c_id", "click_id")
+    Out.sorted(r)(col("click_id"))
   }
 
   /** Cohort retention matrix — users grouped by the week of their FIRST

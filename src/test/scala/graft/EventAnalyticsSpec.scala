@@ -67,6 +67,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // user 2 has a single event — contributes no transition
   }
 
+  test("multi-touch: linear credit conserves attributed purchase value") {
+    val touched = Relational.rangeJoinBinned(spark, SparkT.Sf0001).collect()
+      .filter(_.getAs[Long]("n_prior_clicks") > 0L)
+    assert(touched.nonEmpty, "fixture has no attributed purchases")
+    val attributedValue = touched.map(_.getAs[Double]("purchase_value")).sum
+    val credits = Relational.multiTouchAttribution(spark, SparkT.Sf0001).collect()
+    val linTotal = credits.map(_.getAs[Double]("credit_linear")).sum
+    val decTotal = credits.map(_.getAs[Double]("credit_decay")).sum
+    // each purchase's value splits exactly across its clicks, up to the
+    // 1e-4 per-share rounding (n_shares × 1e-4 bound)
+    val tol = 1e-4 * (credits.map(_.getAs[Long]("n_purchases")).sum + 1)
+    assert(math.abs(linTotal - attributedValue) <= tol,
+      s"linear credit $linTotal != attributed $attributedValue")
+    assert(math.abs(decTotal - attributedValue) <= tol,
+      s"decay credit $decTotal != attributed $attributedValue")
+  }
+
   test("transitions on real data: full matrix rows normalize") {
     val rows = Relational.eventTransitions(spark, SparkT.Sf0001).collect()
     assert(rows.nonEmpty)
