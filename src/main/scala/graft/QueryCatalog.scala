@@ -3162,6 +3162,65 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // A-ES weighted sample: md5 uniforms and the ln(u)/w key replayed
+    // verbatim; top-k membership is deterministic (rounded key +
+    // doc_id tie-break).
+    "q_weighted_sample" -> Spec(
+      CorpusOps.weightedSample,
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS h
+          FROM documents WHERE n_chars > 0),
+        k AS (
+          SELECT doc_id, n_chars AS weight,
+                 ${rnd(
+                   "ln(CAST(h + 1 AS DOUBLE) / 4503599627370496.0) / CAST(n_chars AS DOUBLE)",
+                   8)} AS es_key
+          FROM d),
+        top AS (SELECT * FROM k
+                ORDER BY es_key DESC, doc_id LIMIT ${CorpusOps.WeightedSampleK})
+        SELECT doc_id, weight, es_key,
+               CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER) AS rank
+        FROM top ORDER BY rank""")),
+
+    // Grouped OLS: five exact sums per group, two IEEE chains for the
+    // coefficients; intercept derives from the ROUNDED slope.
+    "q_price_trend" -> Spec(
+      Relational.priceTrend,
+      Some(s"""
+        WITH obs AS (
+          SELECT l_partkey AS sku, l_shipdate AS d, min(l_extendedprice) AS p
+          FROM lineitem GROUP BY 1, 2),
+        xy AS (
+          SELECT sku,
+                 CAST(date_diff('day', DATE '1995-01-01', CAST(d AS DATE)) AS BIGINT) AS x,
+                 p FROM obs),
+        s AS (
+          SELECT sku, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sx2,
+                 sum(CAST(p AS $D)) AS sy,
+                 sum(x * CAST(p AS $D)) AS sxy
+          FROM xy GROUP BY 1),
+        t AS (
+          SELECT sku, n,
+                 CASE WHEN n >= 2 AND n * sx2 - sx * sx <> 0
+                      THEN ${rnd(
+                        """(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                           / CAST(n * sx2 - sx * sx AS DOUBLE)""", 6)} END AS slope,
+                 sx, sy
+          FROM s)
+        SELECT sku, n AS n_days, slope,
+               CASE WHEN slope IS NOT NULL
+                    THEN ${rnd(
+                      "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)",
+                      6)} END AS intercept,
+               CASE WHEN slope > 0.01 THEN 'up'
+                    WHEN slope < -0.01 THEN 'down'
+                    WHEN slope IS NOT NULL THEN 'flat' END AS trend
+        FROM t ORDER BY sku""")),
+
     // Multi-touch attribution: the oracle pairs via the θ range join,
     // the engine via the binned equi-join; decay weights and credit
     // shares are decimal-fixed at 6/4 dp before every sum.

@@ -754,6 +754,44 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // Weighted sampling without replacement (A-ES)
+  // ---------------------------------------------------------------- //
+
+  /** Sample size for [[weightedSample]]. */
+  val WeightedSampleK = 50
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis: each
+    * document draws a deterministic md5 uniform u ∈ (0, 1] and the
+    * [[WeightedSampleK]] largest keys u^(1/w) win (w = n_chars, so
+    * longer documents are proportionally likelier — the
+    * token-weighted corpus sample a mixture builder wants). The key is
+    * computed as ln(u)/w — the same ordering as u^(1/w) through the
+    * monotone exp, but numerically spread instead of crowding against
+    * 1.0 where 6-dp rounding would tie everything.
+    *
+    * Scale shape: one map pass computes keys; the global top-k runs as
+    * TakeOrderedAndProject — per-partition k-heaps merged on the
+    * driver, k rows moved, NO global sort of the corpus. Deterministic
+    * on any cluster: u is a pure function of doc_id, ties break by
+    * doc_id. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast(LongType)
+    // (h+1)/2^52: 13 hex chars are 52 bits, +1 keeps u in (0, 1]
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0)
+    val key = F.roundHalfUp(log(u) / col("n_chars").cast("double"), 8)
+    val top = docs(spark, dir)
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("n_chars").as("weight"), key.as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(WeightedSampleK)
+    // rank window runs over the k-row result only (bounded frame)
+    val w = Window.orderBy(col("es_key").desc, col("doc_id").asc)
+    val r = top.withColumn("rank", row_number().over(w))
+    Out.sorted(r)(col("rank"))
+  }
+
+  // ---------------------------------------------------------------- //
   // CCNet perplexity buckets
   // ---------------------------------------------------------------- //
 

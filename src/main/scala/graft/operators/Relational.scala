@@ -942,6 +942,48 @@ object Relational {
     Out.sorted(r)(col("cohort_week"), col("week_index"))
   }
 
+  /** Per-group OLS trend — least-squares slope/intercept of each sku's
+    * daily price series, from the closed-form normal equations over
+    * FIVE exact sums (n, Σx, Σx², Σy, Σxy): the scalable form of
+    * grouped regression. x is an integer day index and y rides the
+    * exact-decimal recipe, so every sum is map-side-combinable and
+    * shuffle-order-immune; the two derived doubles (slope, intercept)
+    * are single IEEE expression chains over those sums, intercept
+    * computed from the ROUNDED slope so both engines agree bit-for-bit.
+    * One aggregation pass — no window, no per-group iteration, any
+    * group count. Degenerate series (single day) yield null slope.
+    */
+  def priceTrend(spark: SparkSession, dir: String): DataFrame = {
+    val obs = li(spark, dir)
+      .groupBy(col("l_partkey").as("sku"), col("l_shipdate").as("d"))
+      .agg(min(col("l_extendedprice")).as("p"))
+      .select(col("sku"),
+        datediff(col("d"), to_date(lit("1995-01-01"))).cast("long").as("x"),
+        col("p"))
+    val s = obs.groupBy("sku").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sx2"),
+      sum(F.dec(col("p"))).as("sy"),
+      sum(col("x") * F.dec(col("p"))).as("sxy"))
+    val denom = col("n") * col("sx2") - col("sx") * col("sx")
+    val slope = when(col("n") >= 2 && denom =!= 0L,
+      F.roundHalfUp(
+        (col("n") * col("sxy").cast("double") - col("sx") * col("sy").cast("double")) /
+          denom.cast("double"), 6))
+    val r = s.withColumn("slope", slope)
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          F.roundHalfUp(
+            (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+              col("n").cast("double"), 6)))
+      .select(col("sku"), col("n").as("n_days"), col("slope"), col("intercept"),
+        when(col("slope") > 0.01, "up")
+          .when(col("slope") < -0.01, "down")
+          .when(col("slope").isNotNull, "flat").as("trend"))
+    Out.sorted(r)(col("sku"))
+  }
+
   /** Point-in-time (PIT) join — each fact row enriched with the
     * dimension version that was valid AT THE FACT'S OWN TIME, against
     * the [[priceHistoryScd2]] history. This is the feature-store
