@@ -100,8 +100,10 @@ object Affinity {
         .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst"))))
     val deg = Out.eager(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nn = deg.agg(count(lit(1)).as("nn"))
-    val nodes = deg.crossJoin(broadcast(nn))
-      .select(col("src").as("node"), col("deg"), col("nn"))
+    // materialized once: the unrolled iterations would otherwise
+    // re-derive this frame (and its scalar crossJoin) every round
+    val nodes = Out.eager(deg.crossJoin(broadcast(nn))
+      .select(col("src").as("node"), col("deg"), col("nn")))
     val base = F.roundHalfUp(
       lit(1.0 - PrDamping) / col("nn").cast("double"), 10)
       .cast("decimal(20,10)")
