@@ -3162,6 +3162,22 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // Star rollup (TPC-H Q5 shape): dimension chain pruned by the
+    // region filter before any fact-table work.
+    "q_star_revenue" -> Spec(
+      Relational.starRevenue,
+      Some(s"""
+        SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+               count(*) AS n_lineitems,
+               ${sumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1, 2 ORDER BY n_name, order_year""")),
+
     // A-ES weighted sample: md5 uniforms and the ln(u)/w key replayed
     // verbatim; top-k membership is deterministic (rounded key +
     // doc_id tie-break).

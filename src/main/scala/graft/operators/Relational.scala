@@ -942,6 +942,38 @@ object Relational {
     Out.sorted(r)(col("cohort_week"), col("week_index"))
   }
 
+  /** Star-schema rollup (the TPC-H Q5 shape): revenue by nation and
+    * order year through the full dimension chain
+    * region → nation → customer → orders → lineitem, region-filtered.
+    * The query that exercises Catalyst's join ordering: the region
+    * filter prunes nations BEFORE any fact-table work, the nation
+    * (and at this SF, customer) dims broadcast so the fact table
+    * shuffles at most once (on orderkey for the lineitem join), and
+    * the final rollup is one map-side-combinable aggregate. At 100 TB
+    * customer outgrows the broadcast threshold and AQE falls back to a
+    * shuffle join for exactly that edge — the plan degrades joint by
+    * joint instead of breaking.
+    */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nationF = Tables.load(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val custF = cust(spark, dir)
+      .join(broadcast(nationF), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val r = ord(spark, dir)
+      .join(custF, col("o_custkey") === col("c_custkey"))
+      .join(li(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(F.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+    Out.sorted(r)(col("n_name"), col("order_year"))
+  }
+
   /** Per-group OLS trend — least-squares slope/intercept of each sku's
     * daily price series, from the closed-form normal equations over
     * FIVE exact sums (n, Σx, Σx², Σy, Σxy): the scalable form of

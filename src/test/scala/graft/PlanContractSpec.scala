@@ -287,4 +287,17 @@ class PlanContractSpec extends AnyFunSuite {
         s"fingerprint exchange not reused across the self-join:\n$plan")
     } finally spark.conf.set("graft.sort.results", "true")
   }
+
+  test("star rollup: region filter pushed to the dim scan, dims broadcast, no cross join") {
+    val df = operators.Relational.starRevenue(spark, SparkT.Sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$plan")
+    // the nation and customer joints ride broadcasts at this SF — the
+    // fact table is never shuffled for dimension lookups
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"dimension chain not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
 }
