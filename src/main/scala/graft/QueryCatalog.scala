@@ -3162,6 +3162,57 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // DQ audit: every constraint an exact conditional count; the
+    // referential check is NOT IN / left-anti on both engines.
+    "q_dq_audit" -> Spec(
+      Relational.dqAudit,
+      Some("""
+        WITH oa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+                 CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_cust,
+                 CAST(coalesce(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_price,
+                 CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_status
+          FROM orders),
+        la AS (SELECT CAST(count(*) AS BIGINT) AS n_li FROM lineitem),
+        orph AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+                 FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        checks AS (
+          SELECT 'orders.o_orderkey unique' AS "constraint",
+                 n AS n_checked, n - n_keys AS n_violations FROM oa
+          UNION ALL SELECT 'orders.o_custkey not null', n, null_cust FROM oa
+          UNION ALL SELECT 'orders.o_totalprice positive', n, bad_price FROM oa
+          UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)', n, bad_status FROM oa
+          UNION ALL SELECT 'lineitem.l_orderkey references orders', n_li, n_orphans
+                    FROM la, orph)
+        SELECT "constraint", n_checked, n_violations,
+               n_violations = 0 AS passed
+        FROM checks ORDER BY "constraint" """)),
+
+    // Benford audit: digit via integer/string extraction (no log near
+    // the bucketing); expected shares are shared compile-time literals.
+    "q_benford" -> Spec(
+      Relational.benfordDigits,
+      Some {
+        val arms = Relational.BenfordExpected.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN CAST($p AS DOUBLE)" }
+          .mkString(" ")
+        s"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice >= 1.0),
+        c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        t AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n_total FROM c),
+        e AS (SELECT digit, n_obs,
+                     ${rnd("CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)", 6)} AS obs_share,
+                     CASE digit $arms END AS exp_share
+              FROM t)
+        SELECT digit, n_obs, obs_share, exp_share,
+               ${rnd("abs(obs_share - exp_share)", 6)} AS abs_dev
+        FROM e ORDER BY digit"""
+      }),
+
     // Star rollup (TPC-H Q5 shape): dimension chain pruned by the
     // region filter before any fact-table work.
     "q_star_revenue" -> Spec(

@@ -942,6 +942,85 @@ object Relational {
     Out.sorted(r)(col("cohort_week"), col("week_index"))
   }
 
+  /** Data-quality audit (the Deequ/Great-Expectations surface): a
+    * fixed battery of constraints evaluated as aggregates, one result
+    * row per constraint with checked/violation counts. Same-table
+    * constraints share ONE aggregation pass (conditional counts — no
+    * per-constraint scans); the referential-integrity check is a
+    * left-anti count; uniqueness compares count to count_distinct.
+    * At 100 TB this is the nightly gate: every check is a
+    * map-side-combinable aggregate or one anti-join, never a collect.
+    */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val ordersAgg = o.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("o_orderkey")).as("n_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val orphanAgg = li(spark, dir)
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .crossJoin(broadcast(li(spark, dir).agg(count(lit(1)).as("n_li"))))
+    val ordersChecks = ordersAgg.select(
+      array(
+        struct(lit("orders.o_orderkey unique").as("constraint"),
+          col("n").as("n_checked"), (col("n") - col("n_keys")).as("n_violations")),
+        struct(lit("orders.o_custkey not null").as("constraint"),
+          col("n").as("n_checked"), col("null_cust").as("n_violations")),
+        struct(lit("orders.o_totalprice positive").as("constraint"),
+          col("n").as("n_checked"), col("bad_price").as("n_violations")),
+        struct(lit("orders.o_orderstatus in (O,F,P)").as("constraint"),
+          col("n").as("n_checked"), col("bad_status").as("n_violations")))
+        .as("checks"))
+      .select(explode(col("checks")).as("c"))
+      .select(col("c.constraint"), col("c.n_checked"), col("c.n_violations"))
+    val refCheck = orphanAgg.select(
+      lit("lineitem.l_orderkey references orders").as("constraint"),
+      col("n_li").as("n_checked"), col("n_orphans").as("n_violations"))
+    val r = ordersChecks.unionByName(refCheck)
+      .withColumn("passed", col("n_violations") === 0L)
+    Out.sorted(r)(col("constraint"))
+  }
+
+  /** Benford's-law first-digit audit over order totals — the classic
+    * statistical fraud screen. Digit extraction is pure integer/string
+    * arithmetic (no log10 near the bucketing); expected shares
+    * log10(1+1/d) are compile-time literals printed into both engines.
+    * One aggregation over the fact table, 9-row output.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(
+      floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = ord(spark, dir)
+      .filter(col("o_totalprice") >= 1.0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val expected = Relational.BenfordExpected.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+      .foldLeft(when(lit(false), 0.0)) { case (acc, (d, p)) =>
+        acc.when(col("digit") === d, p)
+      }
+    val tot = Window.partitionBy() // 9-row frame: bounded
+    val r = counts
+      .withColumn("n_total", sum(col("n_obs")).over(tot))
+      .select(col("digit"), col("n_obs"),
+        F.roundHalfUp(col("n_obs").cast("double") / col("n_total").cast("double"), 6)
+          .as("obs_share"),
+        expected.as("exp_share"))
+      .withColumn("abs_dev",
+        F.roundHalfUp(abs(col("obs_share") - col("exp_share")), 6))
+    Out.sorted(r)(col("digit"))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, printed into both engines verbatim. */
+  private[graft] val BenfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6)
+
   /** Star-schema rollup (the TPC-H Q5 shape): revenue by nation and
     * order year through the full dimension chain
     * region → nation → customer → orders → lineitem, region-filtered.

@@ -92,4 +92,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-4, s"row $ft sums to $s")
     }
   }
+
+  test("dq audit: planted corruption is counted, clean checks pass") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dq").toString
+    // orders: duplicate key 1, a null custkey, a zero price, a bad status
+    Seq(
+      (Some(1L), Some(10L), "O", 100.0),
+      (Some(1L), Some(11L), "F", 200.0),   // dup orderkey
+      (Some(2L), None: Option[Long], "P", 300.0), // null custkey
+      (Some(3L), Some(12L), "X", 0.0))     // bad status + non-positive price
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // lineitem: one orphan (orderkey 99)
+    Seq((1L, 1L), (2L, 2L), (99L, 3L))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = Relational.dqAudit(spark, tmp).collect()
+      .map(x => x.getAs[String]("constraint") ->
+        (x.getAs[Long]("n_violations"), x.getAs[Boolean]("passed"))).toMap
+    assert(r("orders.o_orderkey unique") === ((1L, false)))
+    assert(r("orders.o_custkey not null") === ((1L, false)))
+    assert(r("orders.o_totalprice positive") === ((1L, false)))
+    assert(r("orders.o_orderstatus in (O,F,P)") === ((1L, false)))
+    assert(r("lineitem.l_orderkey references orders") === ((1L, false)))
+    // and the shipped testdata is clean end to end
+    val clean = Relational.dqAudit(spark, SparkT.Sf0001).collect()
+    clean.foreach(x => assert(x.getAs[Boolean]("passed"),
+      s"testdata violates ${x.getAs[String]("constraint")}"))
+  }
+
+  test("benford: shares are distributions, all nine digits emitted") {
+    val rows = Relational.benfordDigits(spark, SparkT.Sf0001).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSet === (1 to 9).toSet)
+    val obs = rows.map(_.getAs[Double]("obs_share")).sum
+    assert(math.abs(obs - 1.0) < 1e-4)
+    val exp = rows.map(_.getAs[Double]("exp_share")).sum
+    assert(math.abs(exp - 1.0) < 1e-4)
+  }
 }
