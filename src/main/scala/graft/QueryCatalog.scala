@@ -3162,6 +3162,25 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // CDC compaction: keep-last-per-key with delete semantics, both
+    // windows riding one key partitioning.
+    "q_cdc_compact" -> Spec(
+      Relational.cdcCompact,
+      Some("""
+        WITH ops AS (
+          SELECT user_id AS key, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I'
+                                 WHEN 'click' THEN 'U'
+                                 ELSE 'D' END AS op,
+                 value
+          FROM events WHERE event_type IN ('signup', 'click', 'error')),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_ops
+          FROM ops)
+        SELECT key AS user_id, value AS current_value, op AS last_op, n_ops
+        FROM rk WHERE rn = 1 AND op <> 'D' ORDER BY user_id""")),
+
     // DQ audit: every constraint an exact conditional count; the
     // referential check is NOT IN / left-anti on both engines.
     "q_dq_audit" -> Spec(

@@ -942,6 +942,38 @@ object Relational {
     Out.sorted(r)(col("cohort_week"), col("week_index"))
   }
 
+  /** CDC log compaction — a change-data-capture stream (insert/update/
+    * delete ops with a per-key sequence) reduced to final table state:
+    * last op wins per key, a trailing delete removes the key. The
+    * MERGE-free apply path every lakehouse table format runs under the
+    * hood (log compaction semantics). The event stream stands in as
+    * the op log: signup→I, click→U, error→D, ordered by event_id.
+    *
+    * Scale shape: ONE shuffle on the key powers both windows (the
+    * keep-last row_number and the per-key op count reuse the same
+    * partitioning); no self-join against a "latest" snapshot, no
+    * driver-side merge. At 100 TB this runs per partition of the log
+    * and is exactly how compaction jobs are shaped.
+    */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val ops = ev(spark, dir)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(col("user_id").as("key"), col("event_id").as("seq"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "click", "U")
+          .otherwise("D").as("op"),
+        col("value"))
+    val wLast = Window.partitionBy("key").orderBy(col("seq").desc)
+    val wKey = Window.partitionBy("key")
+    val r = ops
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("n_ops", count(lit(1)).over(wKey))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key").as("user_id"), col("value").as("current_value"),
+        col("op").as("last_op"), col("n_ops"))
+    Out.sorted(r)(col("user_id"))
+  }
+
   /** Data-quality audit (the Deequ/Great-Expectations surface): a
     * fixed battery of constraints evaluated as aggregates, one result
     * row per constraint with checked/violation counts. Same-table

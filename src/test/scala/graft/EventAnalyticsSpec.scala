@@ -122,6 +122,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"testdata violates ${x.getAs[String]("constraint")}"))
   }
 
+  test("cdc compaction: last op wins, trailing delete removes the key") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    Seq(
+      (1L, ts(1), 1L, "signup", 10.0, "{}"),   // user 1: I,U,U → last U
+      (2L, ts(2), 1L, "click", 20.0, "{}"),
+      (3L, ts(3), 1L, "click", 30.0, "{}"),
+      (4L, ts(1), 2L, "signup", 1.0, "{}"),    // user 2: I,D → absent
+      (5L, ts(2), 2L, "error", 0.0, "{}"),
+      (6L, ts(1), 3L, "signup", 7.0, "{}"),    // user 3: I only
+      (7L, ts(1), 4L, "error", 0.0, "{}"),     // user 4: D only → absent
+      (8L, ts(2), 5L, "view", 99.0, "{}"))     // non-op event type ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.cdcCompact(spark, tmp).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Double]("current_value"), x.getAs[String]("last_op"),
+          x.getAs[Long]("n_ops"))).toMap
+    assert(r === Map(
+      1L -> ((30.0, "U", 3L)),
+      3L -> ((7.0, "I", 1L))))
+  }
+
   test("benford: shares are distributions, all nine digits emitted") {
     val rows = Relational.benfordDigits(spark, SparkT.Sf0001).collect()
     assert(rows.map(_.getAs[Int]("digit")).toSet === (1 to 9).toSet)
