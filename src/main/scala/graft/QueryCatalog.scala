@@ -121,6 +121,24 @@ object QueryCatalog {
         $roundCtes"""
   }
 
+  // CDC compaction oracle — shared verbatim by the batch query
+  // (q_cdc_compact) and its streaming twin (q_cdc_stream): the
+  // strongest stream/batch contract is the same hash under one SQL.
+  private lazy val cdcOracleSql: String = """
+        WITH ops AS (
+          SELECT user_id AS key, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I'
+                                 WHEN 'click' THEN 'U'
+                                 ELSE 'D' END AS op,
+                 value
+          FROM events WHERE event_type IN ('signup', 'click', 'error')),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_ops
+          FROM ops)
+        SELECT key AS user_id, value AS current_value, op AS last_op, n_ops
+        FROM rk WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
+
   // Shared CTE chain of the add-one-smoothed bigram LM; ends in
   // `agg(doc_id, n_bigrams, sumdec)`. Used by q_bigram_lm and the
   // CCNet perplexity-bucket query.
@@ -3164,22 +3182,11 @@ object QueryCatalog {
 
     // CDC compaction: keep-last-per-key with delete semantics, both
     // windows riding one key partitioning.
-    "q_cdc_compact" -> Spec(
-      Relational.cdcCompact,
-      Some("""
-        WITH ops AS (
-          SELECT user_id AS key, event_id AS seq,
-                 CASE event_type WHEN 'signup' THEN 'I'
-                                 WHEN 'click' THEN 'U'
-                                 ELSE 'D' END AS op,
-                 value
-          FROM events WHERE event_type IN ('signup', 'click', 'error')),
-        rk AS (
-          SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
-                 CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_ops
-          FROM ops)
-        SELECT key AS user_id, value AS current_value, op AS last_op, n_ops
-        FROM rk WHERE rn = 1 AND op <> 'D' ORDER BY user_id""")),
+    "q_cdc_compact" -> Spec(Relational.cdcCompact, Some(cdcOracleSql)),
+
+    // Streaming CDC compaction: the SAME oracle SQL as the batch twin
+    // — stream and batch must hash identically.
+    "q_cdc_stream" -> Spec(streaming.StreamOracle.cdcStream, Some(cdcOracleSql)),
 
     // DQ audit: every constraint an exact conditional count; the
     // referential check is NOT IN / left-anti on both engines.

@@ -135,6 +135,23 @@ object StreamOracle {
       Sketches.StreamHistLoCents, Sketches.StreamHistHiCents)
   }
 
+  /** q_cdc_stream: land the events table as CDC ops (no timestamps —
+    * ordering is the op sequence event_id), run the streaming
+    * compaction to completion, materialize newest-emission-per-key.
+    * The oracle is the identical SQL as q_cdc_compact — stream and
+    * batch produce the same HASH, not just the same spec.
+    */
+  def cdcStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "cdc")
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(LandingFiles).write.json(s"$tmp/landing")
+    drain(StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "cdc")
+    val r = StreamCdc.materialize(spark, s"$tmp/out")
+    Out.sorted(r)(col("user_id"))
+  }
+
   /** q_dedup_stream: stream the documents table (constant event time)
     * through the exact-dedup job and return the emitted KEY SET — one
     * bow_hash per distinct normalized content, the arrival-order-free
