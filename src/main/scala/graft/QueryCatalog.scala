@@ -298,31 +298,37 @@ object QueryCatalog {
 
   // IVF search oracle, parameterized by probe depth (shared by
   // q_ann_ivf at nprobe=1 and q_ann_ivf_probe2).
-  private def ivfSql(nprobe: Int): String = s"""
-        WITH comp AS (
+  // The seed-centroid IVF search as a CTE chain, name-suffixed so two
+  // probe depths can coexist in one statement (q_ann_recall); ends in
+  // `r<sfx>` (ranked in-cell neighbors). sfx="" keeps the original
+  // q_ann_ivf / q_ann_ivf_probe2 statements.
+  private def ivfCtes(nprobe: Int, sfx: String): String = s"""comp$sfx AS (
           SELECT label, dim,
                  ${rnd("CAST(sum(CAST(v::DOUBLE AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS c
           FROM (SELECT label, unnest(embedding) AS v,
                        generate_subscripts(embedding, 1) AS dim
                 FROM embeddings)
           GROUP BY label, dim),
-        cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label),
-        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        cent$sfx AS (SELECT label, list(c ORDER BY dim) AS centroid FROM comp$sfx GROUP BY label),
+        q$sfx AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
               WHERE vec_id < ${VectorOps.NQueries}),
-        cells AS (
+        cells$sfx AS (
           SELECT q_id, q_emb, label,
                  ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} AS cell_sim,
                  row_number() OVER (PARTITION BY q_id
                    ORDER BY ${rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)} DESC, label) AS rn
-          FROM q, cent),
-        best AS (SELECT q_id, q_emb, label, cell_sim FROM cells WHERE rn <= $nprobe),
-        s AS (
+          FROM q$sfx, cent$sfx),
+        best$sfx AS (SELECT q_id, q_emb, label, cell_sim FROM cells$sfx WHERE rn <= $nprobe),
+        s$sfx AS (
           SELECT q_id, b.label AS cell, cell_sim, e.vec_id AS neighbor_id,
                  ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
-          FROM best b JOIN embeddings e ON e.label = b.label
+          FROM best$sfx b JOIN embeddings e ON e.label = b.label
           WHERE e.vec_id <> b.q_id),
-        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        r$sfx AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s$sfx)"""
+
+  private def ivfSql(nprobe: Int): String = s"""
+        WITH ${ivfCtes(nprobe, "")}
         SELECT q_id, cell, cell_sim, rank, neighbor_id, cos_sim FROM r
         WHERE rank <= ${VectorOps.TopKIvf} ORDER BY q_id, rank"""
 
@@ -1424,6 +1430,40 @@ object QueryCatalog {
     "q_simhash_neardup_wide" -> Spec(
       TextOps.simhashNearDupWide,
       Some(simhashNearDupSqlAt(TextOps.SimhashWideBits))),
+
+    // Recall@k of IVF vs brute force, both probe depths in ONE
+    // statement via the suffixed IVF chain; the exact VALUES gate.
+    "q_ann_recall" -> Spec(
+      VectorOps.annRecall,
+      Some {
+        val k = VectorOps.TopKIvf
+        s"""
+        WITH qb AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                    WHERE vec_id < ${VectorOps.NQueries}),
+        sb AS (SELECT q_id, e.vec_id AS neighbor_id,
+                      ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM qb, embeddings e WHERE e.vec_id <> q_id),
+        rb AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sb),
+        exact AS (SELECT q_id, neighbor_id FROM rb WHERE rank <= $k),
+        ${ivfCtes(1, "_p1")},
+        sel_p1 AS (SELECT q_id, neighbor_id FROM r_p1 WHERE rank <= $k),
+        ${ivfCtes(VectorOps.IvfNProbe, "_p2")},
+        sel_p2 AS (SELECT q_id, neighbor_id FROM r_p2 WHERE rank <= $k),
+        h1 AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits_probe1
+               FROM exact JOIN sel_p1 USING (q_id, neighbor_id) GROUP BY 1),
+        h2 AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits_probe2
+               FROM exact JOIN sel_p2 USING (q_id, neighbor_id) GROUP BY 1),
+        qq AS (SELECT DISTINCT q_id FROM exact)
+        SELECT qq.q_id, CAST($k AS BIGINT) AS n_exact,
+               coalesce(hits_probe1, 0) AS hits_probe1,
+               coalesce(hits_probe2, 0) AS hits_probe2,
+               ${rnd(s"CAST(coalesce(hits_probe1, 0) AS DOUBLE) / CAST($k AS DOUBLE)", 6)} AS recall_probe1,
+               ${rnd(s"CAST(coalesce(hits_probe2, 0) AS DOUBLE) / CAST($k AS DOUBLE)", 6)} AS recall_probe2,
+               coalesce(hits_probe2, 0) >= coalesce(hits_probe1, 0) AS probe2_improves
+        FROM qq LEFT JOIN h1 USING (q_id) LEFT JOIN h2 USING (q_id)
+        ORDER BY q_id"""
+      }),
 
     "q_ann_topk" -> Spec(
       VectorOps.annBruteForce,

@@ -773,4 +773,44 @@ object VectorOps {
       .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
+
+  /** Recall@k of the IVF approximation against the exact brute-force
+    * ranking, per query and per probe depth — the index-quality metric
+    * (faiss's own acceptance number) promoted to a first-class,
+    * oracle-checked query. IvfRecallSpec asserts the monotonicity law
+    * (probe 2 ≥ probe 1); this query pins the exact VALUES under the
+    * driver gate, so a silent recall regression (a quantizer change, a
+    * tie-break drift) fails the round even when the law still holds.
+    *
+    * Scale shape: three top-k frames (queries × k rows each — tiny,
+    * whatever the corpus), two semi-join + count passes, one left
+    * join. The expensive parts are the searches themselves, already
+    * scale-shaped (brute = the one quadratic baseline, gated to
+    * [[NQueries]] probes; IVF = celled).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = TopKIvf
+    val exact = annBruteForce(spark, dir)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"))
+    def hits(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx.select(col("q_id"), col("neighbor_id")),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as(name))
+    val h1 = hits(annIvfProbed(spark, dir, 1), "hits_probe1")
+    val h2 = hits(annIvfProbed(spark, dir, IvfNProbe), "hits_probe2")
+    val r = exact.select(col("q_id")).distinct()
+      .join(h1, Seq("q_id"), "left")
+      .join(h2, Seq("q_id"), "left")
+      .select(col("q_id"), lit(k.toLong).as("n_exact"),
+        coalesce(col("hits_probe1"), lit(0L)).as("hits_probe1"),
+        coalesce(col("hits_probe2"), lit(0L)).as("hits_probe2"))
+      .withColumn("recall_probe1",
+        F.roundHalfUp(col("hits_probe1").cast("double") / k.toDouble, 6))
+      .withColumn("recall_probe2",
+        F.roundHalfUp(col("hits_probe2").cast("double") / k.toDouble, 6))
+      .withColumn("probe2_improves",
+        col("hits_probe2") >= col("hits_probe1"))
+    Out.sorted(r)(col("q_id"))
+  }
 }
