@@ -3220,6 +3220,43 @@ object QueryCatalog {
         FROM agg ORDER BY doc_id"""
       }),
 
+    // Grouped boxplot: exact cent-granular quartiles from value-count
+    // cumulatives, ceil-rank convention, integer Tukey fences.
+    "q_price_boxplot" -> Spec(
+      Relational.priceBoxplot,
+      Some(s"""
+        WITH cents AS (
+          SELECT l_returnflag AS flag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+          FROM lineitem),
+        vc AS (SELECT flag, c, CAST(count(*) AS BIGINT) AS vcnt
+               FROM cents GROUP BY 1, 2),
+        cum AS (SELECT *, CAST(sum(vcnt) OVER (PARTITION BY flag ORDER BY c
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vcum,
+                      CAST(sum(vcnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+                FROM vc),
+        qs AS (SELECT flag, max(n) AS n_rows,
+                      min(CASE WHEN vcum >= (n * 25 + 99) // 100 THEN c END) AS q25c,
+                      min(CASE WHEN vcum >= (n * 50 + 99) // 100 THEN c END) AS q50c,
+                      min(CASE WHEN vcum >= (n * 75 + 99) // 100 THEN c END) AS q75c
+               FROM cum GROUP BY 1),
+        f AS (SELECT *, q75c - q25c AS iqrc,
+                     q25c - (3 * (q75c - q25c)) // 2 AS lof,
+                     q75c + (3 * (q75c - q25c)) // 2 AS hif
+              FROM qs),
+        o AS (SELECT vc.flag,
+                     CAST(coalesce(sum(CASE WHEN c < lof THEN vcnt ELSE 0 END), 0) AS BIGINT) AS n_low_outliers,
+                     CAST(coalesce(sum(CASE WHEN c > hif THEN vcnt ELSE 0 END), 0) AS BIGINT) AS n_high_outliers
+              FROM vc JOIN f ON vc.flag = f.flag GROUP BY 1)
+        SELECT f.flag AS flag, n_rows,
+               CAST(q25c AS DOUBLE) / 100.0 AS q25,
+               CAST(q50c AS DOUBLE) / 100.0 AS median,
+               CAST(q75c AS DOUBLE) / 100.0 AS q75,
+               CAST(iqrc AS DOUBLE) / 100.0 AS iqr,
+               n_low_outliers, n_high_outliers
+        FROM f JOIN o ON f.flag = o.flag
+        ORDER BY f.flag""")),
+
     // CDC compaction: keep-last-per-key with delete semantics, both
     // windows riding one key partitioning.
     "q_cdc_compact" -> Spec(Relational.cdcCompact, Some(cdcOracleSql)),

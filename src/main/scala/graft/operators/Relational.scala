@@ -942,6 +942,53 @@ object Relational {
     Out.sorted(r)(col("cohort_week"), col("week_index"))
   }
 
+  /** Grouped boxplot — per returnflag: exact quartiles, IQR, Tukey
+    * fences and outlier counts over the price distribution. Quartiles
+    * are EXACT at cent granularity without sorting rows: prices
+    * collapse to per-(group, cent) counts first, so the cumulative
+    * window runs over DISTINCT VALUES per group (bounded by the price
+    * domain, ~10⁷ cells at worst), not over corpus rows; the rank
+    * convention is ceil(n·p/100) — all-integer, engine-independent —
+    * and the fences/outlier counts are one more conditional aggregate
+    * over the same value-count frame. The robust-statistics profile a
+    * monitoring layer wants, shaped for any corpus size.
+    */
+  def priceBoxplot(spark: SparkSession, dir: String): DataFrame = {
+    val cents = li(spark, dir).select(col("l_returnflag").as("flag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+    val vc = Out.eager(
+      cents.groupBy("flag", "c").agg(count(lit(1)).as("vcnt")))
+    val wcum = Window.partitionBy("flag").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("vcum", sum(col("vcnt")).over(wcum))
+      .withColumn("n", sum(col("vcnt")).over(Window.partitionBy("flag")))
+    def quartile(p: Int) =
+      min(when(col("vcum") >= expr(s"(n * $p + 99) DIV 100"), col("c")))
+    val qs = cum.groupBy("flag").agg(
+      max(col("n")).as("n_rows"),
+      quartile(25).as("q25c"), quartile(50).as("q50c"), quartile(75).as("q75c"))
+    val fenced = qs
+      .withColumn("iqrc", col("q75c") - col("q25c"))
+      .withColumn("lof", col("q25c") - expr("(3 * iqrc) DIV 2"))
+      .withColumn("hif", col("q75c") + expr("(3 * iqrc) DIV 2"))
+    val outliers = vc
+      .join(broadcast(fenced.select(col("flag"), col("lof"), col("hif"))), Seq("flag"))
+      .groupBy("flag").agg(
+        sum(when(col("c") < col("lof"), col("vcnt")).otherwise(0L))
+          .as("n_low_outliers"),
+        sum(when(col("c") > col("hif"), col("vcnt")).otherwise(0L))
+          .as("n_high_outliers"))
+    val r = fenced.join(outliers, Seq("flag"))
+      .select(col("flag"), col("n_rows"),
+        (col("q25c").cast("double") / 100.0).as("q25"),
+        (col("q50c").cast("double") / 100.0).as("median"),
+        (col("q75c").cast("double") / 100.0).as("q75"),
+        (col("iqrc").cast("double") / 100.0).as("iqr"),
+        col("n_low_outliers"), col("n_high_outliers"))
+    Out.sorted(r)(col("flag"))
+  }
+
   /** CDC log compaction — a change-data-capture stream (insert/update/
     * delete ops with a per-key sequence) reduced to final table state:
     * last op wins per key, a trailing delete removes the key. The

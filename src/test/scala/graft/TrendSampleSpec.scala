@@ -32,6 +32,38 @@ class TrendSampleSpec extends AnyFunSuite {
     assert(r(3L).isNullAt(r(3L).fieldIndex("trend")))
   }
 
+  test("boxplot: quartiles match a brute-force recompute, fences bound outliers") {
+    val rows = Relational.priceBoxplot(spark, SparkT.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.load(spark, SparkT.Sf0001, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val xs = cents(flag)
+      def exactQ(p: Int): Double = {
+        val t = (xs.length.toLong * p + 99) / 100 // ceil rank
+        xs((t - 1).toInt) / 100.0
+      }
+      assert(r.getAs[Long]("n_rows") === xs.length.toLong)
+      assert(r.getAs[Double]("q25") === exactQ(25))
+      assert(r.getAs[Double]("median") === exactQ(50))
+      assert(r.getAs[Double]("q75") === exactQ(75))
+      assert(r.getAs[Double]("q25") <= r.getAs[Double]("median"))
+      assert(r.getAs[Double]("median") <= r.getAs[Double]("q75"))
+      // outlier recount against the same fences
+      val iqrc = ((r.getAs[Double]("q75") - r.getAs[Double]("q25")) * 100).round
+      val q25c = (r.getAs[Double]("q25") * 100).round
+      val q75c = (r.getAs[Double]("q75") * 100).round
+      val lof = q25c - (3 * iqrc) / 2
+      val hif = q75c + (3 * iqrc) / 2
+      assert(r.getAs[Long]("n_low_outliers") === xs.count(_ < lof).toLong)
+      assert(r.getAs[Long]("n_high_outliers") === xs.count(_ > hif).toLong)
+    }
+  }
+
   test("weighted sample: top-k plan, no global sort; heavier docs sampled more") {
     val df = CorpusOps.weightedSample(spark, SparkT.Sf0001)
     val rows = df.collect()
