@@ -49,15 +49,18 @@ object Affinity {
       .distinct()
 
   /** Unordered co-purchase pairs (a < b) with their support count,
-    * [[BasketMinSupport]]-filtered. */
-  private[graft] def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val it = incidence(spark, dir)
+    * [[BasketMinSupport]]-filtered, over a given (ok, pk) incidence
+    * frame — the single definition both [[basketLift]] and
+    * [[itemPagerank]] build on. */
+  private def pairsFrom(it: DataFrame): DataFrame =
     it.as("a").join(it.as("b"), Seq("ok"))
       .filter(col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= BasketMinSupport)
-  }
+
+  private[graft] def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsFrom(incidence(spark, dir))
 
   /** Market-basket lift: for every co-purchased pair,
     * lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — >1 means the
@@ -70,11 +73,7 @@ object Affinity {
     val nOrders = it.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val items = it.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs = it.as("a").join(it.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= BasketMinSupport)
+    val pairs = pairsFrom(it)
     val r = pairs
       .join(items.select(col("pk").as("part_a"), col("n_item").as("n_a")), Seq("part_a"))
       .join(items.select(col("pk").as("part_b"), col("n_item").as("n_b")), Seq("part_b"))

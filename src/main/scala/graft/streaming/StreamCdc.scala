@@ -29,17 +29,21 @@ object StreamCdc {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** `value` is Option: the events parquet schema marks it nullable and
+    * the batch twin (Relational.cdcCompact) passes nulls through — the
+    * streaming encoder must accept them too, not crash on the first
+    * null op value. */
   final case class Op(
-      event_id: Long, user_id: Long, event_type: String, value: Double)
+      event_id: Long, user_id: Long, event_type: String, value: Option[Double])
 
   /** Per-key compaction state: newest-op triple + ops-seen count. */
-  final case class St(seq: Long, op: String, value: Double, nOps: Long)
+  final case class St(seq: Long, op: String, value: Option[Double], nOps: Long)
 
   /** One emission = the key's current compacted row (seq carried so the
     * reader can keep the newest; n_ops monotone breaks same-seq ties
     * from late-arriving older ops). */
   final case class Emit(
-      user_id: Long, seq: Long, last_op: String, current_value: Double,
+      user_id: Long, seq: Long, last_op: String, current_value: Option[Double],
       n_ops: Long)
 
   private def opCode(t: String): String = t match {
@@ -55,7 +59,7 @@ object StreamCdc {
       .flatMapGroupsWithState[St, Emit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, it, state) =>
-          var st = state.getOption.getOrElse(St(Long.MinValue, "", 0.0, 0L))
+          var st = state.getOption.getOrElse(St(Long.MinValue, "", None, 0L))
           it.foreach { o =>
             val n = st.nOps + 1
             st =
