@@ -1670,6 +1670,99 @@ object QueryCatalog {
         WHERE epoch_us(ws) + ${3600L * 1000000L} <= w
         ORDER BY window_start, event_type""")),
 
+    // ── Late/out-of-order arrival rows ──────────────────────────────
+    // The rows above land orderly (one file or constant event time) so
+    // nothing is ever late; these four land deliberately OUT-OF-ORDER,
+    // cross-batch, past-watermark files (StreamLate scaladoc has the
+    // class/margin design) and the oracles apply the watermark rule
+    // EXPLICITLY: per-batch watermark progression computed in SQL from
+    // the same id arithmetic that built the landing.
+
+    // Tumbling windows under late arrival: too-late rows (12 h behind)
+    // must vanish; 150-min-behind rows must still merge into windows
+    // earlier batches opened; the sentinel finalizes everything real.
+    "q_windows_stream_late" -> Spec(
+      graft.streaming.StreamLate.windowsStreamLate,
+      Some(s"""
+        WITH ${graft.streaming.StreamLate.eventsKeptCtes},
+        g AS (SELECT us // ${3600L * 1000000L} * ${3600L * 1000000L} AS ws,
+                     event_type, CAST(count(*) AS BIGINT) AS n_events
+              FROM kept GROUP BY 1, 2)
+        SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, n_events
+        FROM g, fw WHERE ws + ${3600L * 1000000L} <= w
+        ORDER BY window_start, event_type""")),
+
+    // Sessionization under late arrival: same landing; sessions opened
+    // by batch b are EXTENDED by batch b+1's out-of-order-kept rows
+    // (the cross-batch merge single-file landings can't exercise), and
+    // dropped rows must not found sessions of their own.
+    "q_event_sessions_stream_late" -> Spec(
+      graft.streaming.StreamLate.sessionsStreamLate,
+      Some(s"""
+        WITH ${graft.streaming.StreamLate.eventsKeptCtes},
+        x AS (SELECT *, lag(us) OVER (PARTITION BY event_type
+                          ORDER BY us, event_id) AS prev_us
+              FROM kept),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+                               OR us - prev_us >= ${graft.streaming.Sessions.GapMicros}
+                             THEN 1 ELSE 0 END AS new_s
+              FROM x),
+        z AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY event_type
+                          ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM y),
+        g AS (SELECT event_type, session_seq,
+                     strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     CAST(count(*) AS BIGINT) AS n_events, max(us) AS end_us
+              FROM z GROUP BY event_type, session_seq)
+        SELECT event_type, session_start, n_events
+        FROM g, fw WHERE end_us + ${graft.streaming.Sessions.GapMicros} <= w
+        ORDER BY event_type, session_start""")),
+
+    // Bounded-state dedup under late arrival: batch-1's 12-h-late keys
+    // KEPT at their old event time (the watermark propagation lag made
+    // visible — WatermarkLagSpec), batch-2/3's too-late keys absent,
+    // expired duplicates re-emit (the at-least-once contract), live
+    // duplicates suppressed — the oracle enumerates the classes from
+    // the same doc_id arithmetic that built the landing.
+    "q_dedup_stream_late" -> Spec(
+      graft.streaming.StreamLate.dedupStreamLate,
+      Some {
+        val base = graft.streaming.StreamLate.BaseUs
+        val slot = graft.streaming.StreamLate.SlotUs
+        val minu = graft.streaming.StreamLate.MinuteUs
+        val late = graft.streaming.StreamLate.LateShiftUs
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash
+          FROM documents),
+        canon AS (SELECT bow_hash, min(doc_id) AS doc_id FROM d GROUP BY bow_hash),
+        base AS (
+          SELECT bow_hash, doc_id,
+                 $base + (doc_id % 4) * $slot + (doc_id % 45) * $minu
+                   + CASE WHEN doc_id % 10 = 7 AND doc_id % 4 = 1
+                          THEN -$late ELSE 0 END AS us
+          FROM canon
+          WHERE NOT (doc_id % 10 = 7 AND doc_id % 4 >= 2)),
+        dup AS (
+          SELECT bow_hash, doc_id + 10000000 AS doc_id,
+                 $base + 4 * $slot + (doc_id % 45) * $minu AS us
+          FROM canon
+          WHERE doc_id % 20 = 0)
+        SELECT bow_hash, doc_id,
+               strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS ts
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM dup)
+        ORDER BY bow_hash, doc_id"""
+      }),
+
+    // CDC compaction fed newest-first across four quartile files: the
+    // oracle is the batch compaction SQL VERBATIM — the adversarial
+    // arrival order must not change a single byte of the result.
+    "q_cdc_stream_late" -> Spec(
+      graft.streaming.StreamLate.cdcStreamLate, Some(cdcOracleSql)),
+
     // HLL registers replayed in SQL: same 60-bit hash, LSB-rank rho in
     // pure integer arithmetic, harmonic sum kept scaled-integer so the
     // only doubles are the final division + linear-counting branch (the

@@ -55,7 +55,7 @@ object StreamOracle {
     * each call so repeated verify/bench invocations reuse one location
     * instead of leaking a landing copy per call.
     */
-  private def freshTmp(spark: SparkSession, dir: String, tag: String): String = {
+  private[streaming] def freshTmp(spark: SparkSession, dir: String, tag: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val tmp = java.nio.file.Paths.get(
@@ -65,7 +65,7 @@ object StreamOracle {
     tmp
   }
 
-  private def drain(q: StreamingQuery, what: String): Unit =
+  private[streaming] def drain(q: StreamingQuery, what: String): Unit =
     if (!q.awaitTermination(300000L)) {
       q.stop()
       throw new IllegalStateException(s"$what stream did not finish")
