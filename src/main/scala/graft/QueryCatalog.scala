@@ -1651,6 +1651,47 @@ object QueryCatalog {
           AND a.t <= o.t + INTERVAL '${streaming.StreamJoin.ResponseWindow}'
         ORDER BY obs_id, action_id""")),
 
+    // The pre-aggregated interval-join twin: observations collapse to
+    // per-(product, 10-min-bin) minima BEFORE the stream-stream join
+    // (the repricer only chases the window minimum), so state/output
+    // grow ~rate·bins instead of ~rate². The oracle is the batch
+    // bin-min join restricted to bins the final global watermark
+    // (min across the two sources' maxima, ms-floored, minus 1 h)
+    // finalized — matches of unfinalized tail bins never reach the
+    // join and must be absent.
+    "q_interval_join_binned_stream" -> Spec(
+      streaming.StreamOracle.binnedJoinStream,
+      Some {
+        val binUs = 10L * 60L * 1000000L
+        val delayMs = 3600L * 1000L
+        s"""
+        WITH obs AS (
+          SELECT CAST(ts AS TIMESTAMP) AS t, user_id % 100 AS product_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS price
+          FROM events WHERE event_id % 5 <> 0),
+        act AS (
+          SELECT event_id AS action_id, CAST(ts AS TIMESTAMP) AS t,
+                 user_id % 100 AS product_id,
+                 CAST(floor(value * 90 + 0.5) AS BIGINT) AS new_price
+          FROM events WHERE event_id % 5 = 0),
+        fwm AS (
+          SELECT (least((SELECT max(epoch_us(t)) FROM obs),
+                        (SELECT max(epoch_us(t)) FROM act)) // 1000
+                  - $delayMs) * 1000 AS w),
+        bins AS (
+          SELECT product_id, epoch_us(t) // $binUs * $binUs AS bs,
+                 min(price) AS min_price
+          FROM obs GROUP BY 1, 2),
+        fin AS (SELECT b.* FROM bins b, fwm WHERE bs + $binUs <= w)
+        SELECT b.product_id,
+               strftime(make_timestamp(bs), '%Y-%m-%d %H:%M:%S') AS bin_start,
+               min_price, action_id, new_price,
+               epoch_us(a.t) // 1000000 - bs // 1000000 AS response_secs
+        FROM fin b JOIN act a ON b.product_id = a.product_id
+          AND epoch_us(a.t) >= bs AND epoch_us(a.t) < bs + 2 * $binUs
+        ORDER BY 1, 2, 4"""
+      }),
+
     // Streaming tumbling windows: batch aggregation restricted to the
     // windows the final watermark finalized (wm = ms-floored max event
     // time minus the delay; a window is emitted once its end <= wm).

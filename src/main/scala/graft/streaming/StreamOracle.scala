@@ -265,9 +265,30 @@ object StreamOracle {
     */
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
     val tmp = freshTmp(spark, dir, "sjoin")
+    landJoinSides(spark, dir, tmp)
+    drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
+      s"$tmp/out", s"$tmp/ckpt"), "interval join")
+    val r = spark.read
+      .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
+        "price LONG, new_price LONG, response_secs LONG")
+      .json(s"$tmp/out")
+      .select("obs_id", "action_id", "product_id", "seller", "price",
+        "new_price", "response_secs")
+    Out.sorted(r)(col("obs_id"), col("action_id"))
+  }
+
+  /** The interval-join landings: the events table split into an
+    * observation stream and an action stream (deterministic residue
+    * split, microsecond timestamps preserved). Each side lands as
+    * [[StreamJoin.LandingFilesPerSide]] files written in parallel —
+    * the join jobs ingest a whole side per trigger, so both sides
+    * still meet in a single micro-batch (within-batch order is
+    * irrelevant to a join) without a single-task serialization of the
+    * whole side. */
+  private def landJoinSides(spark: SparkSession, dir: String, tmp: String): Unit = {
     val events = Tables.load(spark, dir, "events")
     def land(df: DataFrame, path: String): Unit =
-      df.coalesce(1).write
+      df.repartition(StreamJoin.LandingFilesPerSide).write
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
     land(events.filter(col("event_id") % 5 =!= 0).select(
@@ -281,15 +302,29 @@ object StreamOracle {
       (col("user_id") % 100).as("product_id"),
       floor(col("value") * 90 + 0.5).cast("long").as("new_price")),
       s"$tmp/actions")
-    drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
-      s"$tmp/out", s"$tmp/ckpt"), "interval join")
+  }
+
+  /** q_interval_join_binned_stream: the pre-aggregated twin
+    * ([[StreamJoin.binnedJoined]]) over the same landings — the
+    * observation side collapses to per-(product, 10-min-bin) minima
+    * before the stream-stream join, so state and output grow
+    * ~rate·bins instead of ~rate². Append mode releases a bin once the
+    * global watermark (min across both sources' event-time stats)
+    * passes its end, so the oracle is the batch bin-min join
+    * restricted to finalized bins.
+    */
+  def binnedJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "bjoin")
+    landJoinSides(spark, dir, tmp)
+    drain(StreamJoin.startBinned(spark, s"$tmp/obs", s"$tmp/actions",
+      s"$tmp/out", s"$tmp/ckpt"), "binned interval join")
     val r = spark.read
-      .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
-        "price LONG, new_price LONG, response_secs LONG")
+      .schema("product_id LONG, bin_start STRING, min_price LONG, " +
+        "action_id LONG, new_price LONG, response_secs LONG")
       .json(s"$tmp/out")
-      .select("obs_id", "action_id", "product_id", "seller", "price",
+      .select("product_id", "bin_start", "min_price", "action_id",
         "new_price", "response_secs")
-    Out.sorted(r)(col("obs_id"), col("action_id"))
+    Out.sorted(r)(col("product_id"), col("bin_start"), col("action_id"))
   }
 
   /** q_windows_stream: land the events table (microsecond timestamps
