@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ExtractBalancedJson, VectorDot}
+import graft.functions.{ExtractBalancedJson, TextSql, VectorDot}
 
 /** Session-extension entry point: deploy the engine's custom functions
   * on any cluster session via
@@ -29,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    // The text/LSH column combinators (graft_shingles, graft_minhash_sig,
+    // graft_band_key, graft_simhash, graft_quality_score, graft_bow_hash,
+    // graft_shingle_hashes): pure compositions of built-in expressions
+    // that inline into the caller's plan — see functions.TextSql.
+    TextSql.combinators.foreach { case (name, arity, f) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(TextSql.getClass.getName, name),
+        TextSql.builderOf(name, arity, f)))
+    }
   }
 }

@@ -1094,6 +1094,17 @@ object QueryCatalog {
         SELECT doc_a, doc_b, n_shared_bands, jaccard FROM pairs
         ORDER BY doc_a, doc_b""")),
 
+    // The SAME banded-LSH near-dup pipeline restated as pure spark.sql
+    // text over the registered combinator surface (functions.TextSql) —
+    // same oracle as the DataFrame form, so SQL and Scala users are
+    // pinned to one answer.
+    "q_minhash_neardup_sql" -> Spec(
+      TextOps.minhashNearDupSql,
+      Some(s"""
+        WITH ${minhashPairCtes()}
+        SELECT doc_a, doc_b, n_shared_bands, jaccard FROM pairs
+        ORDER BY doc_a, doc_b""")),
+
     // band_idx - 1: generate_subscripts is 1-based, posexplode 0-based.
     "q_minhash_band_stats" -> Spec(
       TextOps.minhashBandStats,
@@ -2763,6 +2774,17 @@ object QueryCatalog {
 
     "q_xlsx_roundtrip" -> Spec(
       sources.SinkRoundTrips.xlsxRoundtrip,
+      Some("""
+        SELECT l_partkey AS sku, printf('%.2f', min(l_extendedprice)) AS min_price
+        FROM lineitem WHERE l_partkey <= 200
+        GROUP BY l_partkey ORDER BY sku""")),
+
+    // Distributed multi-workbook export (K5 at 100×): 4 task-written
+    // shards + manifest, read back through the distributed reader; the
+    // builder asserts manifest/read-back agreement, the oracle pins the
+    // union's values — a lost or torn shard fails either way.
+    "q_xlsx_sharded" -> Spec(
+      sources.SinkRoundTrips.xlsxSharded,
       Some("""
         SELECT l_partkey AS sku, printf('%.2f', min(l_extendedprice)) AS min_price
         FROM lineitem WHERE l_partkey <= 200

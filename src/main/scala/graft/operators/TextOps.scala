@@ -94,8 +94,10 @@ object TextOps {
     * shared with the streaming form (StreamDedup) so batch and stream
     * agree byte-for-byte.
     */
-  private[graft] def bowHash: Column =
-    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+  private[graft] def bowHashOf(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  private[graft] def bowHash: Column = bowHashOf(col("text"))
 
   /** Word 3-gram shingle set of a token-array column (distinct, empty
     * if < 3 words). Feed it a MATERIALIZED attribute (project the split
@@ -178,12 +180,13 @@ object TextOps {
   /** The quality score of a `text` column (shared by [[qualityScores]]
     * and the curation funnel so the keep rule cannot drift).
     */
-  private[graft] def qualityScore: Column = {
-    val n = size(toks).cast("double")
-    val nStop = size(filter(toks, t => Stopwords.map(t === _).reduce(_ || _)))
+  private[graft] def qualityScoreOf(text: Column): Column = {
+    val tk = split(text, " ")
+    val n = size(tk).cast("double")
+    val nStop = size(filter(tk, t => Stopwords.map(t === _).reduce(_ || _)))
       .cast("double")
     val stopRatio = nStop / n
-    val ttr = size(array_distinct(toks)).cast("double") / n
+    val ttr = size(array_distinct(tk)).cast("double") / n
     // length band: full credit in [20, 80] tokens, linear falloff outside
     val lengthScore = least(lit(1.0), n / 20.0) * least(lit(1.0), lit(80.0) / greatest(n, lit(80.0)))
     // stopword band: natural text sits in [0.02, 0.3]
@@ -191,6 +194,8 @@ object TextOps {
     F.roundHalfUp(
       lit(0.4) * lengthScore + lit(0.3) * stopScore + lit(0.3) * ttr, 6)
   }
+
+  private[graft] def qualityScore: Column = qualityScoreOf(col("text"))
 
   /** Quality keep rule: score at or above 0.5. */
   private[graft] def qualityKeep: Column = qualityScore >= 0.5
@@ -592,6 +597,65 @@ object TextOps {
     }
   }
 
+  /** Per-shingle base hashes of a shingle-array column: the same 60-bit
+    * md5-prefix hash (mod [[MinhashPrime]]) the signature aggregation
+    * uses, as a per-row array — the SQL-surface building block
+    * (`graft_shingle_hashes`). Materialize it into a column before
+    * feeding [[minhashSigOf]]: the k permutation lambdas each reference
+    * their input once, so hashing once here keeps md5 out of the k-fold
+    * hot path exactly like the DataFrame pipeline's single-digest rule.
+    */
+  private[graft] def shingleHashesOf(sh: Column): Column =
+    transform(sh, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast(LongType) % MinhashPrime)
+
+  /** Per-row MinHash signature of a base-hash array: element p is
+    * min((a_p·h + b_p) mod prime) over the array — value-identical to
+    * the explode+groupBy aggregation in [[minhashSignatures]] (same
+    * permutation constants, same integer arithmetic), packaged as an
+    * `ARRAY<BIGINT>` for SQL composition. The aggregation form remains
+    * the corpus-scale path (map-side combine over exploded shingles);
+    * this form is the expression-level surface.
+    */
+  private[graft] def minhashSigOf(hs: Column): Column =
+    array(minhashPerms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashPrime))
+    }: _*)
+
+  /** LSH band key of a signature array at a (0-based) band index:
+    * md5 over the '_'-joined band slice — byte-identical to the band
+    * hash [[bandRows]] projects, with the slice indices computed from
+    * the same [[RowsPerBand]] constant.
+    */
+  private[graft] def bandKeyOf(sig: Column, bandIdx: Column): Column =
+    md5(concat_ws("_", transform(
+      sequence(bandIdx * RowsPerBand + 1, bandIdx * RowsPerBand + RowsPerBand),
+      i => element_at(sig, i).cast("string"))))
+
+  /** Per-row SimHash fingerprint of a token-array column — the same
+    * majority-bit rule as [[simhashTableAt]] (bit j set iff more
+    * distinct-token hashes have bit j set than clear), computed as one
+    * fold: hash each distinct token once, accumulate a `bits`-wide
+    * vote array in a single `aggregate`, then fold votes into the
+    * fingerprint. The aggregation form stays the corpus path (32
+    * map-side-combinable sums, no per-row array state); this is the
+    * expression-level surface for SQL composition.
+    */
+  private[graft] def simhashOf(ws: Column, bits: Int = SimhashBits): Column = {
+    val hvs = transform(array_distinct(ws), t =>
+      conv(substring(md5(t), 1, bits / 4), 16, 10).cast(LongType))
+    val zeros = array_repeat(lit(0L), bits)
+    val idx = sequence(lit(0), lit(bits - 1))
+    val votes = aggregate(hvs, zeros, (acc, h) =>
+      zip_with(acc, idx, (a, j) =>
+        a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, idx, (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** MinHash signature mh0..mh{k-1}: one 60-bit md5 hash per shingle,
     * then k linear permutations (a_p·h + b_p) mod 2^31-1 — the classic
     * universal-hash family, and exact integer arithmetic any engine
@@ -631,6 +695,60 @@ object TextOps {
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(nearDupPairsCore(signatureTable(spark, dir)))(
       col("doc_a"), col("doc_b"))
+
+  /** [[minhashNearDup]] restated as PURE SQL TEXT over the registered
+    * combinator surface (graft_shingles / graft_shingle_hashes /
+    * graft_minhash_sig / graft_band_key — functions.TextSql): the proof
+    * that a `spark.sql` user can compose the full banded-LSH dedup
+    * pipeline without the Scala API, pinned hash-equal to the DataFrame
+    * form by its own oracle row (q_minhash_neardup_sql, same DuckDB
+    * oracle as q_doc_minhash_neardup). Because every registered
+    * function inlines built-in expressions, this plan whole-stage
+    * codegens exactly like the DataFrame plan — the signature table
+    * materialization is the only deliberate difference (the SQL form
+    * derives signatures inline; at warehouse scale a SQL user would
+    * `CREATE TABLE ... AS SELECT doc_id, shingles, sig` the `sig` CTE
+    * once, which is precisely what [[signatureTable]] automates).
+    */
+  def minhashNearDupSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    graft.functions.TextSql.registerAll(spark)
+    val r6 = (x: String) => s"CAST(floor(($x) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6"
+    spark.sql(s"""
+      WITH base AS (
+        SELECT doc_id, graft_shingles(ws) AS shingles
+        FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+        WHERE size(ws) >= 3),
+      sig AS (
+        SELECT doc_id, shingles,
+               graft_minhash_sig(graft_shingle_hashes(shingles)) AS sig
+        FROM base),
+      bands AS (
+        SELECT doc_id, b AS band_idx, graft_band_key(sig, b) AS band_hash
+        FROM sig LATERAL VIEW explode(sequence(0, ${Bands - 1})) t AS b),
+      hot AS (
+        SELECT band_idx, band_hash FROM bands
+        GROUP BY band_idx, band_hash HAVING count(*) > $MaxBandFrequency),
+      kept AS (
+        SELECT b.* FROM bands b LEFT ANTI JOIN hot h
+          ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash),
+      cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               count(*) AS n_shared_bands
+        FROM kept x JOIN kept y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      j AS (
+        SELECT doc_a, doc_b, n_shared_bands,
+               ${r6("CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)" +
+                 " / CAST(size(array_union(a.shingles, b.shingles)) AS DOUBLE)")} AS jaccard
+        FROM cand JOIN base a ON doc_a = a.doc_id
+                  JOIN base b ON doc_b = b.doc_id)
+      SELECT doc_a, doc_b, n_shared_bands, jaccard FROM j
+      WHERE jaccard >= $JaccardThreshold
+      ORDER BY doc_a, doc_b""")
+  }
 
   /** Bucket count of the materialized signature table — matches the
     * session shuffle parallelism so the bucketed scan satisfies the

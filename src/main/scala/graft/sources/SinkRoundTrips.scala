@@ -220,4 +220,29 @@ object SinkRoundTrips {
     Out.sorted(back.select(col("sku").cast("bigint").as("sku"), col("min_price")))(
       col("sku"))
   }
+
+  /** The DISTRIBUTED form of the workbook export (K5 at 100×): the same
+    * priced frame hash-partitioned into 4 shards, one workbook per
+    * partition written task-side ([[Excel.writeXlsxSharded]]), read back
+    * through the distributed reader's glob — the exact inverse grain.
+    * The builder cross-checks the shard manifest against the read-back
+    * (total rows AND per-file counts must agree) before returning, so a
+    * lost shard, a torn rename or a manifest drift fails loudly rather
+    * than hashing short.
+    */
+  def xlsxSharded(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpBase(dir, "export_xlsx_sharded")
+    val manifest =
+      Excel.writeXlsxSharded(exportFrame(spark, dir).repartition(4, col("sku")), base)
+    val back = Excel.readXlsx(spark, s"$base/part-*.xlsx")
+    val perFile = back.groupBy(col("_file").as("file"))
+      .agg(count(lit(1)).as("read_rows"))
+    val drift = manifest.join(perFile, Seq("file"), "full_outer")
+      .filter(col("n_rows").isNull || col("read_rows").isNull ||
+        col("n_rows") =!= col("read_rows"))
+    require(drift.isEmpty,
+      s"xlsx shard manifest disagrees with read-back under $base")
+    Out.sorted(back.select(col("sku").cast("bigint").as("sku"), col("min_price")))(
+      col("sku"))
+  }
 }

@@ -527,6 +527,80 @@ object Excel {
   def writeXlsx(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
     writeXlsxCapped(df, path, sheetName, MaxXlsxDataRows)
 
+  /** Distributed MULTI-workbook export — K5 at 100× scale. One workbook
+    * per non-empty partition, written TASK-side (`foreachPartition`, so
+    * N partitions export as N parallel zip streams with zero driver
+    * involvement), each atomic via the same tmp+rename discipline as
+    * [[writeXlsxCapped]] — a task retry can never leave a torn shard,
+    * because the rename only happens after the zip closes cleanly.
+    *
+    * Alongside each `part-NNNNN.xlsx` the task lands a one-line manifest
+    * row under `dir/_manifest/` (`{"shard":N,"file":"…","n_rows":N}`),
+    * also tmp+renamed; the returned frame is the manifest read back, so
+    * a caller can audit shard completeness without opening workbooks.
+    * This is the exact inverse of [[readXlsx]]'s one-task-per-file
+    * grain: `readXlsx(spark, s"$dir/part-*.xlsx")` round-trips the
+    * frame, and at cluster scale thousands of shards fan out across
+    * executors with zero shuffle in either direction.
+    *
+    * Each shard keeps the single-workbook row cap (the OOXML sheet
+    * limit): bulk data must arrive pre-partitioned below the cap —
+    * `df.repartition(ceil(n / cap), key)` — which is the caller's
+    * layout decision, not something a sink should silently re-shuffle.
+    */
+  def writeXlsxSharded(df: DataFrame, dir: String,
+      sheetName: String = "Sheet1",
+      capPerShard: Long = MaxXlsxDataRows): DataFrame = {
+    val spark = df.sparkSession
+    val header = df.columns.toSeq
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val base = new Path(dir)
+    val fs0 = base.getFileSystem(hadoopConf.value)
+    fs0.delete(base, true) // deterministic start state (rerun = overwrite)
+    fs0.mkdirs(new Path(base, "_manifest"))
+    val cap = capPerShard
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new Path(dir).getFileSystem(hadoopConf.value)
+        def atomically(dest: Path)(body: java.io.OutputStream => Unit): Unit = {
+          val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
+          val out = fs.create(tmp, true)
+          var ok = false
+          try { body(out); ok = true }
+          finally {
+            out.close()
+            if (ok) {
+              fs.delete(dest, false)
+              if (!fs.rename(tmp, dest))
+                throw new java.io.IOException(s"rename $tmp -> $dest failed")
+            } else fs.delete(tmp, false)
+          }
+        }
+        val name = f"part-$pid%05d.xlsx"
+        var n = 0L
+        atomically(new Path(dir, name)) { out =>
+          Xlsx.write(header, it.map { r =>
+            n += 1
+            require(n <= cap,
+              s"xlsx shard $name exceeds the per-workbook cap of $cap rows: " +
+                "repartition the frame into more shards")
+            r.toSeq
+          }, out, sheetName)
+        }
+        atomically(new Path(s"$dir/_manifest", f"part-$pid%05d.json")) { out =>
+          val w = new java.io.OutputStreamWriter(out, "UTF-8")
+          w.write(s"""{"shard":$pid,"file":"$name","n_rows":$n}""" + "\n")
+          w.flush()
+        }
+      }
+    }
+    spark.read
+      .schema("shard INT, file STRING, n_rows LONG")
+      .json(s"$dir/_manifest")
+  }
+
   /** Row cap of the single-workbook export: the OOXML sheet limit
     * (2^20 rows) minus the header. The cap is the sink's CONTRACT
     * guard — this is a driver-streamed, user-facing export (the

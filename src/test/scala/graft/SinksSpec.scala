@@ -99,4 +99,44 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() === 4) // append semantics, partition dirs readable
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("user_id=")))
   }
+
+  test("writeXlsxSharded: one workbook per non-empty partition + manifest agrees") {
+    import graft.sources.Excel
+    val dir = tmp("xlsx_sharded")
+    // 8 partitions over 20 keys → some partitions may be empty; empty
+    // partitions must produce neither a shard nor a manifest row
+    val src = spark.range(0, 20)
+      .selectExpr("id AS k", "CAST(id * 10 AS STRING) AS v")
+      .repartition(8, $"k")
+    val manifest = Excel.writeXlsxSharded(src, dir).collect()
+    val shardFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".xlsx")).map(_.getName).sorted
+    assert(manifest.map(_.getAs[String]("file")).sorted.toSeq === shardFiles.toSeq)
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum === 20L)
+    assert(manifest.forall(_.getAs[Long]("n_rows") > 0L), "no empty shards")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+    // read-back through the distributed reader's glob is the exact union
+    val back = Excel.readXlsx(spark, s"$dir/part-*.xlsx")
+    assert(back.count() === 20)
+    assert(back.select($"k".cast("long")).as[Long].collect().sorted.toSeq ===
+      (0L until 20L))
+    // rerun = overwrite: same layout, no accumulation
+    Excel.writeXlsxSharded(src, dir)
+    assert(Excel.readXlsx(spark, s"$dir/part-*.xlsx").count() === 20)
+  }
+
+  test("writeXlsxSharded enforces the per-shard row cap task-side") {
+    import graft.sources.Excel
+    val dir = tmp("xlsx_sharded_cap")
+    val src = spark.range(0, 30)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .repartition(2)
+    val e = intercept[org.apache.spark.SparkException] {
+      Excel.writeXlsxSharded(src, dir, capPerShard = 5L)
+    }
+    assert(e.getMessage.contains("per-workbook cap") ||
+      Option(e.getCause).exists(_.getMessage.contains("per-workbook cap")))
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")),
+      "aborted shards must clean up their temp files")
+  }
 }

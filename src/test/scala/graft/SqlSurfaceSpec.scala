@@ -35,4 +35,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .stripMargin).head().getInt(0)
     assert(walked === 1)
   }
+
+  test("registered text/LSH combinators match the DataFrame pipeline values") {
+    Tables.registerAll(spark, SparkT.Sf0001)
+    graft.functions.TextSql.registerAll(spark)
+    // shingles: 5 words -> 3 trigram shingles
+    val sh = spark.sql(
+      "SELECT graft_shingles(split('a b c d e', ' ')) AS sh").head()
+      .getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d", "c d e"))
+    // per-row simhash ≡ the aggregation-form fingerprint, whole corpus
+    val agg = graft.operators.TextOps.simhash(spark, SparkT.Sf0001)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = spark.sql("""
+        SELECT doc_id, graft_simhash(split(text, ' ')) AS simhash
+        FROM documents WHERE size(split(text, ' ')) >= 1""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.forall { case (id, fp) => perRow.get(id).contains(fp) },
+      "per-row graft_simhash must equal the aggregation-form fingerprint")
+    // quality score + bow hash agree with the Scala combinators
+    val sqlQ = spark.sql("""
+        SELECT doc_id, graft_quality_score(text) AS q, graft_bow_hash(text) AS h
+        FROM documents ORDER BY doc_id LIMIT 20""").collect()
+    val apiQ = spark.sql("SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextOps.qualityScoreOf(
+          org.apache.spark.sql.functions.col("text")).as("q"),
+        graft.operators.TextOps.bowHashOf(
+          org.apache.spark.sql.functions.col("text")).as("h"))
+      .collect()
+    assert(sqlQ.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ===
+      apiQ.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq)
+    // the full SQL-text near-dup pipeline is hash-equal to the DataFrame form
+    val sqlPairs = graft.operators.TextOps.minhashNearDupSql(spark, SparkT.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val apiPairs = graft.operators.TextOps.minhashNearDup(spark, SparkT.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sqlPairs.toSeq === apiPairs.toSeq)
+  }
 }
