@@ -2790,6 +2790,46 @@ object QueryCatalog {
         FROM lineitem WHERE l_partkey <= 200
         GROUP BY l_partkey ORDER BY sku""")),
 
+    // ── failure-surface rows (sources.Resilience): corrupt input in,
+    // skip/coerce conventions out, each against a real corrupt artifact.
+
+    // Directory scan with a planted torn-footer parquet shard: the two
+    // intact slices survive, the torn shard is skipped (per-reader
+    // ignoreCorruptFiles); oracle recomputes the intact slices.
+    "q_corrupt_parquet_scan" -> Spec(
+      sources.Resilience.corruptParquetScan,
+      Some(s"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+               ${sumDec("o_totalprice")} AS total
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // NDJSON with garbage lines mid-stream (committed crashed-scraper
+    // fixture): DROPMALFORMED + key-presence keeps the recoverable rows;
+    // the oracle reads the SAME fixture with DuckDB's ignore_errors.
+    "q_malformed_ndjson" -> Spec(
+      sources.Resilience.malformedNdjson,
+      Some(s"""
+        SELECT sku, seller, price, stock
+        FROM read_json('${operators.Ingestion.FixturesDir}/corrupt/offers_bad_lines.ndjson',
+          format='newline_delimited',
+          columns={sku:'BIGINT', seller:'VARCHAR', price:'BIGINT', stock:'BIGINT'},
+          ignore_errors=true)
+        WHERE sku IS NOT NULL ORDER BY sku""")),
+
+    // Workbook whose shared-string table is missing (committed fixture):
+    // t="s" refs coerce to null, numeric/inline cells untouched. DuckDB
+    // cannot read xlsx, so the oracle states the expected rows as
+    // literals — exact because the fixture is byte-pinned in git.
+    "q_xlsx_missing_sst" -> Spec(
+      sources.Resilience.xlsxMissingSharedStrings,
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(101 AS BIGINT), CAST(NULL AS VARCHAR), CAST(5 AS BIGINT)),
+          (102, NULL, 7),
+          (103, 'inline ok', 9)) AS t(sku, name, qty)
+        ORDER BY sku""")),
+
     // End-to-end STREAMING repricer: the builder lands offers, runs the
     // AvailableNow stream, and returns the JSONL decision log; the
     // oracle restates the reprice rule (ignored merchant 7, lowest comp,

@@ -287,7 +287,17 @@ object Xlsx {
     def endCell(): Unit = {
       val raw = text.toString
       val value: String = cellType match {
-        case "s"         => if (raw.isEmpty) null else sst(raw.trim.toInt)
+        // shared-string refs COERCE to null when the table is missing or
+        // short (a workbook whose sharedStrings.xml write was interrupted
+        // is still structurally valid; the reference family's convention
+        // is skip/coerce, not crash — etl_sales.py:12-13) — pinned by
+        // q_xlsx_missing_sst on the committed corrupt fixture
+        case "s" =>
+          if (raw.isEmpty) null
+          else {
+            val i = raw.trim.toInt
+            if (i >= 0 && i < sst.length) sst(i) else null
+          }
         case "inlineStr" => raw
         case "b"         => if (raw.trim == "1") "true" else "false"
         case "e"         => null

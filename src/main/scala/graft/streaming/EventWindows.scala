@@ -57,7 +57,8 @@ object EventWindows {
     * append sink (only finalized windows are written).
     */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     windowed(
       spark.readStream
         .schema(eventSchema)
@@ -71,4 +72,5 @@ object EventWindows {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

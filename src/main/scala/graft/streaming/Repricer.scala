@@ -202,7 +202,8 @@ object Repricer {
   def start(spark: SparkSession, landingDir: String, settings: DataFrame,
             ignoredMerchants: Seq[String], actionsDir: String,
             checkpointDir: String,
-            clock: () => Long = () => System.currentTimeMillis()): StreamingQuery =
+            clock: () => Long = () => System.currentTimeMillis()): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     spark.readStream
       .schema(offerSchema)
       .option("maxFilesPerTrigger", 1)
@@ -220,4 +221,5 @@ object Repricer {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -98,7 +98,8 @@ object Sessions {
     * (only watermark-finalized sessions are written).
     */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     spark.readStream
       .schema(EventWindows.eventSchema)
       .option("maxFilesPerTrigger", 1)
@@ -117,4 +118,5 @@ object Sessions {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -75,6 +75,7 @@ object StreamCdc {
   def start(spark: SparkSession, landingDir: String, outDir: String,
             checkpointDir: String): StreamingQuery = {
     import spark.implicits._
+    StateStores.useRocksDb(spark)
     compacted(
       spark.readStream
         .schema(opSchema)

@@ -46,7 +46,8 @@ object StreamDedup {
 
   /** Streaming job: NDJSON landing → dedup → append sink. */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     deduped(
       spark.readStream
         .schema(docSchema)
@@ -59,4 +60,5 @@ object StreamDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

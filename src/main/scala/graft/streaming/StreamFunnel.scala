@@ -85,7 +85,8 @@ object StreamFunnel {
 
   /** Streaming job: NDJSON landing → funnel progress rows → append sink. */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     funnel(
       spark.readStream
         .schema(eventSchema)
@@ -98,4 +99,5 @@ object StreamFunnel {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

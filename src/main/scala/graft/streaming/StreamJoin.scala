@@ -90,6 +90,7 @@ object StreamJoin {
   /** Streaming job over two NDJSON landing dirs → append sink. */
   def start(spark: SparkSession, obsDir: String, actionsDir: String,
             outDir: String, checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     def src(dir: String, schema: StructType) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", LandingFilesPerSide).json(dir)
@@ -161,6 +162,7 @@ object StreamJoin {
   /** Streaming job for the binned twin: same landings → append sink. */
   def startBinned(spark: SparkSession, obsDir: String, actionsDir: String,
                   outDir: String, checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     def src(dir: String, schema: StructType) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", LandingFilesPerSide).json(dir)

@@ -129,7 +129,8 @@ object StreamNearDup {
 
   /** Streaming job: NDJSON landing → near-dup pairs → append sink. */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     pairs(
       spark.readStream
         .schema(StreamDedup.docSchema)
@@ -142,4 +143,5 @@ object StreamNearDup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -152,7 +152,8 @@ object StreamSketch {
     */
   private def startMerge(spark: SparkSession, landingDir: String,
       checkpointDir: String, schema: StructType)(
-      merge: (DataFrame, Long) => Unit): StreamingQuery =
+      merge: (DataFrame, Long) => Unit): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -162,6 +163,7 @@ object StreamSketch {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming job: NDJSON key landing → per-batch sketch → merge. */
   def start(spark: SparkSession, landingDir: String, sketchDir: String,

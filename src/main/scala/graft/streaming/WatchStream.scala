@@ -121,7 +121,8 @@ object WatchStream {
     */
   def start(spark: SparkSession, landingDir: String, outDir: String,
             checkpointDir: String,
-            stateTtl: Option[String] = Some("10 minutes")): StreamingQuery =
+            stateTtl: Option[String] = Some("10 minutes")): StreamingQuery = {
+    StateStores.useRocksDb(spark)
     detectBots(flatten(readLanding(spark, landingDir)), stateTtl)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -131,4 +132,5 @@ object WatchStream {
       .partitionBy("user_id")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -4,7 +4,11 @@ tables (the environment ships no sf1 generator): each fact table is
 replicated 10x with replica-offset keys, preserving parquet schemas
 bit-for-bit via pyarrow.
 
-Usage: python3 tools/make_sf1.py [outDir=/tmp/graft_sf1]
+Usage: python3 tools/make_sf1.py [outDir=/tmp/graft_sf1] [replicas=10]
+(replicas=100 derives an sf10-equivalent set; documents rotate by i mod
+26, so at replicas>26 some replicas are exact text clones under fresh
+doc_ids — realistic duplication for a web-scale dedup workload, and
+bench-only since oracles run at sf0.01)
 
 Replication rules:
   - region/nation: copied unchanged (dimensions).
@@ -26,7 +30,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-R = 10
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 KEYED = {
     "customer": ["c_custkey"],
@@ -76,8 +80,8 @@ def main():
                 stride = strides[STRIDE_OF.get(k, k)]
                 col = pc.add(p[k], pa.scalar(i * stride, type=p[k].type))
                 p = p.set_column(p.schema.get_field_index(k), k, col)
-            if name == "documents" and i > 0:
-                texts = pa.array([rotate(x, i) for x in p["text"].to_pylist()],
+            if name == "documents" and i % 26 != 0:
+                texts = pa.array([rotate(x, i % 26) for x in p["text"].to_pylist()],
                                  type=p["text"].type)
                 p = p.set_column(p.schema.get_field_index("text"), "text", texts)
             parts.append(p)
