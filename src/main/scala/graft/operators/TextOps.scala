@@ -714,9 +714,15 @@ object TextOps {
     Tables.registerAll(spark, dir)
     graft.functions.TextSql.registerAll(spark)
     val r6 = (x: String) => s"CAST(floor(($x) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6"
+    // The REPARTITION hint is the SQL spelling of docsDistributed's
+    // explicit spread: the testdata parquet is one row group, so without
+    // it the whole shingle+k-permutation pipeline runs in ONE task
+    // (measured 15.8 s -> the hinted form at sf0.1).
+    val par = spark.sparkContext.defaultParallelism
     spark.sql(s"""
       WITH base AS (
-        SELECT doc_id, graft_shingles(ws) AS shingles
+        SELECT /*+ REPARTITION($par, doc_id) */
+               doc_id, graft_shingles(ws) AS shingles
         FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
         WHERE size(ws) >= 3),
       sig AS (

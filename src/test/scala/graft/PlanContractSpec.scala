@@ -300,4 +300,18 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
   }
+
+  test("SQL-surface near-dup: registered combinators inline (no UDF, codegen on)") {
+    val df = operators.TextOps.minhashNearDupSql(spark, SparkT.Sf0001)
+    val plan = planOf(df)
+    // the registered functions must dissolve into built-in expressions —
+    // a UDF / interpreted-eval node in the plan means the registry
+    // builder stopped inlining
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF") &&
+      !plan.contains("ColumnNodeExpression"), s"opaque function node:\n$plan")
+    assert(plan.contains("*("), s"codegen lost:\n$plan") // codegen stage marker
+    // band self-join is an equi-join on the band key, never a cross join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
 }
