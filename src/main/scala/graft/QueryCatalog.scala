@@ -2772,6 +2772,21 @@ object QueryCatalog {
         WHERE strftime(l_shipdate, '%Y-%m') = '${sources.SinkRoundTrips.PartitionMonth}'
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Z-order clustered layout (sources.ZOrder): lineitem rewritten on
+    // the Morton curve of (l_partkey, l_suppkey), read back through the
+    // statistics-pruned scan with the box filter. Oracle recomputes the
+    // box aggregate from the flat source; ZOrderSpec proves the
+    // row-group skipping from the parquet footers.
+    "q_zorder_layout" -> Spec(
+      sources.ZOrder.zorderRoundtrip,
+      Some(s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               ${sumDec("l_extendedprice")} AS revenue
+        FROM lineitem
+        WHERE l_partkey BETWEEN ${sources.ZOrder.PartLo} AND ${sources.ZOrder.PartHi}
+          AND l_suppkey BETWEEN ${sources.ZOrder.SuppLo} AND ${sources.ZOrder.SuppHi}
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_xlsx_roundtrip" -> Spec(
       sources.SinkRoundTrips.xlsxRoundtrip,
       Some("""

@@ -24,4 +24,5 @@ object SparkT {
   }
 
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 }
