@@ -105,9 +105,21 @@ object Bench {
     // Warmup failures are NOT silent (r2 bench tail carried a stray
     // stack trace with an empty errors map): anything thrown here is
     // recorded with a "warmup:" prefix so the JSON names the culprit.
+    // Per-query progress on stderr: a multi-hour sf10 sweep is
+    // otherwise a black box (the JSON only lands at the very end), and
+    // a hang is indistinguishable from slow work without knowing WHICH
+    // query the JVM is inside.
+    def progress(tag: String, name: String, sec: Double): Unit =
+      System.err.println(f"[bench] $tag $name ${sec}%.1fs")
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      names.foreach { n => hygiene(); run(n).foreach(e => errors(n) = s"warmup: $e") }
+      names.foreach { n =>
+        hygiene()
+        val t0 = System.nanoTime()
+        run(n).foreach(e => errors(n) = s"warmup: $e")
+        progress("warmup", n, (System.nanoTime() - t0) / 1e9)
+      }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val timed = names.map { name =>
@@ -119,6 +131,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val cpuSec = (cpuNow() - c0) / 1e9
         err.foreach(errors(name) = _)
+        progress("timed", name, sec)
         if (err.isEmpty) (sec, cpuSec) else (-1.0, -1.0)
       }
       val failed = runs.exists(_._1 == -1.0)

@@ -2787,6 +2787,19 @@ object QueryCatalog {
           AND l_suppkey BETWEEN ${sources.ZOrder.SuppLo} AND ${sources.ZOrder.SuppHi}
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Small-file compaction (sources.Compact): lineitem landed as 64
+    // tiny files, rewritten to ~target-size files by the scan packer's
+    // bin plan (zero shuffle, one task per output file), aggregated
+    // from the compacted read-back. Oracle recomputes from the flat
+    // source; CompactSpec pins the bin plan and size bounds.
+    "q_compact_small_files" -> Spec(
+      sources.Compact.compactRoundtrip,
+      Some(s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               ${sumDec("l_extendedprice")} AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_xlsx_roundtrip" -> Spec(
       sources.SinkRoundTrips.xlsxRoundtrip,
       Some("""
