@@ -2800,6 +2800,18 @@ object QueryCatalog {
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Bucketed-layout join (sources.Sinks.bucketedJoinRoundtrip): both
+    // sides persisted bucketBy(orderkey), joined exchange-free (plan
+    // pinned by BucketedJoinSpec); the oracle recomputes the join
+    // aggregate from the flat tables.
+    "q_bucketed_join" -> Spec(
+      sources.Sinks.bucketedJoinRoundtrip,
+      Some(s"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+               ${sumDec("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     "q_xlsx_roundtrip" -> Spec(
       sources.SinkRoundTrips.xlsxRoundtrip,
       Some("""

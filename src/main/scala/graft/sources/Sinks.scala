@@ -90,4 +90,32 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** Bucketed-layout join roundtrip: lineitem and orders are persisted
+    * bucketed on the order key, then joined EXCHANGE-FREE — the write
+    * pays the shuffle once and every subsequent join on the bucket key
+    * reads both sides pre-partitioned and pre-sorted (BucketedJoinSpec
+    * pins the no-exchange sort-merge plan; this row pins the values).
+    * The `merge` hint keeps the demonstration on the SMJ path
+    * declaratively — at real scale neither side fits a broadcast
+    * anyway, and the hint beats mutating the session's broadcast
+    * threshold inside a query builder.
+    */
+  def bucketedJoinRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.{Out, Tables}
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val liT = s"li_bkt_$digest"
+    val ordT = s"ord_bkt_$digest"
+    writeBucketed(Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice"), liT, "l_orderkey", 8)
+    writeBucketed(Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority"), ordT, "o_orderkey", 8)
+    val r = spark.table(liT).hint("merge")
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.F.sumDecAsDouble(col("l_extendedprice"), 4).as("revenue"))
+    Out.sorted(r)(col("o_orderpriority"))
+  }
 }

@@ -38,4 +38,15 @@ class BucketedJoinSpec extends AnyFunSuite {
       assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("the q_bucketed_join builder's executed plan is the exchange-free SMJ") {
+    val df = graft.sources.Sinks.bucketedJoinRoundtrip(spark, SparkT.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles its keys:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+  }
 }
