@@ -378,6 +378,57 @@ object QueryCatalog {
         ORDER BY doc_a, doc_b"""
   }
 
+  // Corpus-derived-width banded Hamming near-dup SQL (the
+  // q_simhash_neardup default row): the band width bb is derived inside
+  // SQL with TextOps.derivedSimhashBandBits' pure-integer rule (bbv
+  // CTE), the md5-hex fingerprint prefix is taken at the DYNAMIC length
+  // bb (hex chars = band bits, since width = 4·bb), and the per-bit
+  // sign sums / fingerprint terms are generated statically for the full
+  // 60-bit cap — bits at or above the derived width see only zero hv
+  // bits, so their sums are -n and their fingerprint terms vanish,
+  // which makes the static 60-term expression exact at EVERY derived
+  // width. Band extraction shifts/masks by bb dynamically. Mirrors the
+  // embedPairCtes derived-planes construction.
+  private def simhashNearDupDerivedSql: String = {
+    val maxBits = 4 * TextOps.SimhashMaxBandBits
+    val sums = (0 until maxBits)
+      .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fp = (0 until maxBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandList = (0 until 4)
+      .map(b => s"(simhash >> (bb * $b)) & ((CAST(1 AS BIGINT) << bb) - 1)")
+      .mkString("[", ", ", "]")
+    s"""
+        WITH bbv AS (
+          SELECT coalesce(min(bb), ${TextOps.SimhashMaxBandBits}) AS bb
+          FROM (SELECT unnest(generate_series(${TextOps.SimhashMinBandBits},
+                  ${TextOps.SimhashMaxBandBits})) AS bb),
+               (SELECT count(*) AS n FROM documents)
+          WHERE n <= ${TextOps.SimhashTargetOccupancy} * (CAST(1 AS BIGINT) << bb)),
+        t AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, bb) AS BIGINT) AS hv
+              FROM t, bbv),
+        s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s),
+        bands AS (
+          SELECT doc_id, simhash, unnest($bandList) AS band_val,
+                 generate_subscripts($bandList, 1) AS band_idx
+          FROM sh, bbv)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id, x.simhash, y.simhash
+        HAVING bit_count(xor(x.simhash, y.simhash)) <= ${TextOps.SimhashMaxHamming}
+        ORDER BY doc_a, doc_b"""
+  }
+
   // Shared CTE chain of the size-recommendation pipeline (J8/W5); used
   // by q_size_recommend and the X25 message-rendering query.
   private val sizeCtes = """
@@ -1429,9 +1480,13 @@ object QueryCatalog {
         WITH $simhashCtes
         SELECT doc_id, n_distinct_tokens, simhash FROM sh ORDER BY doc_id""")),
 
+    // Default row: the fingerprint width is corpus-derived (floor =
+    // the historical 32-bit dial, which is what the sf0.01 driver
+    // corpus sits at; sf10 derives the 60-bit cap). The oracle replays
+    // the derivation inside SQL, so the dial is hash-gated.
     "q_simhash_neardup" -> Spec(
       TextOps.simhashNearDup,
-      Some(simhashNearDupSqlAt(TextOps.SimhashBits))),
+      Some(simhashNearDupDerivedSql)),
 
     // The wide-fingerprint production dial, end-to-end: same pigeonhole
     // chain at 60 bits / 4×15-bit bands — 128× wider band keyspace, so

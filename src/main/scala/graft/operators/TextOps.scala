@@ -1215,16 +1215,26 @@ object TextOps {
     * that differ in every band. The exact bit_count(xor) filter runs
     * only on banded candidates.
     *
-    * Scaling note (measured, BENCH_sf1.json vs sf0.1: 12.5× wall at 10×
-    * docs): the band keyspace is FIXED (4 × 2^8 values per band), so
-    * per-bucket occupancy — and the candidate join, quadratic in it —
-    * grows linearly with the corpus. The production dial is fingerprint
-    * width, and it is PROVEN end-to-end here: [[simhashNearDupWide]]
-    * runs the same chain at 60 bits / 4×15-bit bands under its own
-    * oracle row (q_simhash_neardup_wide), with SimhashDialSpec
-    * measuring the occupancy/candidate shrink. At web scale pick the
-    * width from corpus size exactly as the LSH plane count is derived
-    * (keyspace ≈ corpus / target occupancy per band).
+    * Scaling contract: the fingerprint width is CORPUS-DERIVED —
+    * [[derivedSimhashBandBits]] of the parquet-footer row count (a
+    * metadata read, zero Spark jobs), the same rule as
+    * [[graft.operators.VectorOps.derivedPlanes]] — so the band keyspace
+    * (4 × 2^bb values) grows with the corpus and per-bucket occupancy
+    * stays ~[[SimhashTargetOccupancy]]. A FIXED keyspace is the classic
+    * defect: occupancy grows linearly with N and the band self-join
+    * quadratically — measured at the pinned 32-bit dial as 12.5× wall
+    * at 10× docs (sf0.1→sf1), and at sf10 (500k docs, ~2k docs per
+    * 8-bit bucket) the candidate shuffle EXHAUSTED 70 GB of spill disk
+    * after 805 s. The derivation floors at bb=8 (the 32-bit form, so
+    * the sf0.01 driver oracle exercises the historical dial unchanged)
+    * and caps at bb=15 (60-bit — sign-safe BIGINT hex arithmetic in
+    * both engines); sf10 derives the cap and runs in seconds
+    * (BENCH_sf10_top.json). The oracle reproduces the derivation
+    * inside SQL (pure integer comparisons) and masks the same dynamic
+    * width, so the dial itself sits inside the hash gate;
+    * [[simhashNearDupWide]] additionally pins the cap setting as its
+    * own row, and SimhashDialSpec pins the derivation boundaries and
+    * the floor identity.
     *
     * Self-join cost note (closes the round-6 cpu flag): the fingerprint
     * subtree (token explode + 32-column aggregation) appears on BOTH
@@ -1239,7 +1249,36 @@ object TextOps {
     * 6.4–7.8 cpu-s at sf0.1 wall ~1 s, both rounds' binaries unchanged
     * here (git-verified).
     */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/documents.parquet")
+    simhashNearDupAt(spark, dir, 4 * derivedSimhashBandBits(n))
+  }
+
+  /** Per-band bucket-occupancy target of the width derivation. */
+  val SimhashTargetOccupancy = 4L
+
+  /** Band-width floor/cap: 8 → the historical 32-bit fingerprint (what
+    * the sf0.01 driver oracle sits at); 15 → 60 bits, the widest form
+    * whose md5-hex prefix stays sign-safe BIGINT in every engine.
+    */
+  val SimhashMinBandBits = 8
+  val SimhashMaxBandBits = 15
+
+  /** Smallest band width bb in [[[SimhashMinBandBits]],
+    * [[SimhashMaxBandBits]]] with n ≤ [[SimhashTargetOccupancy]]·2^bb —
+    * pure integer comparisons so the SQL oracle replays the choice
+    * exactly (no float log2 edge cases at powers of two).
+    */
+  def derivedSimhashBandBits(n: Long): Int =
+    (SimhashMinBandBits to SimhashMaxBandBits)
+      .find(bb => n <= (SimhashTargetOccupancy << bb))
+      .getOrElse(SimhashMaxBandBits)
+
+  /** The historical fixed 32-bit form — the derivation's floor setting,
+    * kept callable so SimhashDialSpec can pin the floor identity
+    * (derived == 32-bit on a floor-sized corpus).
+    */
+  private[graft] def simhashNearDupAt32(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupAt(spark, dir, SimhashBits)
 
   /** Wide-fingerprint PRODUCTION dial of [[simhashNearDup]], proven

@@ -39,6 +39,31 @@ class SimhashDialSpec extends AnyFunSuite {
       s"wide bands must cut candidates ≥2x here: $cand60 vs $cand32")
   }
 
+  test("width derivation: integer boundaries, floor and cap") {
+    import TextOps.{derivedSimhashBandBits => bb}
+    // floor: small corpora (incl. the sf0.01 driver corpus, 500 docs)
+    // sit at bb=8 — the historical 32-bit dial, so the oracle row's
+    // values are unchanged by the derivation landing
+    assert(bb(1) === 8 && bb(500) === 8 && bb(1024) === 8)
+    // exact power-of-two boundary: n = 4·2^8 stays, +1 advances
+    assert(bb(4L << 8) === 8 && bb((4L << 8) + 1) === 9)
+    // the measured corpora: sf0.1 → 11, sf1 → 14, sf10 → cap
+    assert(bb(5000) === 11 && bb(50000) === 14 && bb(500000) === 15)
+    // cap: arbitrarily large corpora clamp to the 60-bit sign-safe form
+    assert(bb(Long.MaxValue / 8) === 15)
+  }
+
+  test("derived default equals the pinned 32-bit form at the floor corpus") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      val derived = TextOps.simhashNearDup(spark, SparkT.Sf0001)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val pinned = TextOps.simhashNearDupAt32(spark, SparkT.Sf0001)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(derived.nonEmpty && (derived.toSeq == pinned.toSeq))
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
+
   test("wide pairs are exact at their threshold: every pair within Hamming 3 on 60 bits") {
     spark.conf.set("graft.sort.results", "false")
     try {
