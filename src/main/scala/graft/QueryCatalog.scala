@@ -429,6 +429,53 @@ object QueryCatalog {
         ORDER BY doc_a, doc_b"""
   }
 
+  // Two-long 120-bit fingerprint near-dup SQL (q_simhash_neardup_128):
+  // hv_hi/hv_lo are the first/second 15-hex-char md5 slices (each a
+  // sign-safe 60-bit BIGINT), 4 bands of 30 bits sit exactly two per
+  // long, hamming = bit_count(xor hi) + bit_count(xor lo). This is the
+  // production form past the single-long derivation cap — all integer
+  // arithmetic stays 64-bit on both engines.
+  private def simhashNearDup128Sql: String = {
+    val bb = TextOps.Simhash128BandBits
+    val mask = (1L << bb) - 1
+    def sums(c: String) = (0 until 60)
+      .map(j => s"sum(CASE WHEN ($c >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS ${c}_s$j")
+      .mkString(", ")
+    def fp(c: String) = (0 until 60)
+      .map(j => s"(CASE WHEN ${c}_s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandList = Seq(
+      s"fp_lo & $mask", s"(fp_lo >> $bb) & $mask",
+      s"fp_hi & $mask", s"(fp_hi >> $bb) & $mask").mkString("[", ", ", "]")
+    s"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        h AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv_hi,
+                     CAST('0x' || substr(md5(token), 16, 15) AS BIGINT) AS hv_lo
+              FROM t),
+        s AS (SELECT doc_id, ${sums("hv_hi")}, ${sums("hv_lo")}
+              FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST(${fp("hv_hi")} AS BIGINT) AS fp_hi,
+                      CAST(${fp("hv_lo")} AS BIGINT) AS fp_lo FROM s),
+        bands AS (
+          SELECT doc_id, fp_hi, fp_lo, unnest($bandList) AS band_val,
+                 generate_subscripts($bandList, 1) AS band_idx
+          FROM sh)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.fp_hi, y.fp_hi))
+                    + bit_count(xor(x.fp_lo, y.fp_lo)) AS INTEGER) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id, x.fp_hi, x.fp_lo, y.fp_hi, y.fp_lo
+        HAVING bit_count(xor(x.fp_hi, y.fp_hi)) + bit_count(xor(x.fp_lo, y.fp_lo))
+               <= ${TextOps.SimhashMaxHamming}
+        ORDER BY doc_a, doc_b"""
+  }
+
   // Shared CTE chain of the size-recommendation pipeline (J8/W5); used
   // by q_size_recommend and the X25 message-rendering query.
   private val sizeCtes = """
@@ -1496,6 +1543,16 @@ object QueryCatalog {
     "q_simhash_neardup_wide" -> Spec(
       TextOps.simhashNearDupWide,
       Some(simhashNearDupSqlAt(TextOps.SimhashWideBits))),
+
+    // The form PAST the single-long derivation cap: a 120-bit
+    // fingerprint as two sign-safe 60-bit longs, 4×30-bit bands (two
+    // per long, no cross-long stitching) — keyspace headroom to ~4
+    // billion docs at the same occupancy target. Own hash gate;
+    // Simhash128Spec pins hamming additivity and the subset law vs the
+    // 60-bit form.
+    "q_simhash_neardup_128" -> Spec(
+      TextOps.simhashNearDup128,
+      Some(simhashNearDup128Sql)),
 
     // Recall@k of IVF vs brute force, both probe depths in ONE
     // statement via the suffixed IVF chain; the exact VALUES gate.

@@ -1354,6 +1354,89 @@ object TextOps {
     Out.sorted(r)(col("lang"))
   }
 
+  /** Band width of the two-long fingerprint form: 4 bands × 30 bits =
+    * 120 bits, carried as two sign-safe 60-bit BIGINTs.
+    */
+  val Simhash128BandBits = 30
+
+  /** The production remedy PAST the [[SimhashMaxBandBits]] derivation
+    * cap (SCALE.md's "next wall"): a 120-bit fingerprint held as TWO
+    * longs — fp_hi from md5-hex chars 1–15, fp_lo from chars 16–30 —
+    * with 4 pigeonhole bands of [[Simhash128BandBits]] bits, exactly
+    * two bands per long, so band extraction never crosses a long
+    * boundary. The single-long cap exists only because a >60-bit hex
+    * prefix overflows sign-safe BIGINT arithmetic in the oracle
+    * engines; splitting the fingerprint removes the wall while keeping
+    * every expression plain 64-bit integer math on both sides.
+    *
+    * Exactness is unchanged (Hamming ≤ 3 over 4 bands still forces an
+    * agreeing band), and because fp_hi is built from the SAME md5
+    * prefix as the 60-bit form it EQUALS [[simhashNearDupWide]]'s
+    * fingerprint bit-for-bit — so hamming_120 = hamming_60 +
+    * bit_count(xor(fp_lo)) ≥ hamming_60, and the 120-bit pair set is a
+    * SUBSET of the 60-bit one (Simhash128Spec pins both laws). Band
+    * keyspace per band: 2^30 ≈ 1.07e9 values — occupancy stays ≤
+    * [[SimhashTargetOccupancy]] to ~4·2^30 ≈ 4 billion documents.
+    */
+  def simhashNearDup128(spark: SparkSession, dir: String): DataFrame = {
+    val bands = simhash128Bands(spark, dir)
+    val hamming120 =
+      bit_count(col("x.fp_hi").bitwiseXOR(col("y.fp_hi"))) +
+        bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo")))
+    val r = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"), first(hamming120).as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"),
+        col("n_shared_bands"))
+    Out.sorted(r)(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, fp_hi, fp_lo, band_idx, band_val) rows of the two-long
+    * fingerprint: bands 0–1 slice fp_lo, bands 2–3 slice fp_hi (band b
+    * covers fingerprint bits [30b, 30b+30), with fp_lo holding bits
+    * 0–59 and fp_hi bits 60–119).
+    */
+  private[graft] def simhash128Bands(
+      spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << Simhash128BandBits) - 1
+    val bandCols = Seq(
+      col("fp_lo").bitwiseAND(lit(mask)),
+      shiftright(col("fp_lo"), Simhash128BandBits).bitwiseAND(lit(mask)),
+      col("fp_hi").bitwiseAND(lit(mask)),
+      shiftright(col("fp_hi"), Simhash128BandBits).bitwiseAND(lit(mask)))
+    simhash128Table(spark, dir).select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Per-doc two-long fingerprint: hv_hi/hv_lo are the first/second
+    * 15-hex-char (60-bit) slices of each distinct token's md5, and each
+    * long gets the standard per-bit sign-sum fingerprint. One md5 call
+    * per token row; 120 sign sums in a single aggregation.
+    */
+  private def simhash128Table(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docsDistributed(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType).as("hv_hi"),
+        conv(substring(md5(col("token")), 16, 15), 16, 10).cast(LongType).as("hv_lo"))
+    def sums(c: String) = (0 until 60).map { j =>
+      sum(when(shiftright(col(c), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"${c}_s$j")
+    }
+    val allSums = sums("hv_hi") ++ sums("hv_lo")
+    val agged = tok.groupBy("doc_id").agg(allSums.head, allSums.tail: _*)
+    def fp(c: String) = (0 until 60).map { j =>
+      when(col(s"${c}_s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"),
+      fp("hv_hi").cast(LongType).as("fp_hi"),
+      fp("hv_lo").cast(LongType).as("fp_lo"))
+  }
+
   /** Chunking geometry of [[docChunks]]: window size and overlap in
     * tokens; stride = size − overlap.
     */
