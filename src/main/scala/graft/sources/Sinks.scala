@@ -107,6 +107,20 @@ object Sinks {
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val liT = s"li_bkt_$digest"
     val ordT = s"ord_bkt_$digest"
+    // The catalog is per-session while the managed-table LOCATION
+    // persists on disk: a fresh JVM sees tableExists = false with last
+    // run's spark-warehouse/<name>/ still present, and saveAsTable
+    // (acting as CREATE) throws LOCATION_ALREADY_EXISTS — drop any
+    // stale catalog entry AND delete the stale location first (the
+    // same protocol as TextOps.signatureTable).
+    def freshTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), name)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    freshTable(liT)
+    freshTable(ordT)
     writeBucketed(Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice"), liT, "l_orderkey", 8)
     writeBucketed(Tables.load(spark, dir, "orders")
