@@ -3222,6 +3222,39 @@ object QueryCatalog {
         FROM f GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // Cross-document duplicated-span excision: grams shared by ≥ 2
+    // docs mark covered token positions; the cleaned reassembly and
+    // maximal-span count are recomputed independently from the same
+    // 60-bit md5 gram keys. cov[i-1] at i=1 is NULL in DuckDB (OR
+    // absorbs it); Spark guards index 0 with `when`.
+    "q_span_removal" -> Spec(
+      CorpusOps.spanRemoval,
+      Some {
+        val k = CorpusOps.SpanGramK
+        s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS start,
+                 CAST('0x' || substr(md5(array_to_string(ws[i:i+${k - 1}], ' ')), 1, 15) AS BIGINT) AS gh
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${k - 2})) AS i
+                FROM t WHERE len(ws) >= $k)),
+        dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT doc_id, list_sort(list(DISTINCT p)) AS cov
+          FROM (SELECT doc_id, unnest(range(start, start + $k)) AS p
+                FROM occ JOIN dup USING (gh))
+          GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(cov) AS BIGINT) AS n_removed,
+               CAST(len([i FOR i IN range(1, len(cov) + 1)
+                         IF i = 1 OR cov[i] != cov[i-1] + 1]) AS BIGINT) AS n_spans,
+               md5(coalesce(array_to_string([ws[i] FOR i IN range(1, len(ws) + 1)
+                                    IF NOT list_contains(cov, i)], ' '), '')) AS clean_hash
+        FROM t JOIN cov ON t.doc_id = cov.doc_id
+        ORDER BY t.doc_id"""
+      }),
+
     // Mixture weights under temperature 1/2: sqrt is IEEE-correctly-
     // rounded on both engines, each group's sqrt is rounded to 6 dp
     // and summed as an exact decimal — the denominator is bit-identical.

@@ -110,6 +110,90 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // Cross-document duplicated-span excision (exact-substring dedup)
+  // ---------------------------------------------------------------- //
+
+  /** Tokens per duplicated-run detection gram. A cross-document
+    * repeated run of length ≥ [[SpanGramK]] contributes at least one
+    * duplicated gram, and the union of covered gram windows recovers
+    * the FULL maximal run (every length-K subwindow of the run is
+    * itself duplicated) — the token-level analogue of suffix-array
+    * exact-substring dedup's minimum match length.
+    */
+  val SpanGramK = 5
+
+  /** Cross-document duplicated-SPAN excision — the exact-substring
+    * dedup of Lee et al.'s "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed relationally: slide a [[SpanGramK]]-
+    * token gram window over every document, find grams present in ≥ 2
+    * DISTINCT documents, mark every token position covered by a
+    * duplicated gram, and excise those positions. Unlike whole-doc
+    * (MinHash) or segment-aligned (C4) dedup, this removes *partial*
+    * cross-document overlap at exact token boundaries — both copies
+    * are cut, which is the published policy (removing one keeps the
+    * memorization risk in the other).
+    *
+    * Output per affected document: token counts before/removed, the
+    * number of maximal excised spans, and the md5 of the cleaned
+    * reassembly. Documents with nothing to excise are untouched (not
+    * emitted — the rewrite is the identity there).
+    *
+    * Scale shape: one explode to the gram-occurrence frame (~n_tokens
+    * rows, 60-bit hashed keys), ONE map-side-combinable groupBy on the
+    * gram hash for the distinct-doc count, a semi-join of occurrences
+    * against the duplicated keys (key-partitioned — never all-pairs,
+    * and fan-in per key is the occurrence count, so boilerplate-hot
+    * grams cost their row count, not a quadratic pair set), then
+    * per-doc reassembly as pure array expressions riding the doc_id
+    * partitioning the scan already spread. No windows over corpus-
+    * sized partitions; every per-doc structure is doc-bounded.
+    */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalFrom(docsDistributed(spark, dir))
+
+  /** Same over any (doc_id, text) frame — lets specs feed constructed
+    * corpora with planted shared runs. */
+  private[graft] def spanRemovalFrom(d: DataFrame): DataFrame = {
+    val k = SpanGramK
+    val base = d.select(col("doc_id"), toks.as("ws"))
+    // 60-bit gram keys: conv(md5-prefix) on Spark ≡ CAST('0x'||substr)
+    // in the oracle (the minhash shingle-hash convention).
+    val gramHashes = transform(
+      sequence(lit(1), size(col("ws")) - (k - 1)),
+      i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))),
+        1, 15), 16, 10).cast(LongType))
+    val occ = base
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(gramHashes))
+      .select(col("doc_id"), (col("pos") + 1).as("start"),
+        col("col").as("gh"))
+    val dup = occ.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("gh")
+    val cov = occ.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("cov"))
+    // A maximal excised span starts wherever the sorted covered set
+    // breaks contiguity; `when` keeps element_at off index 0 (ANSI).
+    val nSpans = size(filter(sequence(lit(1), size(col("cov"))),
+      i => when(i === 1, lit(true))
+        .otherwise(element_at(col("cov"), i) =!=
+          element_at(col("cov"), i - 1) + 1)))
+    val clean = concat_ws(" ",
+      filter(col("ws"), (t, i) => !array_contains(col("cov"), i + 1)))
+    val r = base.join(cov, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        size(col("cov")).cast(LongType).as("n_removed"),
+        nSpans.cast(LongType).as("n_spans"),
+        md5(clean).as("clean_hash"))
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Data-mixture weights + deterministic resampling
   // ---------------------------------------------------------------- //
 
