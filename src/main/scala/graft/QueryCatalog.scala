@@ -3255,6 +3255,41 @@ object QueryCatalog {
         ORDER BY t.doc_id"""
       }),
 
+    // Source-level curation: the keep verdict compares ROUNDED
+    // aggregates against the shared threshold constants, so it is
+    // cross-engine stable; qsum sums 6-dp decimals exactly.
+    "q_source_curation" -> Spec(
+      CorpusOps.sourceCuration,
+      Some {
+        val stopPred = TextOps.Stopwords.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+        val quality = rnd(
+          """0.4 * (least(1.0, n / 20.0) * least(1.0, 80.0 / greatest(n, 80.0)))
+             + 0.3 * (CASE WHEN nstop / n BETWEEN 0.02 AND 0.3 THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (nd / n)""", 6)
+        s"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bh,
+                 CAST(len(ws) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ws, t -> $stopPred)) AS DOUBLE) AS nstop,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) AS nd
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+        q AS (SELECT doc_id, source, bh, CAST(n AS BIGINT) AS nt,
+                     CAST($quality AS DECIMAL(20,6)) AS q FROM s),
+        c AS (SELECT bh, count(*) AS n FROM q GROUP BY bh),
+        a AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                     sum(q.q) AS qsum, sum(q.nt) AS tok_sum
+              FROM q JOIN c USING (bh) GROUP BY source)
+        SELECT source, n_docs, dup_docs,
+               ${rnd("CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS dup_rate,
+               ${rnd("CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS mean_quality,
+               ${rnd("CAST(tok_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS mean_tokens,
+               (dup_rate <= ${CorpusOps.MaxSourceDupRate}
+                AND mean_quality >= ${CorpusOps.MinSourceQuality}) AS keep
+        FROM a ORDER BY source"""
+      }),
+
     // Mixture weights under temperature 1/2: sqrt is IEEE-correctly-
     // rounded on both engines, each group's sqrt is rounded to 6 dp
     // and summed as an exact decimal — the denominator is bit-identical.

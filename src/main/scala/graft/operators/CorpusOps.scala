@@ -194,6 +194,66 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- //
+  // Source-level curation (domain/URL-level filtering)
+  // ---------------------------------------------------------------- //
+
+  /** Sources whose internal near-duplicate share exceeds this are
+    * dropped wholesale — the RefinedWeb/C4 domain-blocklist move:
+    * a domain that mostly republishes is cheaper to cut at the source
+    * level than doc-by-doc. Tuning direction: lower = stricter. */
+  val MaxSourceDupRate = 0.2
+
+  /** Sources must clear this mean quality score to be kept. */
+  val MinSourceQuality = 0.5
+
+  /** Source-level curation verdicts (the domain-level filtering pass of
+    * a web-scale pipeline): per `source`, aggregate the exact-dedup
+    * duplicate share (bag-of-words hash seen ≥ 2× corpus-WIDE — cross-
+    * source republishing counts against both sources) and the mean
+    * heuristic quality score, and emit a keep/drop verdict from the
+    * ROUNDED aggregates (so the verdict is cross-engine stable).
+    * Whole-source drops are the cheapest unit of curation: one verdict
+    * row prunes every future scan of that source's partition.
+    *
+    * Scale shape: one map-side-combinable groupBy on the 128-bit bow
+    * hash (the [[TextOps.exactDedup]] shuffle), one key-partitioned
+    * join of docs against their hash counts (never all-pairs), then a
+    * tiny per-source aggregate (output = |sources| rows). Per-doc
+    * quality is a pure map; the per-source mean sums 6-dp decimals
+    * exactly, immune to shuffle order.
+    */
+  def sourceCuration(spark: SparkSession, dir: String): DataFrame =
+    sourceCurationFrom(docsDistributed(spark, dir))
+
+  /** Same over any (doc_id, source, text) frame — lets specs plant
+    * republishing sources. */
+  private[graft] def sourceCurationFrom(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(
+      col("doc_id"), col("source"),
+      TextOps.bowHash.as("bh"),
+      TextOps.qualityScoreOf(col("text")).cast("decimal(20,6)").as("q"),
+      size(toks).cast(LongType).as("nt"))
+    val counts = d.groupBy("bh").agg(count(lit(1)).as("n"))
+    val agg = d.join(counts, Seq("bh"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("q")).as("qsum"),
+        sum(col("nt")).as("tok_sum"))
+    val r = agg.select(
+        col("source"), col("n_docs"), col("dup_docs"),
+        F.roundHalfUp(col("dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        F.avgFromSums(col("qsum"), col("n_docs")).as("mean_quality"),
+        F.roundHalfUp(col("tok_sum").cast("double") /
+          col("n_docs").cast("double"), 4).as("mean_tokens"))
+      .withColumn("keep",
+        col("dup_rate") <= MaxSourceDupRate &&
+          col("mean_quality") >= MinSourceQuality)
+    Out.sorted(r)(col("source"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Data-mixture weights + deterministic resampling
   // ---------------------------------------------------------------- //
 
