@@ -2028,6 +2028,32 @@ object QueryCatalog {
                     ELSE n_members * (n_members - 1) // 2 END AS n_pair_candidates
         FROM s ORDER BY cell""")),
 
+    // Topic labeling of the trained cells (c-TF-IDF): tf·log2(k/df)
+    // is one IEEE multiply of exact ints with a correctly-rounded log2
+    // quotient — bit-identical cross-engine before the 6-dp rounding.
+    "q_topic_terms" -> Spec(
+      VectorOps.topicTerms,
+      Some(s"""
+        WITH $lloydCtes,
+        dt AS (SELECT a.cluster, t AS token
+               FROM documents d
+               JOIN a2 a ON a.vec_id = d.doc_id,
+               unnest(string_split(d.text, ' ')) AS u(t)
+               WHERE t != ''),
+        tf AS (SELECT cluster, token, CAST(count(*) AS BIGINT) AS tf
+               FROM dt GROUP BY cluster, token),
+        dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df_clusters
+                FROM tf GROUP BY token),
+        kv AS (SELECT CAST(count(DISTINCT cluster) AS DOUBLE) AS k FROM tf),
+        sc AS (SELECT cluster, token, tf, df_clusters,
+                      ${rnd("CAST(tf AS DOUBLE) * log2(k / CAST(df_clusters AS DOUBLE))", 6)} AS score
+               FROM tf JOIN dfc USING (token), kv),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+                 ORDER BY score DESC, token) AS INTEGER) AS rank FROM sc)
+        SELECT cluster, rank, token, tf, df_clusters, score
+        FROM rk WHERE rank <= ${VectorOps.TopicTermsPerCluster}
+        ORDER BY cluster, rank""")),
+
     "q_ann_ivf_trained" -> Spec(
       VectorOps.annIvfTrained,
       Some {

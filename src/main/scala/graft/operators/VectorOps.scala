@@ -482,6 +482,56 @@ object VectorOps {
     Out.sorted(r)(col("cell"))
   }
 
+  /** Terms reported per topic cluster. */
+  val TopicTermsPerCluster = 5
+
+  /** Topic labeling of the trained k-means cells — the BERTopic c-TF-IDF
+    * move: treat each embedding cluster as one "class document", score
+    * every token by `tf_{t,c} · log2(k / df_clusters(t))` (class term
+    * frequency × cluster-level inverse document frequency — a token in
+    * every cluster scores 0, so corpus-wide boilerplate self-suppresses
+    * without a stopword list), and report each cluster's top
+    * [[TopicTermsPerCluster]] terms. This is the human-readable face of
+    * the semantic index: the same cells SemDeDup prunes and IVF probes
+    * get names.
+    *
+    * Scale shape: the doc↔cell join is key-partitioned on the id, the
+    * (cluster, token) count combines map-side, the df/k frames are
+    * |vocab| and 1 rows (k broadcast), and the per-cluster top-k is a
+    * window Spark 4 executes with a Partial WindowGroupLimit (map-side
+    * k·|cells| discard). Nothing is all-pairs; nothing shuffles the
+    * corpus twice.
+    *
+    * Determinism: score is one IEEE multiply of an exact-int tf with a
+    * correctly-rounded log2 quotient of exact ints — bit-identical
+    * cross-engine — then 6-dp rounded for the output; ranks tie-break
+    * on token bytes.
+    */
+  def topicTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (_, assigned) = trainedIndex(spark, dir)
+    val dt = docs.join(assigned.select(col("vec_id"), col("cluster")),
+        docs("doc_id") === col("vec_id"))
+      .select(col("cluster"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    val tf = dt.groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("token")
+      .agg(count(lit(1)).as("df_clusters"))
+    val k = tf.select(countDistinct(col("cluster")).as("k"))
+    val sc = tf.join(dfc, Seq("token")).crossJoin(broadcast(k))
+      .select(col("cluster"), col("token"), col("tf"), col("df_clusters"),
+        F.roundHalfUp(col("tf").cast("double") *
+          log2(col("k").cast("double") / col("df_clusters").cast("double")),
+          6).as("score"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("score"), asc("token"))
+    val r = sc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TopicTermsPerCluster)
+      .select("cluster", "rank", "token", "tf", "df_clusters", "score")
+    Out.sorted(r)(col("cluster"), col("rank"))
+  }
+
   /** IVF search over the TRAINED quantizer — closes the loop between
     * [[ivfKmeans]] (which trains centroids) and [[annIvf]] (which probed
     * the label-seeded cells): queries rank the Lloyd centroids, probe
