@@ -2901,6 +2901,29 @@ object QueryCatalog {
                count(*) AS n_rows
         FROM lineitem GROUP BY 1 HAVING sku <= 200 ORDER BY sku""")),
 
+    // Training-shard writer: the oracle recomputes the md5-shuffle
+    // order, global token offsets and shard membership STRAIGHT from
+    // the documents table — so the hash gate proves the partitioned
+    // write+read-back landed exactly the shards the rule defines.
+    "q_train_shards" -> Spec(
+      sources.SinkRoundTrips.trainShardsRoundtrip,
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                          md5(CAST(doc_id AS VARCHAR)) AS key
+                   FROM documents),
+        o AS (SELECT *, sum(nt) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS gend
+              FROM d),
+        s AS (SELECT doc_id, nt, key,
+                     (gend - nt) // ${sources.SinkRoundTrips.ShardTokenBudget} AS shard_id
+              FROM o)
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               min(key) AS first_key,
+               md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY key), ',')) AS docs_hash
+        FROM s GROUP BY shard_id ORDER BY shard_id""")),
+
     "q_partitioned_roundtrip" -> Spec(
       sources.SinkRoundTrips.partitionedRoundtrip,
       Some(s"""

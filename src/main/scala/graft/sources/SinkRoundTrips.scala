@@ -245,4 +245,70 @@ object SinkRoundTrips {
     Out.sorted(back.select(col("sku").cast("bigint").as("sku"), col("min_price")))(
       col("sku"))
   }
+
+  /** Token budget per training shard — the fixed shard grain a trainer
+    * streams (a few thousand tokens here; hundreds of millions in a
+    * real run — the RULE is scale-free, only the constant moves). */
+  val ShardTokenBudget = 4096L
+
+  /** The training-data LAST MILE: deterministic global shuffle + fixed
+    * -token-budget sharding + partitioned write + manifest, as one
+    * oracle-checked round trip. Documents are ordered by md5(doc_id)
+    * (the seeded epoch shuffle every trainer wants — reproducible, no
+    * RNG), assigned to the shard their global token offset lands in,
+    * written one parquet directory per shard, and read BACK to build
+    * the manifest — so the driver hashes the on-disk contract: shard
+    * membership, per-shard token mass, and the exact document order a
+    * trainer would replay (docs_hash chains doc_ids in shuffle order).
+    *
+    * Scale shape: the global token offsets are the [[graft.operators
+    * .TextOps.docPacking]] two-phase prefix sum — per-group local
+    * cumsums (groups = first shuffle-key hex char, so group order
+    * IS global md5 order) plus one broadcast 16-row offset frame —
+    * never a corpus-sized single-task window. The write shuffles once
+    * on shard_id (the standard dynamic-partition exchange: one task,
+    * one file per shard); the manifest is a map-side-combinable
+    * groupBy of the read-back.
+    */
+  def trainShardsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val path = tmpBase(dir, "train_shards")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    val d = Tables.load(spark, dir, "documents").select(
+        col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("shuffle_key"))
+      .withColumn("g", substring(col("shuffle_key"), 1, 1))
+    val wLocal = Window.partitionBy("g").orderBy("shuffle_key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("g").agg(sum(col("n_tokens")).as("st"))
+      .select(col("g"),
+        coalesce(sum(col("st")).over(wG), lit(0L)).as("g_offset"))
+    val sharded = d
+      .withColumn("local_end", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("g"))
+      .withColumn("gend", col("g_offset") + col("local_end"))
+      .withColumn("shard_id",
+        expr(s"(gend - n_tokens) DIV $ShardTokenBudget"))
+      .select("doc_id", "text", "n_tokens", "shuffle_key", "shard_id")
+    sharded.repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    val back = spark.read.parquet(path)
+    val ordered = sort_array(collect_list(
+      struct(col("shuffle_key"), col("doc_id"))))
+    val r = back.groupBy("shard_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("shuffle_key")).as("first_key"),
+        md5(concat_ws(",",
+          transform(ordered, s => s.getField("doc_id").cast("string"))))
+          .as("docs_hash"))
+      .select(col("shard_id").cast(LongType).as("shard_id"),
+        col("n_docs"), col("n_tokens"), col("first_key"), col("docs_hash"))
+    Out.sorted(r)(col("shard_id"))
+  }
 }
