@@ -2198,6 +2198,28 @@ object QueryCatalog {
         SELECT q_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= ${VectorOps.TopK}
         ORDER BY q_id, rank""")),
 
+    // Approximate all-node kNN graph over the derived-plane LSH
+    // buckets: candidates from the pre-threshold `es` chain,
+    // symmetrized (the bucket relation is symmetric), per-node top-k,
+    // reciprocity from a self-join of the k·n edge set.
+    "q_knn_graph" -> Spec(
+      VectorOps.knnGraph,
+      Some(s"""
+        WITH $embedPairCtes,
+        sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM es
+                UNION ALL
+                SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM es),
+        rk AS (SELECT vec_id, neighbor_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+               FROM sym),
+        tk AS (SELECT * FROM rk WHERE rank <= ${VectorOps.KnnK})
+        SELECT t.vec_id, t.rank, t.neighbor_id, t.cos_sim,
+               (r.vec_id IS NOT NULL) AS reciprocal
+        FROM tk t LEFT JOIN tk r
+          ON r.vec_id = t.neighbor_id AND r.neighbor_id = t.vec_id
+        ORDER BY t.vec_id, t.rank""")),
+
     "q_embed_neardup" -> Spec(
       VectorOps.embedNearDup,
       Some(s"""

@@ -482,6 +482,49 @@ object VectorOps {
     Out.sorted(r)(col("cell"))
   }
 
+  /** Neighbors kept per node in the approximate kNN graph. */
+  val KnnK = 5
+
+  /** Approximate all-node kNN GRAPH over the multi-probe LSH buckets —
+    * the batch substrate of graph-based curation (kNN-graph community
+    * detection, graph-connected dedup, link-based outlier pruning).
+    * Unlike the ANN ladder (few queries × corpus), EVERY vector is a
+    * query here, and the all-pairs trap is avoided the same way the
+    * near-dup path does it: candidates only from H≤1 probe-bucket
+    * matches, symmetrized (the bucket relation is symmetric, so the
+    * reversed candidate set IS the other direction — no second join),
+    * then a per-node window top-[[KnnK]]. Each edge carries whether it
+    * is RECIPROCAL (both endpoints rank each other) — the signal
+    * mutual-kNN clustering cuts on.
+    *
+    * Scale shape: candidate fan-out per node is bucket occupancy ×
+    * (planes+1) with the corpus-derived plane count holding occupancy
+    * constant; the top-k window partitions on vec_id (Partial
+    * WindowGroupLimit applies); the reciprocity check is a self-join
+    * of the top-k EDGE set (k·n rows), never of the corpus.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+    val cand = embedNearDupCandidates(spark, dir, derivedPlanes(n))
+    val sym = cand.select(
+        col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+        col("cos_sim"))
+      .unionAll(cand.select(
+        col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
+        col("cos_sim")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val topk = sym.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= KnnK)
+    val rev = topk.select(
+      col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+      lit(true).as("reciprocal"))
+    val r = topk.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), coalesce(col("reciprocal"), lit(false)).as("reciprocal"))
+    Out.sorted(r)(col("vec_id"), col("rank"))
+  }
+
   /** Terms reported per topic cluster. */
   val TopicTermsPerCluster = 5
 
