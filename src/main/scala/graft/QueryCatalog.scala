@@ -2028,6 +2028,27 @@ object QueryCatalog {
                     ELSE n_members * (n_members - 1) // 2 END AS n_pair_candidates
         FROM s ORDER BY cell""")),
 
+    // External clustering evaluation: per-cell purity vs the ground-
+    // truth label, majority ties broken on the smaller label id.
+    "q_cluster_purity" -> Spec(
+      VectorOps.clusterPurity,
+      Some(s"""
+        WITH $lloydCtes,
+        cl AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS c
+               FROM a2 GROUP BY cluster, label),
+        m AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n_members,
+                     CAST(count(*) AS BIGINT) AS n_labels
+              FROM cl GROUP BY cluster),
+        mj AS (SELECT cluster, label, c,
+                      row_number() OVER (PARTITION BY cluster
+                        ORDER BY c DESC, label) AS rn
+               FROM cl)
+        SELECT m.cluster AS cell, m.n_members, m.n_labels,
+               mj.label AS majority_label, mj.c AS n_majority,
+               ${rnd("CAST(mj.c AS DOUBLE) / CAST(m.n_members AS DOUBLE)", 6)} AS purity
+        FROM m JOIN mj ON mj.cluster = m.cluster AND mj.rn = 1
+        ORDER BY cell""")),
+
     // Topic labeling of the trained cells (c-TF-IDF): tf·log2(k/df)
     // is one IEEE multiply of exact ints with a correctly-rounded log2
     // quotient — bit-identical cross-engine before the 6-dp rounding.

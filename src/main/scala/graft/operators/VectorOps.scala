@@ -525,6 +525,38 @@ object VectorOps {
     Out.sorted(r)(col("vec_id"), col("rank"))
   }
 
+  /** External clustering evaluation of the trained k-means cells
+    * against the embeddings' ground-truth `label` column: per cell,
+    * its size, distinct-label spread, majority label and purity
+    * (majority count / size — ties broken on the smaller label id so
+    * the verdict is deterministic). The corpus-level purity is the
+    * member-weighted mean of these rows; keeping per-cell grain makes
+    * the metric actionable (WHICH cells are impure → re-train or
+    * sub-cluster exactly there, the [[MaxCellSize]] remediation).
+    *
+    * Scale shape: one map-side-combinable (cluster, label) count
+    * (output ≤ cells × labels rows — sketch-sized), then windows over
+    * that tiny frame. The corpus is touched once, by the encode pass
+    * the trained index already pays.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = trainedIndex(spark, dir)
+    val cl = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cluster").orderBy(desc("c"), asc("label"))
+    val r = cl
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", sum(col("c")).over(Window.partitionBy("cluster")))
+      .withColumn("n_labels", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("cluster").as("cell"),
+        col("n_members"), col("n_labels").cast("long").as("n_labels"),
+        col("label").as("majority_label"), col("c").as("n_majority"),
+        F.roundHalfUp(col("c").cast("double") /
+          col("n_members").cast("double"), 6).as("purity"))
+    Out.sorted(r)(col("cell"))
+  }
+
   /** Terms reported per topic cluster. */
   val TopicTermsPerCluster = 5
 
