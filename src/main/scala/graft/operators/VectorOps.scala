@@ -810,7 +810,14 @@ object VectorOps {
   private def pqSubs(spark: SparkSession, dir: String): DataFrame = {
     val chunks = transform(sequence(lit(0), lit(PqSubspaces - 1)),
       m => slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)))
+    // Explicit spread BEFORE the checkpoint: the encode pass is a
+    // map-side broadcast join over this frame, so its partition count
+    // IS the encode parallelism — a single-split scan would serialize
+    // the corpus × codebook argmin (measured 5.8 s -> 3.0 s wall on
+    // q_ann_pq at sf1, similarly IVF-PQ; on a real multi-split scan this collapses into
+    // the partitioning the downstream windows need anyway).
     Out.eager(emb(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(chunks).as(Seq("sub", "embedding"))))
   }
 
