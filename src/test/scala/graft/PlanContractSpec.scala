@@ -314,4 +314,38 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
   }
+
+  test("span removal: gram semi-join stays equi-keyed; dup-key agg combines map-side") {
+    val plan = planOf(operators.CorpusOps.spanRemoval(spark, SparkT.Sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"dup-gram count not map-side combined:\n$plan")
+    // the covered-position reassembly must not re-sort the corpus: the
+    // only windows allowed are none — spans come from array expressions
+    assert(!plan.contains("RunningWindowFunction"),
+      s"unexpected window stage:\n$plan")
+  }
+
+  test("topic terms: per-cell top-k discards below the exchange (WindowGroupLimit)") {
+    val plan = planOf(operators.VectorOps.topicTerms(spark, SparkT.Sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not group-limited:\n$plan")
+    assert(plan.contains("Partial"),
+      s"no partial (map-side) group limit:\n$plan")
+  }
+
+  test("knn graph: bucket join keeps its explicit partition count under AQE") {
+    val df = operators.VectorOps.knnGraph(spark, SparkT.Sf0001)
+    df.collect()
+    // the candidate join ran at checkpoint time inside the builder; the
+    // contract here is the RESULT plan stays equi-joined and windowed
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // the reciprocity check joins the k·n edge set against itself —
+    // small enough that it must BROADCAST, never shuffle the edges wide
+    assert(plan.contains("BroadcastHashJoin"),
+      s"edge-set reciprocity join not broadcast:\n$plan")
+  }
 }
