@@ -241,6 +241,60 @@ object QueryCatalog {
 
   private lazy val lloydCtes: String = lloydChain("embeddings", "")
 
+  // IVF-PQ search chain (coarse Lloyd cells + per-subspace PQ Lloyd
+  // codebooks + LUT scoring), ending in `r` — the approx-ranked
+  // candidate frame (q_id, cell, cell_sim, neighbor_id, approx_sim,
+  // rank). q_ann_ivfpq cuts it at TopKPq; q_ann_ivfpq_rerank cuts at
+  // RerankDepth and re-scores the nominees exactly. Also exposes `q`
+  // (q_id, q_emb) for the rerank tail.
+  private lazy val ivfPqRankedCtes: String = {
+    val m = VectorOps.PqSubspaces
+    val d = VectorOps.PqSubDim
+    val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
+    val subViews = (0 until m).map(i =>
+      s"es$i AS (SELECT vec_id, label, embedding[${i * d + 1}:${(i + 1) * d}] AS embedding FROM embeddings)")
+      .mkString(",\n        ")
+    val chains = (0 until m)
+      .map(i => lloydChain(s"es$i", s"_s$i", s"vec_id % ${VectorOps.PqCodebooks}"))
+      .mkString(",\n        ")
+    val codes = (0 until m)
+      .map(i => s"SELECT vec_id, $i AS sub, cluster AS code FROM a2_s$i")
+      .mkString(" UNION ALL ")
+    val cents = (0 until m)
+      .map(i => s"SELECT $i AS sub, cluster AS code, centroid FROM cent1_s$i")
+      .mkString(" UNION ALL ")
+    s"""$lloydCtes,
+        $subViews,
+        $chains,
+        codes AS ($codes),
+        cents AS ($cents),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        cells AS (
+          SELECT q_id, q_emb, cluster, $cellSim AS cell_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY $cellSim DESC, cluster) AS rn
+          FROM q, cent1),
+        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
+        lut AS (
+          SELECT q_id, sub, code,
+                 ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
+          FROM best, cents),
+        cand AS (
+          SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
+          FROM best b JOIN a2 a ON a.cluster = b.cluster
+          WHERE a.vec_id <> b.q_id),
+        s AS (
+          SELECT c.q_id, c.cell, c.cell_sim, c.vec_id AS neighbor_id,
+                 CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
+          FROM cand c
+          JOIN codes co ON co.vec_id = c.vec_id
+          JOIN lut l ON l.q_id = c.q_id AND l.sub = co.sub AND l.code = co.code
+          GROUP BY 1, 2, 3, 4),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_sim DESC, neighbor_id) AS rank FROM s)"""
+  }
+
   // Multi-probe LSH embedding near-dup pair chain, ending in
   // `epairs(vec_a, vec_b, cos_sim)` — shared by q_embed_neardup and the
   // cross-modal q_dedup_ensemble. The plane count is CORPUS-DERIVED with
@@ -1705,6 +1759,18 @@ object QueryCatalog {
     // residency cap; exact Jaccard confirms. One row per shared band
     // (the stream's at-least-once-per-band contract). band_idx - 1:
     // generate_subscripts is 1-based, the engine's posexplode 0-based.
+    // Streaming multi-probe LSH admission over the embeddings table,
+    // oracle-checked on the streamed pair set itself: with constant
+    // event time and buckets under the resident cap, the emitted set
+    // equals the batch pair chain at pinned NPlanes — restated here as
+    // the same SQL the batch near-dup rows use.
+    "q_embed_stream" -> Spec(
+      streaming.StreamOracle.embedStream,
+      Some(s"""
+        WITH ${embedPairCtesAt(VectorOps.NPlanes)}
+        SELECT vec_a, vec_b, cos_sim FROM epairs
+        ORDER BY vec_a, vec_b""")),
+
     "q_neardup_stream" -> Spec(
       streaming.StreamOracle.neardupStream,
       Some(s"""
@@ -2142,56 +2208,26 @@ object QueryCatalog {
 
     "q_ann_ivfpq" -> Spec(
       VectorOps.annIvfPq,
-      Some {
-        val m = VectorOps.PqSubspaces
-        val d = VectorOps.PqSubDim
-        val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
-        val subViews = (0 until m).map(i =>
-          s"es$i AS (SELECT vec_id, label, embedding[${i * d + 1}:${(i + 1) * d}] AS embedding FROM embeddings)")
-          .mkString(",\n        ")
-        val chains = (0 until m)
-          .map(i => lloydChain(s"es$i", s"_s$i", s"vec_id % ${VectorOps.PqCodebooks}"))
-          .mkString(",\n        ")
-        val codes = (0 until m)
-          .map(i => s"SELECT vec_id, $i AS sub, cluster AS code FROM a2_s$i")
-          .mkString(" UNION ALL ")
-        val cents = (0 until m)
-          .map(i => s"SELECT $i AS sub, cluster AS code, centroid FROM cent1_s$i")
-          .mkString(" UNION ALL ")
-        s"""
-        WITH $lloydCtes,
-        $subViews,
-        $chains,
-        codes AS ($codes),
-        cents AS ($cents),
-        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-              WHERE vec_id < ${VectorOps.NQueries}),
-        cells AS (
-          SELECT q_id, q_emb, cluster, $cellSim AS cell_sim,
-                 row_number() OVER (PARTITION BY q_id
-                   ORDER BY $cellSim DESC, cluster) AS rn
-          FROM q, cent1),
-        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
-        lut AS (
-          SELECT q_id, sub, code,
-                 ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
-          FROM best, cents),
-        cand AS (
-          SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
-          FROM best b JOIN a2 a ON a.cluster = b.cluster
-          WHERE a.vec_id <> b.q_id),
-        s AS (
-          SELECT c.q_id, c.cell, c.cell_sim, c.vec_id AS neighbor_id,
-                 CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
-          FROM cand c
-          JOIN codes co ON co.vec_id = c.vec_id
-          JOIN lut l ON l.q_id = c.q_id AND l.sub = co.sub AND l.code = co.code
-          GROUP BY 1, 2, 3, 4),
-        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                ORDER BY approx_sim DESC, neighbor_id) AS rank FROM s)
+      Some(s"""
+        WITH $ivfPqRankedCtes
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
-        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank"""
-      }),
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    "q_ann_ivfpq_rerank" -> Spec(
+      VectorOps.annIvfPqRerank,
+      Some(s"""
+        WITH $ivfPqRankedCtes,
+        nom AS (SELECT q_id, neighbor_id, approx_sim FROM r
+                WHERE rank <= ${VectorOps.RerankDepth}),
+        rr AS (SELECT n.q_id, n.neighbor_id, n.approx_sim,
+                      ${rnd("list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM nom n
+               JOIN q ON q.q_id = n.q_id
+               JOIN embeddings e ON e.vec_id = n.neighbor_id),
+        rr2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rr)
+        SELECT q_id, rank, neighbor_id, cos_sim, approx_sim FROM rr2
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,
@@ -2240,6 +2276,59 @@ object QueryCatalog {
         FROM tk t LEFT JOIN tk r
           ON r.vec_id = t.neighbor_id AND r.neighbor_id = t.vec_id
         ORDER BY t.vec_id, t.rank""")),
+
+    "q_embed_outliers" -> Spec(
+      VectorOps.embedOutliers,
+      Some(s"""
+        WITH $embedPairCtes,
+        sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM es
+                UNION ALL
+                SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM es),
+        rk AS (SELECT vec_id, neighbor_id, cos_sim,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+               FROM sym),
+        tk AS (SELECT vec_id, cos_sim FROM rk WHERE rank <= ${VectorOps.KnnK}),
+        agg AS (SELECT vec_id, count(*) AS n_neighbors,
+                       ${rnd("CAST(sum(CAST(cos_sim AS DECIMAL(20,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_knn_cos
+                FROM tk GROUP BY vec_id)
+        SELECT e.vec_id,
+               coalesce(a.n_neighbors, 0) AS n_neighbors,
+               a.mean_knn_cos,
+               (a.mean_knn_cos IS NULL
+                OR a.mean_knn_cos < ${VectorOps.OutlierMinCos}) AS is_outlier
+        FROM embeddings e LEFT JOIN agg a USING (vec_id)
+        ORDER BY e.vec_id""")),
+
+    "q_semantic_clusters" -> Spec(
+      VectorOps.semanticClusters,
+      Some(s"""
+        WITH RECURSIVE $embedPairCtes,
+        sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM es
+                UNION ALL
+                SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM es),
+        rk AS (SELECT vec_id, neighbor_id,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+               FROM sym),
+        tk AS (SELECT vec_id, neighbor_id FROM rk WHERE rank <= ${VectorOps.KnnK}),
+        mut AS (SELECT t.vec_id AS a, t.neighbor_id AS b
+                FROM tk t JOIN tk r2
+                  ON r2.vec_id = t.neighbor_id AND r2.neighbor_id = t.vec_id
+                WHERE t.vec_id < t.neighbor_id),
+        e AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+        members AS (SELECT DISTINCT a AS v FROM e),
+        reach(a, b) AS (
+          SELECT v, v FROM members
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        lab AS (SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) AS cluster_id
+                FROM embeddings em LEFT JOIN comp c USING (vec_id)),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        SELECT l.vec_id, l.cluster_id, s.cluster_size, s.cluster_size > 1 AS clustered
+        FROM lab l JOIN sz s USING (cluster_id)
+        ORDER BY l.vec_id""")),
 
     "q_embed_neardup" -> Spec(
       VectorOps.embedNearDup,

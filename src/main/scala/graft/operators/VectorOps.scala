@@ -276,7 +276,7 @@ object VectorOps {
   private def bucketOf(e: Column): Column = bucketOfN(e, NPlanes)
 
   /** Same, over the first `n` planes of the shared md5-derived family. */
-  private def bucketOfN(e: Column, n: Int): Column = {
+  private[graft] def bucketOfN(e: Column, n: Int): Column = {
     val planes = planeIntsFor(n)
     (0 until n).map { p =>
       val plane = array(planes(p).map(k => lit(k / 500.0)): _*)
@@ -514,7 +514,15 @@ object VectorOps {
     * WindowGroupLimit applies); the reciprocity check is a self-join
     * of the top-k EDGE set (k·n rows), never of the corpus.
     */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(knnEdges(spark, dir))(col("vec_id"), col("rank"))
+
+  /** Unsorted edge frame of [[knnGraph]] (vec_id, rank, neighbor_id,
+    * cos_sim, reciprocal) — also the substrate [[semanticClusters]]
+    * cuts its mutual-kNN graph from (a terminal sort inside a composed
+    * plan would be dead weight).
+    */
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
     // Materialize the candidate join ONCE: the symmetrization below
     // references it twice with swapped projections, which defeats
@@ -539,10 +547,79 @@ object VectorOps {
     val rev = topk.select(
       col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
       lit(true).as("reciprocal"))
-    val r = topk.join(rev, Seq("vec_id", "neighbor_id"), "left")
+    topk.join(rev, Seq("vec_id", "neighbor_id"), "left")
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"), coalesce(col("reciprocal"), lit(false)).as("reciprocal"))
-    Out.sorted(r)(col("vec_id"), col("rank"))
+  }
+
+  /** Mean-kNN-cosine floor below which a vector is flagged an outlier
+    * (see [[embedOutliers]]). */
+  val OutlierMinCos = 0.30
+
+  /** EMBEDDING OUTLIER PRUNING by kNN link strength — the curation
+    * filter dual of near-dup removal: a vector whose approximate
+    * k-nearest neighbors are all far away (mean kNN cosine under
+    * [[OutlierMinCos]]), or that found NO bucket partner at all, sits
+    * in empty embedding space — classic signals of mis-embedded,
+    * corrupt, or off-distribution documents that a training-data
+    * pipeline drops (or routes to review) before sampling. Per vector:
+    * neighbor count, deterministic mean kNN cosine (exact decimal sum
+    * of the already-rounded sims), and the outlier verdict — lonely
+    * vectors (no candidate within Hamming≤1 of any probe) are the
+    * strongest outliers and flag with a NULL mean.
+    *
+    * Scale shape: one aggregate over the k·n-row [[knnEdges]] frame
+    * (itself bucket-bounded), then a broadcast-free left join back to
+    * the corpus id list — nothing all-pairs, nothing collected.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val agg = knnEdges(spark, dir)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        F.avgFromSums(sum(col("cos_sim").cast("decimal(20,10)")),
+          count(lit(1))).as("mean_knn_cos"))
+    val r = emb(spark, dir).select("vec_id")
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("mean_knn_cos"),
+        (col("mean_knn_cos").isNull ||
+          col("mean_knn_cos") < OutlierMinCos).as("is_outlier"))
+    Out.sorted(r)(col("vec_id"))
+  }
+
+  /** SEMANTIC CLUSTERS by mutual-kNN: connected components over the
+    * RECIPROCAL edges of [[knnGraph]] — the standard robust clustering
+    * of an approximate kNN graph (a one-directional edge is how a hub
+    * vector attaches to everything; requiring reciprocity cuts hubs
+    * out, leaving tight semantic groups). Every vector gets a label:
+    * members inherit their component's minimum vec_id, vectors with no
+    * mutual neighbor become singleton clusters of themselves.
+    *
+    * Scale shape: the CC frame holds only vectors that HAVE a mutual
+    * edge (a fraction of the corpus; the corpus-sized remainder joins
+    * in once at the end as singletons), rounds are O(log diameter) via
+    * the pointer-jumping [[TextOps.connectedComponents]], and the
+    * size/label joins shuffle on cluster_id — no broadcast of the
+    * O(n)-row size frame, AQE may still choose one when it fits.
+    */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val mut = Out.eager(
+      knnEdges(spark, dir)
+        .filter(col("reciprocal") && col("vec_id") < col("neighbor_id"))
+        .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
+    val (labels, _) = TextOps.connectedComponents(mut)
+    try {
+      val lab = emb(spark, dir).select("vec_id")
+        .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val r = lab.join(sizes, Seq("cluster_id"))
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          (col("cluster_size") > 1L).as("clustered"))
+      Out.eager(Out.sorted(r)(col("vec_id")))
+    } finally labels.unpersist()
   }
 
   /** External clustering evaluation of the trained k-means cells
@@ -886,6 +963,18 @@ object VectorOps {
 
   private[graft] def annIvfPqWithCeiling(
       spark: SparkSession, dir: String, ceiling: Long): DataFrame = {
+    val r = ivfPqRanked(spark, dir, ceiling)
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** The full approx-ranked IVF-PQ candidate frame (rank unbounded) —
+    * [[annIvfPqWithCeiling]] cuts it at [[TopKPq]]; [[annIvfPqRerank]]
+    * cuts deeper ([[RerankDepth]]) and re-scores exactly.
+    */
+  private[graft] def ivfPqRanked(
+      spark: SparkSession, dir: String, ceiling: Long): DataFrame = {
     val (coarseCents, assigned) = trainedIndex(spark, dir)
     val (cents, codes) = pqIndex(pqSubs(spark, dir))
     val q = emb(spark, dir).filter(col("vec_id") < NQueries)
@@ -921,8 +1010,50 @@ object VectorOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(desc("approx_sim"), asc("neighbor_id"))))
+    r
+  }
+
+  /** Candidates kept per query for the exact re-scoring pass of
+    * [[annIvfPqRerank]] (faiss's `k_factor`: rerank depth = 4× the
+    * final k). */
+  val RerankDepth: Int = 4 * TopKPq
+
+  /** ANN scale path #6 — IVF-PQ with EXACT RERANKING (faiss's
+    * IndexRefineFlat over IVFADC): the compressed index nominates
+    * [[RerankDepth]] candidates per query by LUT-approximate score,
+    * then ONLY those rows' raw vectors are fetched and re-scored with
+    * the exact dot product, and the final top-[[TopKPq]] ranks on the
+    * exact value. This is the standard production answer to PQ's
+    * quantization error: recall at the approximate stage only has to
+    * put the true neighbors somewhere in the top R, not order them —
+    * the refine stage fixes the order at the cost of R full-width
+    * vector reads per query instead of |cell|.
+    *
+    * Scale shape: the nomination is [[annIvfPq]]'s plan unchanged (the
+    * corpus never shuffles); the refine joins the R·|queries|-row
+    * nominee frame (broadcast — it is queries × a constant) against
+    * the raw-vector table, so the corpus side of the rerank is a
+    * broadcast-probe scan too. Output rank re-orders by exact cosine
+    * with the approx score carried alongside (the pair a monitoring
+    * dashboard plots quantization error from).
+    */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val nominees = ivfPqRanked(spark, dir, IvfPqBroadcastCeiling)
+      .filter(col("rank") <= RerankDepth)
+      .select("q_id", "neighbor_id", "approx_sim")
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fetched = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(nominees), Seq("neighbor_id"))
+    val rr = fetched.join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("approx_sim"),
+        F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val r = rr.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopKPq)
-      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
+      .select("q_id", "rank", "neighbor_id", "cos_sim", "approx_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.VectorOps
+
+/** Streaming embedding near-duplicate admission — the continuous-ingest
+  * face of the batch multi-probe LSH pipeline
+  * (VectorOps.embedNearDupCandidates): as vectors land, each is
+  * sign-bucketed by the SAME [[VectorOps.NPlanes]] md5-derived
+  * hyperplanes, compared (exact dot product) against ONLY the vectors
+  * already resident in its Hamming≤1 probe buckets, and a pair is
+  * emitted when the rounded cosine clears [[VectorOps.NearDupCosine]] —
+  * never all-pairs, the batch candidate-generation contract evaluated
+  * incrementally.
+  *
+  * Probe/residency split: an arrival produces one HOME row (its own
+  * bucket — compares against residents, then becomes resident) and one
+  * PROBE row per single-plane flip (compares only). Because the
+  * Hamming≤1 relation is symmetric, the later vector of any qualifying
+  * pair always reaches the earlier one's home bucket — through its
+  * home row when the patterns are equal, through a probe row when they
+  * differ in one plane — so every batch pair is found EXACTLY once,
+  * independent of arrival order (StreamEmbedSpec pins this; the driver
+  * oracle row q_embed_stream hashes the streamed pair set against the
+  * batch pair SQL).
+  *
+  * State per bucket = resident (vec_id, vector) list, capped at
+  * [[MaxBucketResidents]]: past the cap the bucket flips to suppressed
+  * and clears — the online form of the batch plane-derivation defense
+  * against over-occupied buckets (a batch recomputes its plane count
+  * from the corpus; a stream cannot, so the cap bounds both state and
+  * per-arrival work; at production scale the plane count is a deploy
+  * config sized to the expected corpus exactly like an IVF nlist). The
+  * cap never binds at the oracle SFs (max bucket occupancy ~30 at
+  * sf0.01, ~400 at sf0.1, cap 1024), so the streamed set stays
+  * arrival-order independent there; the suppression path is pinned by
+  * StreamEmbedSpec instead. Event-time timeout drops buckets idle past
+  * the watermark horizon, bounding live state by active-bucket
+  * cardinality × cap regardless of stream length.
+  */
+object StreamEmbed {
+
+  val Watermark = "1 hour"
+
+  /** Resident-list cap per bucket (see class doc). */
+  val MaxBucketResidents = 1024
+
+  /** One emitted admission signal: a probe-confirmed near-dup pair. */
+  case class EmbHit(vec_a: Long, vec_b: Long, cos_sim: Double)
+
+  /** Non-private: Catalyst's generated encoder projections cannot
+    * access private classes. */
+  case class BucketKey(bucket: Long)
+  case class ProbedVec(
+      bucket: Long, is_home: Boolean, vec_id: Long,
+      ts: java.sql.Timestamp, embedding: Seq[Double])
+  case class BucketState(
+      vecs: List[(Long, Seq[Double])], suppressed: Boolean)
+
+  val docSchema = "vec_id LONG, ts TIMESTAMP, embedding ARRAY<DOUBLE>"
+
+  /** Per-row probing: sign bucket via the shared hyperplane family,
+    * then one home row + one probe row per single-plane flip.
+    */
+  private[streaming] def probed(vecs: DataFrame): DataFrame = {
+    val n = VectorOps.NPlanes
+    val b = vecs.select(col("vec_id"), col("ts"), col("embedding"),
+      VectorOps.bucketOfN(col("embedding"), n).as("home"))
+    val probeList = array(
+      col("home") +: (0 until n).map(p =>
+        col("home").bitwiseXOR(lit(1L << p))): _*)
+    b.select(col("vec_id"), col("ts"), col("embedding"),
+        col("home"), explode(probeList).as("bucket"))
+      .select(col("bucket"), (col("bucket") === col("home")).as("is_home"),
+        col("vec_id"), col("ts"), col("embedding"))
+  }
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def bucketFn(
+      key: BucketKey, rows: Iterator[ProbedVec],
+      state: GroupState[BucketState]): Iterator[EmbHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var st = state.getOption.getOrElse(BucketState(Nil, suppressed = false))
+    val out = Seq.newBuilder[EmbHit]
+    // deterministic in-batch order (the iterator's order is partition
+    // internals, not data semantics)
+    for (v <- rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))) {
+      if (!st.suppressed) {
+        if (st.vecs.length >= MaxBucketResidents) {
+          st = BucketState(Nil, suppressed = true)
+        } else {
+          for ((pid, pemb) <- st.vecs if pid != v.vec_id) {
+            var d = 0.0
+            var i = 0
+            val a = v.embedding
+            while (i < a.length) { d += a(i) * pemb(i); i += 1 }
+            val cos = rnd6(d)
+            if (cos >= VectorOps.NearDupCosine)
+              out += EmbHit(math.min(pid, v.vec_id),
+                math.max(pid, v.vec_id), cos)
+          }
+          if (v.is_home) st = st.copy(vecs = (v.vec_id, v.embedding) :: st.vecs)
+        }
+      }
+      state.update(st)
+      state.setTimeoutTimestamp(v.ts.getTime, Watermark)
+    }
+    out.result().iterator
+  }
+
+  /** The shared transform: watermark → probe rows → per-bucket
+    * incremental candidate + confirm.
+    */
+  def pairs(vecs: DataFrame): Dataset[EmbHit] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    probed(vecs.withWatermark("ts", Watermark))
+      .as[ProbedVec]
+      .groupByKey(v => BucketKey(v.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(bucketFn)
+  }
+
+  /** Streaming job: NDJSON landing → near-dup pairs → append sink. */
+  def start(spark: SparkSession, landingDir: String, outDir: String,
+            checkpointDir: String): StreamingQuery = {
+    StateStores.useRocksDb(spark)
+    pairs(
+      spark.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landingDir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

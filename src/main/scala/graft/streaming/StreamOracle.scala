@@ -189,6 +189,33 @@ object StreamOracle {
     Out.sorted(r)(col("doc_a"), col("doc_b"), col("band_idx"))
   }
 
+  /** q_embed_stream: land the embeddings table as NDJSON (vectors
+    * widened to DOUBLE before writing — JSON round-trips doubles
+    * exactly, while re-parsing a float's shortest decimal as a double
+    * would NOT equal the float-widened value the batch arithmetic
+    * uses), run the streaming LSH admission to completion, and hash the
+    * emitted pair set. With one constant event time and every bucket
+    * far under [[StreamEmbed.MaxBucketResidents]] at the oracle SFs,
+    * the streamed set is arrival-order independent and equals the
+    * batch multi-probe pair chain at pinned [[VectorOps.NPlanes]] —
+    * so the oracle is the SAME SQL as the batch near-dup row, the
+    * strongest stream/batch contract.
+    */
+  def embedStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "embstream")
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), constTs,
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .repartition(LandingFiles).write.json(s"$tmp/landing")
+    drain(StreamEmbed.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "embstream")
+    val r = spark.read
+      .schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE")
+      .json(s"$tmp/out")
+      .select("vec_a", "vec_b", "cos_sim")
+    Out.sorted(r)(col("vec_a"), col("vec_b"))
+  }
+
   /** q_funnel_stream: land the events table as ONE NDJSON file
     * (microsecond timestamps preserved — the Sessions landing rule;
     * one data batch, so the per-user fold orders ALL events and the

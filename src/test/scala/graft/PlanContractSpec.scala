@@ -348,4 +348,27 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"edge-set reciprocity join not broadcast:\n$plan")
   }
+
+  test("embed outliers: edge aggregate combines map-side; corpus join stays equi") {
+    val plan = planOf(operators.VectorOps.embedOutliers(spark, SparkT.Sf0001))
+    assert(plan.contains("partial_count"),
+      s"kNN-edge aggregate not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
+  test("ivf-pq rerank: nominee fetch broadcasts; the corpus is never shuffled") {
+    val df = operators.VectorOps.annIvfPqRerank(spark, SparkT.Sf0001)
+    val plan = planOf(df)
+    // the R·|queries|-row nominee and query frames must broadcast into
+    // the raw-vector scan — a shuffle of the corpus for the refine
+    // stage would defeat the whole fetch-R-rows design
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rerank joins not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the rerank:\n$plan")
+    // (BroadcastNestedLoopJoin is expected upstream: the quantizer /
+    // LUT cross joins broadcast fixed-size centroid frames by design)
+    assert(!plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+  }
 }
