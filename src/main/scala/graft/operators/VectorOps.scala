@@ -524,18 +524,23 @@ object VectorOps {
     */
   private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-    // Materialize the candidate join ONCE: the symmetrization below
-    // references it twice with swapped projections, which defeats
-    // exchange reuse and would run the expensive pair-enumeration
-    // twice (measured 20.5 s -> 9 s at sf1).
-    val cand = Out.eager(
-      embedNearDupCandidates(spark, dir, derivedPlanes(n)))
-    val sym = cand.select(
-        col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
-        col("cos_sim"))
-      .unionAll(cand.select(
-        col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
-        col("cos_sim")))
+    // Symmetrize INSIDE the join's projection (each undirected pair
+    // explodes into its two directed edges) so the expensive pair
+    // enumeration runs ONCE in one streamed pass. The previous form —
+    // union of two projections over a localCheckpoint of the candidate
+    // frame — ran the join once too, but paid a full materialization
+    // of the UNTHRESHOLDED pair set, which is corpus-sized·occupancy
+    // rows: at sf10 that checkpoint (235M rows) made the graph build
+    // 130 s where the same join streamed into the per-node top-k runs
+    // in 31 s (q_semantic_clusters 194 -> 29 s, q_embed_outliers
+    // 104 -> 41 s). Nothing corpus×corpus is ever stored.
+    val cand = embedNearDupCandidates(spark, dir, derivedPlanes(n))
+    val sym = cand.select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+          col("cos_sim")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
+          col("cos_sim")))).as("e"))
+      .select(col("e.vec_id"), col("e.neighbor_id"), col("e.cos_sim"))
     val w = Window.partitionBy("vec_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
     // The reciprocity join references the top-k frame twice (probe +
