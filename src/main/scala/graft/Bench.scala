@@ -81,6 +81,34 @@ object Bench {
       cpuTotal.get()
     }
 
+    // Per-batch streaming latency: drain wall for a streaming query is
+    // ~90% fixed startup/checkpoint overhead at test SFs, so a per-batch
+    // regression (the thing that actually scales with data volume) hides
+    // inside the wall number. Count micro-batches and summed
+    // triggerExecution time per query via the streaming listener; the
+    // artifact carries batches + sec_per_batch beside wall, and
+    // tools/bench_gate.py gates on sec_per_batch for streaming rows.
+    val batchCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batchMsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          batchCount.incrementAndGet()
+          val d = e.progress.durationMs
+          if (d != null) {
+            val t = d.get("triggerExecution")
+            if (t != null) { batchMsTotal.addAndGet(t); () }
+          }
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+    def batchesNow(): (Long, Long) = {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      (batchCount.get(), batchMsTotal.get())
+    }
+
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run (targeted perf iteration)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -122,30 +150,47 @@ object Bench {
       }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    // per run: (wall sec, cpu sec, micro-batches, summed batch sec)
+    case class Run(sec: Double, cpu: Double, batches: Long, batchSec: Double)
     val timed = names.map { name =>
       val runs = (1 to repeats).map { _ =>
         hygiene()
+        val (b0, bm0) = batchesNow()
         val c0 = cpuNow()
         val t0 = System.nanoTime()
         val err = run(name)
         val sec = (System.nanoTime() - t0) / 1e9
         val cpuSec = (cpuNow() - c0) / 1e9
+        val (b1, bm1) = batchesNow()
         err.foreach(errors(name) = _)
         progress("timed", name, sec)
-        if (err.isEmpty) (sec, cpuSec) else (-1.0, -1.0)
+        if (err.isEmpty) Run(sec, cpuSec, b1 - b0, (bm1 - bm0) / 1e3)
+        else Run(-1.0, -1.0, 0L, 0.0)
       }
-      val failed = runs.exists(_._1 == -1.0)
+      val failed = runs.exists(_.sec == -1.0)
+      // batches/batchSec come from the min-WALL run (batch counts are
+      // deterministic per drain; the min run is the least-contended one)
+      val best = if (failed) Run(-1.0, -1.0, 0L, 0.0) else runs.minBy(_.sec)
       name -> (
-        if (failed) -1.0 else runs.map(_._1).min,
-        if (failed) -1.0 else runs.map(_._2).min)
+        if (failed) -1.0 else runs.map(_.sec).min,
+        if (failed) -1.0 else runs.map(_.cpu).min,
+        best.batches, best.batchSec)
     }
-    val qs = timed.map { case (k, (v, _)) => Json.quote(k) + ":" + v }
+    val qs = timed.map { case (k, (v, _, _, _)) => Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val cpuQs = timed.map { case (k, (_, c)) => Json.quote(k) + ":" + c }
+    val cpuQs = timed.map { case (k, (_, c, _, _)) => Json.quote(k) + ":" + c }
+      .mkString("{", ",", "}")
+    val streamRows = timed.filter(_._2._3 > 0L)
+    val batchesJson = streamRows
+      .map { case (k, (_, _, b, _)) => Json.quote(k) + ":" + b }
+      .mkString("{", ",", "}")
+    val secPerBatchJson = streamRows
+      .map { case (k, (_, _, b, bs)) =>
+        Json.quote(k) + ":" + (math.round(bs / b * 1e4) / 1e4) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    val total = timed.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val total = timed.collect { case (_, (v, _, _, _)) if v >= 0 => v }.sum
     // Audit fields: engine version + the configs that shape every plan,
     // so a bench JSON is self-describing without the harness script.
     val audit = Seq(
@@ -157,7 +202,7 @@ object Bench {
       "repeats" -> repeats.toString
     ).map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"batches":$batchesJson,"sec_per_batch":$secPerBatchJson,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
     // The driver captures only the log TAIL; a verbose shutdown once
     // truncated the r3 totals. The file in cwd is the truncation-proof
     // artifact; the printed line stays for the log-scraping path.

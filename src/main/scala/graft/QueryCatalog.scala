@@ -291,8 +291,9 @@ object QueryCatalog {
           JOIN codes co ON co.vec_id = c.vec_id
           JOIN lut l ON l.q_id = c.q_id AND l.sub = co.sub AND l.code = co.code
           GROUP BY 1, 2, 3, 4),
-        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                ORDER BY approx_sim DESC, neighbor_id) AS rank FROM s)"""
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_sim DESC, neighbor_id) AS INTEGER) AS rank
+              FROM s)"""
   }
 
   // Multi-probe LSH embedding near-dup pair chain, ending in
@@ -1752,13 +1753,6 @@ object QueryCatalog {
         SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash
         FROM documents ORDER BY bow_hash""")),
 
-    // Streaming MinHash near-dup pairs: the oracle replays the banding
-    // plus the ONLINE bucket rule — within a bucket, docs take arrival
-    // positions (constant landing event time => doc_id order) and a pair
-    // emits iff the later doc arrived while the bucket was below the
-    // residency cap; exact Jaccard confirms. One row per shared band
-    // (the stream's at-least-once-per-band contract). band_idx - 1:
-    // generate_subscripts is 1-based, the engine's posexplode 0-based.
     // Streaming multi-probe LSH admission over the embeddings table,
     // oracle-checked on the streamed pair set itself: with constant
     // event time and buckets under the resident cap, the emitted set
@@ -1771,6 +1765,45 @@ object QueryCatalog {
         SELECT vec_a, vec_b, cos_sim FROM epairs
         ORDER BY vec_a, vec_b""")),
 
+    // The widened-plane deploy setting of the admission stream (the
+    // streaming twin of the batch q_embed_neardup_8p dial): same batch
+    // pair SQL, evaluated at NPlanesWide.
+    "q_embed_stream_wide" -> Spec(
+      streaming.StreamOracle.embedStreamWide,
+      Some(s"""
+        WITH ${embedPairCtesAt(VectorOps.NPlanesWide)}
+        SELECT vec_a, vec_b, cos_sim FROM epairs
+        ORDER BY vec_a, vec_b""")),
+
+    // The resident cap deliberately BINDING (CappedResidents, single
+    // landing file => arrival order is vec_id order): the oracle
+    // replays the online suppression rule — a pair survives iff fewer
+    // than cap home arrivals preceded the later vector in the earlier
+    // vector's home bucket (the count also covers the suppress-then-
+    // clear path: once a bucket has seen cap home arrivals, everything
+    // after is cut).
+    "q_embed_stream_capped" -> Spec(
+      streaming.StreamOracle.embedStreamCapped,
+      Some(s"""
+        WITH ${embedPairCtesAt(VectorOps.NPlanes)},
+        hb AS (SELECT p.vec_a, p.vec_b, p.cos_sim, x.bucket AS ha
+               FROM epairs p JOIN eb x ON x.vec_id = p.vec_a),
+        cnt AS (SELECT p.vec_a, p.vec_b, p.cos_sim,
+                       count(h.vec_id) AS nprior
+                FROM hb p LEFT JOIN eb h
+                  ON h.bucket = p.ha AND h.vec_id < p.vec_b
+                GROUP BY 1, 2, 3)
+        SELECT vec_a, vec_b, cos_sim FROM cnt
+        WHERE nprior < ${streaming.StreamEmbed.CappedResidents}
+        ORDER BY vec_a, vec_b""")),
+
+    // Streaming MinHash near-dup pairs: the oracle replays the banding
+    // plus the ONLINE bucket rule — within a bucket, docs take arrival
+    // positions (constant landing event time => doc_id order) and a pair
+    // emits iff the later doc arrived while the bucket was below the
+    // residency cap; exact Jaccard confirms. One row per shared band
+    // (the stream's at-least-once-per-band contract). band_idx - 1:
+    // generate_subscripts is 1-based, the engine's posexplode 0-based.
     "q_neardup_stream" -> Spec(
       streaming.StreamOracle.neardupStream,
       Some(s"""
@@ -2224,8 +2257,9 @@ object QueryCatalog {
                FROM nom n
                JOIN q ON q.q_id = n.q_id
                JOIN embeddings e ON e.vec_id = n.neighbor_id),
-        rr2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                  ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rr)
+        rr2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+                FROM rr)
         SELECT q_id, rank, neighbor_id, cos_sim, approx_sim FROM rr2
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
@@ -2684,6 +2718,68 @@ object QueryCatalog {
                count(*) AS n_merged
         FROM kept GROUP BY product_id, lower(trim(seller))
         ORDER BY product_id, seller_key""")),
+
+    // EP3 end-to-end composition: landed capture → fallback+merge →
+    // positive-price filter → bot flags → floors → the A9 global
+    // aggregate, replayed as one chained-CTE oracle (the integration
+    // pin on top of the per-stage rows).
+    "q_analyze_pipeline" -> Spec(
+      Parsing.analyzePipeline,
+      Some(s"""
+        WITH $domSellersCtes,
+        cap AS (
+          SELECT * FROM read_json('${Ingestion.FixturesDir}/offers_captured.jsonl',
+                                  format='newline_delimited',
+                                  columns={idx: 'BIGINT', product_id: 'VARCHAR',
+                                           seller: 'VARCHAR', price: 'BIGINT',
+                                           delivery_date: 'VARCHAR'})),
+        unioned AS (
+          SELECT product_id, idx, seller, price, 1 AS pr
+          FROM cap
+          UNION ALL
+          SELECT 'P200', CAST(row_idx AS BIGINT), seller, price, 2
+          FROM dom_sellers),
+        kept AS (
+          SELECT * FROM (SELECT *, min(pr) OVER (PARTITION BY product_id) AS best
+                         FROM unioned)
+          WHERE pr = best),
+        merged AS (
+          SELECT product_id,
+                 coalesce(min(CASE WHEN price > 0 THEN price END), 0) AS price
+          FROM kept GROUP BY product_id, lower(trim(seller))),
+        off AS (SELECT product_id, price FROM merged WHERE price > 0),
+        fl AS (SELECT product_id, price,
+                      min(price) OVER (PARTITION BY product_id) AS mn,
+                      median(price) OVER (PARTITION BY product_id) AS md
+               FROM off),
+        fb AS (SELECT product_id, price,
+                      ((price - mn >= 0 AND price - mn <= 100.0)
+                       OR (price - mn >= 0 AND
+                           (CASE WHEN mn > 0
+                                 THEN CAST(price - mn AS DOUBLE) / mn
+                                 ELSE 0 END) <= 0.0025))
+                      AND (md - mn <= 3000.0) AS is_bot
+               FROM fl),
+        pp AS (SELECT product_id, count(*) AS n_offers, min(price) AS min_price,
+                      max(price) - min(price) AS spread,
+                      CAST(sum(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_bots
+               FROM fb GROUP BY product_id),
+        pf AS (SELECT *, CASE WHEN n_bots >= 2
+                              THEN greatest(0.0, CAST(min_price AS DOUBLE) - 200.0)
+                              ELSE CAST(min_price AS DOUBLE) END
+                           AS predicted_min_24h
+               FROM pp)
+        SELECT CAST(count(*) AS BIGINT) AS n_products,
+               CAST(sum(n_offers) AS BIGINT) AS n_offers,
+               CAST(sum(n_bots) AS BIGINT) AS n_bots,
+               ${rnd("CAST(sum(n_bots) AS DOUBLE) / CAST(sum(n_offers) AS DOUBLE)", 6)} AS bot_share,
+               ${rnd(s"${sumDec("spread")} / CAST(count(*) AS DOUBLE)", 6)} AS avg_spread,
+               median(spread) AS median_spread,
+               max(spread) AS max_spread,
+               min(min_price) AS best_entry_price,
+               min(predicted_min_24h) AS best_floor_24h
+        FROM pf""")),
 
     "q_extract_config" -> Spec(
       Parsing.extractConfig,

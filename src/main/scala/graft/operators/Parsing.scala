@@ -171,6 +171,55 @@ object Parsing {
     Out.sorted(r)(col("product_id"), col("seller_key"))
   }
 
+  /** EP3 end-to-end composition (SURVEY §3): the full analyze pipeline
+    * from the landed capture to the A9 global aggregate, as ONE plan —
+    * 5-stage offer fallback + D2 dedupe-merge ([[offersWithFallback]])
+    * → positive-price filter (F5) → per-product min/median anchors →
+    * X19 bot flags → X20 floor predictions → the A9 second-level
+    * aggregate (offer mass, bot share, spread stats, best entry price
+    * and best floor). Every stage is individually oracle-pinned by its
+    * own row; this row pins their INTEGRATION — the chained-CTE oracle
+    * replays the whole lifecycle and must hash-match.
+    *
+    * Scale shape: one groupBy(product, seller) merge, two window
+    * anchors on the product key (reusing the merge partitioning), one
+    * product-level aggregate, one scalar aggregate. Nothing all-pairs,
+    * no driver-side loop — the reference's sequential per-variant HTTP
+    * loop (server/scrape.ts:615-805) becomes a data-parallel plan over
+    * however many captured pages landed.
+    */
+  def analyzePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val offers = offersWithFallback(spark, dir).filter(col("price") > 0)
+    val w = Window.partitionBy(col("product_id"))
+    val flagged = offers
+      .withColumn("mn", min(col("price")).over(w))
+      .withColumn("md", median(col("price")).over(w))
+      .withColumn("is_bot",
+        F.isPriceBot(col("price").cast("double"), col("mn").cast("double"),
+          col("md"), nearAbs = 100.0, nearPct = 0.0025, tight = 3000.0))
+    val perProduct = flagged.groupBy("product_id").agg(
+        count(lit(1)).as("n_offers"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        sum(when(col("is_bot"), 1L).otherwise(0L)).as("n_bots"))
+      .withColumn("spread", col("max_price") - col("min_price"))
+      .withColumn("predicted_min_24h",
+        when(col("n_bots") >= 2,
+          greatest(lit(0.0), col("min_price").cast("double") - 200.0))
+          .otherwise(col("min_price").cast("double")))
+    perProduct.agg(
+      count(lit(1)).as("n_products"),
+      sum(col("n_offers")).as("n_offers"),
+      sum(col("n_bots")).as("n_bots"),
+      F.roundHalfUp(sum(col("n_bots")).cast("double") /
+        sum(col("n_offers")).cast("double"), 6).as("bot_share"),
+      F.avgFromSums(sum(F.dec(col("spread"))), count(lit(1))).as("avg_spread"),
+      median(col("spread")).as("median_spread"),
+      max(col("spread")).as("max_spread"),
+      min(col("min_price")).as("best_entry_price"),
+      min(col("predicted_min_24h")).as("best_floor_24h"))
+  }
+
   /** S12/X15/X17/X13/X14 — embedded configurator payload: balanced-JSON
     * extraction via the native [[ExtractBalancedJson]] expression, then
     * schema-flexible JSON probing of the parsed document.

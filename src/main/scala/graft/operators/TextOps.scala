@@ -875,12 +875,36 @@ object TextOps {
     * confirm joins need no exchange on the table side.
     */
   private def nearDupPairsCore(sig: DataFrame): DataFrame = {
-    val bands = bandRows(sig)
+    // Exact-clone pre-collapse (the simhash cloneCollapsed twin, keyed
+    // on the SHINGLE set — the exact invariant of both the k-perm
+    // signature and the Jaccard confirm): band ONE canonical per clone
+    // group, re-expand pairs through membership afterward. Clones share
+    // every band key, so banding the raw corpus is quadratic in clone
+    // multiplicity; the collapse adds only linear gkey-keyed shuffles.
+    val keyed = sig.withColumn("clone_gkey", md5(to_json(array_sort(col("shingles")))))
+    val groups = keyed.groupBy("clone_gkey")
+      .agg(min(col("doc_id")).as("cdoc"), count(lit(1)).as("gsize"))
+    val canonSig = keyed.join(groups, Seq("clone_gkey"))
+      .filter(col("doc_id") === col("cdoc"))
+    val members = keyed.select(col("clone_gkey"), col("doc_id"))
+      .join(groups.select(col("clone_gkey"), col("cdoc")), Seq("clone_gkey"))
+      .select(col("doc_id"), col("cdoc"))
+    // Band rows carry the clone-group size so the hot-band cap counts
+    // the EXPANDED frequency (sum of group sizes == the raw corpus's
+    // per-bucket doc count): band shedding — and therefore the emitted
+    // pair set — is byte-identical to banding the raw corpus.
+    val bandCols = (0 until Bands).map { b =>
+      md5(concat_ws("_",
+        (0 until RowsPerBand).map(i =>
+          col(s"mh${b * RowsPerBand + i}").cast("string")): _*))
+    }
+    val bands = canonSig.select(col("doc_id"), col("gsize"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     // Hot-band cap: the over-cap bucket list is tiny (usually empty),
     // so it broadcasts and the filter is a cheap anti-join — no extra
     // shuffle of the band rows.
     val hot = bands.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("gsize")).as("f"))
       .filter(col("f") > MaxBandFrequency)
       .select("band_idx", "band_hash")
     val kept = bands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
@@ -893,13 +917,33 @@ object TextOps {
     val jac = F.roundHalfUp(
       size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
         size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"), 6)
-    val shg = sig.select(col("doc_id"), col("shingles"))
-    cand
+    val shg = canonSig.select(col("doc_id"), col("shingles"))
+    val cpairs = cand
       .join(shg.as("a"), col("doc_a") === col("a.doc_id"))
       .join(shg.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         jac.as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+    // Re-expansion. Cross-group pairs inherit (n_shared_bands, jaccard)
+    // — both are shingle-set functions, group-invariant. Within-group
+    // pairs are exact clones: jaccard 1.0 by definition, and they agree
+    // on precisely the group's non-shed bands (kept-band count), so a
+    // fully-shed group emits no within pairs — exactly what banding the
+    // raw corpus does.
+    val ma = members.select(col("cdoc").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("cdoc").as("doc_b"), col("doc_id").as("db"))
+    val cross = cpairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("n_shared_bands"), col("jaccard"))
+    val keptCnt = kept.groupBy(col("doc_id").as("cg"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.cdoc") === col("y.cdoc") && col("x.doc_id") < col("y.doc_id"))
+      .join(keptCnt, col("x.cdoc") === col("cg"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("n_shared_bands"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Band-occupancy profile of the MinHash-LSH index: per band, bucket
@@ -1192,8 +1236,14 @@ object TextOps {
     * arithmetic in every engine).
     */
   private def simhashTableAt(
-      spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val tok = docsDistributed(spark, dir)
+      spark: SparkSession, dir: String, bits: Int): DataFrame =
+    simhashTableFrom(docsDistributed(spark, dir), bits)
+
+  /** [[simhashTableAt]] over an arbitrary (doc_id, text) frame — the
+    * entry the clone-collapsed near-dup path feeds canonicals through.
+    */
+  private def simhashTableFrom(base: DataFrame, bits: Int): DataFrame = {
+    val tok = base
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
       .withColumn("hv",
         conv(substring(md5(col("token")), 1, bits / 4), 16, 10).cast(LongType))
@@ -1307,20 +1357,74 @@ object TextOps {
     * fingerprint width — 4 equal bands.
     */
   private[graft] def simhashBandsAt(
-      spark: SparkSession, dir: String, bits: Int): DataFrame = {
+      spark: SparkSession, dir: String, bits: Int): DataFrame =
+    simhashBandsFrom(docsDistributed(spark, dir), bits)
+
+  private def simhashBandsFrom(base: DataFrame, bits: Int): DataFrame = {
     val bandBits = bits / 4
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until 4).map { b =>
       shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask))
     }
-    simhashTableAt(spark, dir, bits).select(col("doc_id"), col("simhash"),
+    simhashTableFrom(base, bits).select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Exact-clone pre-collapse in front of a near-dup bander: (canonical
+    * docs frame, group membership (doc_id, cdoc)). The group key is the
+    * DISTINCT TOKEN SET (md5 of its sorted JSON form) — the exact
+    * invariant of the SimHash fingerprint, so every member of a group
+    * carries a bit-identical fingerprint and banding ONE canonical per
+    * group loses nothing. This is the standard pipeline order (exact
+    * dedup before MinHash/SimHash at trillion-token scale): exact
+    * clones share EVERY band key, so banding the raw corpus makes
+    * bucket pair-candidate counts quadratic in clone multiplicity —
+    * measured at sf10 (4 planted clones per base doc) as 359.6 s for
+    * q_simhash_neardup, vs seconds once collapsed. All shuffles here
+    * are linear (one groupBy + two gkey-keyed joins); the quadratic
+    * within-group pair expansion is the OUTPUT itself, not an
+    * intermediate.
+    */
+  private def cloneCollapsed(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = docsDf.select(col("doc_id"), col("text"),
+      md5(to_json(array_sort(array_distinct(toks)))).as("clone_gkey"))
+    val groups = keyed.groupBy("clone_gkey").agg(min(col("doc_id")).as("cdoc"))
+    val canonDocs = keyed.join(groups, Seq("clone_gkey"))
+      .filter(col("doc_id") === col("cdoc"))
+      .select("doc_id", "text")
+    val members = keyed.select(col("clone_gkey"), col("doc_id"))
+      .join(groups, Seq("clone_gkey"))
+      .select(col("doc_id"), col("cdoc"))
+    (canonDocs, members)
+  }
+
+  /** Re-expand canonical-pair results through clone-group membership so
+    * the emitted pair set is hash-identical to banding the raw corpus:
+    * cross-group pairs inherit the canonical pair's (hamming,
+    * n_shared_bands) — both are fingerprint functions, group-invariant
+    * — and within-group pairs are clones of each other (hamming 0, all
+    * 4 pigeonhole bands agree).
+    */
+  private def expandClonePairs(
+      cpairs: DataFrame, members: DataFrame): DataFrame = {
+    val ma = members.select(col("cdoc").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("cdoc").as("doc_b"), col("doc_id").as("db"))
+    val cross = cpairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("hamming"), col("n_shared_bands"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.cdoc") === col("y.cdoc") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"), lit(4L).as("n_shared_bands"))
+    cross.unionByName(within)
   }
 
   private def simhashNearDupAt(
       spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val bands = simhashBandsAt(spark, dir, bits)
-    val r = bands.as("x").join(bands.as("y"),
+    val (canonDocs, members) = cloneCollapsed(docsDistributed(spark, dir))
+    val bands = simhashBandsFrom(canonDocs, bits)
+    val cpairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1331,7 +1435,7 @@ object TextOps {
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"),
         col("n_shared_bands"))
-    Out.sorted(r)(col("doc_a"), col("doc_b"))
+    Out.sorted(expandClonePairs(cpairs, members))(col("doc_a"), col("doc_b"))
   }
 
   /** Sampling keep-threshold: docs whose first md5 byte < 64 survive
@@ -1385,11 +1489,12 @@ object TextOps {
     * [[SimhashTargetOccupancy]] to ~4·2^30 ≈ 4 billion documents.
     */
   def simhashNearDup128(spark: SparkSession, dir: String): DataFrame = {
-    val bands = simhash128Bands(spark, dir)
+    val (canonDocs, members) = cloneCollapsed(docsDistributed(spark, dir))
+    val bands = simhash128BandsFrom(canonDocs)
     val hamming120 =
       bit_count(col("x.fp_hi").bitwiseXOR(col("y.fp_hi"))) +
         bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo")))
-    val r = bands.as("x").join(bands.as("y"),
+    val cpairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1398,7 +1503,7 @@ object TextOps {
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"),
         col("n_shared_bands"))
-    Out.sorted(r)(col("doc_a"), col("doc_b"))
+    Out.sorted(expandClonePairs(cpairs, members))(col("doc_a"), col("doc_b"))
   }
 
   /** (doc_id, fp_hi, fp_lo, band_idx, band_val) rows of the two-long
@@ -1407,14 +1512,17 @@ object TextOps {
     * 0–59 and fp_hi bits 60–119).
     */
   private[graft] def simhash128Bands(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    simhash128BandsFrom(docsDistributed(spark, dir))
+
+  private def simhash128BandsFrom(base: DataFrame): DataFrame = {
     val mask = (1L << Simhash128BandBits) - 1
     val bandCols = Seq(
       col("fp_lo").bitwiseAND(lit(mask)),
       shiftright(col("fp_lo"), Simhash128BandBits).bitwiseAND(lit(mask)),
       col("fp_hi").bitwiseAND(lit(mask)),
       shiftright(col("fp_hi"), Simhash128BandBits).bitwiseAND(lit(mask)))
-    simhash128Table(spark, dir).select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+    simhash128TableFrom(base).select(col("doc_id"), col("fp_hi"), col("fp_lo"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
 
@@ -1423,8 +1531,8 @@ object TextOps {
     * long gets the standard per-bit sign-sum fingerprint. One md5 call
     * per token row; 120 sign sums in a single aggregation.
     */
-  private def simhash128Table(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docsDistributed(spark, dir)
+  private def simhash128TableFrom(base: DataFrame): DataFrame = {
+    val tok = base
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
       .select(col("doc_id"),
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType).as("hv_hi"),

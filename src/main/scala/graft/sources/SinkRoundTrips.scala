@@ -283,11 +283,16 @@ object SinkRoundTrips {
       .withColumn("g", substring(col("shuffle_key"), 1, 1))
     val wLocal = Window.partitionBy("g").orderBy("shuffle_key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.orderBy("g")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy("g").agg(sum(col("n_tokens")).as("st"))
-      .select(col("g"),
-        coalesce(sum(col("st")).over(wG), lit(0L)).as("g_offset"))
+    // Group offsets (exclusive prefix sum over the 16 per-group sums)
+    // as a strictly-less self-join aggregate, not an unpartitioned
+    // window: the frame is bounded at 16 rows either way, but a
+    // Window.orderBy with no partitionBy moves rows to one partition
+    // and warns on every run — a pattern that must not look blessed.
+    val sums = d.groupBy("g").agg(sum(col("n_tokens")).as("st"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b.g") < col("a.g"), "left")
+      .groupBy(col("a.g").as("g"))
+      .agg(coalesce(sum(col("b.st")), lit(0L)).as("g_offset"))
     val sharded = d
       .withColumn("local_end", sum(col("n_tokens")).over(wLocal))
       .join(broadcast(offsets), Seq("g"))

@@ -32,8 +32,9 @@ import graft.operators.VectorOps
   * and clears — the online form of the batch plane-derivation defense
   * against over-occupied buckets (a batch recomputes its plane count
   * from the corpus; a stream cannot, so the cap bounds both state and
-  * per-arrival work; at production scale the plane count is a deploy
-  * config sized to the expected corpus exactly like an IVF nlist). The
+  * per-arrival work; the plane count and cap are DEPLOY CONFIG —
+  * parameters of [[pairs]]/[[start]] — sized to the expected corpus
+  * exactly like an IVF nlist, with three oracle-pinned settings). The
   * cap never binds at the oracle SFs (max bucket occupancy ~30 at
   * sf0.01, ~400 at sf0.1, cap 1024), so the streamed set stays
   * arrival-order independent there; the suppression path is pinned by
@@ -47,6 +48,17 @@ object StreamEmbed {
 
   /** Resident-list cap per bucket (see class doc). */
   val MaxBucketResidents = 1024
+
+  /** The deliberately BINDING cap setting of the q_embed_stream_capped
+    * oracle row: small enough that several buckets overflow at the
+    * driver SFs, so the suppression path itself sits inside the hash
+    * gate (the oracle replays the online rule exactly — a pair is
+    * emitted iff fewer than this many home arrivals preceded the later
+    * vector in the earlier vector's home bucket). 30 splits the sf0.01
+    * pair set non-vacuously: prior-arrival counts there are
+    * {12, 28, 28, 39}, so three pairs survive and one is cut.
+    */
+  val CappedResidents = 30
 
   /** One emitted admission signal: a probe-confirmed near-dup pair. */
   case class EmbHit(vec_a: Long, vec_b: Long, cos_sim: Double)
@@ -71,8 +83,8 @@ object StreamEmbed {
   /** Per-row probing: sign bucket via the shared hyperplane family,
     * then one home row + one probe row per single-plane flip.
     */
-  private[streaming] def probed(vecs: DataFrame): DataFrame = {
-    val n = VectorOps.NPlanes
+  private[streaming] def probed(
+      vecs: DataFrame, n: Int = VectorOps.NPlanes): DataFrame = {
     val b = vecs.select(col("vec_id"), col("ts"), col("embedding"),
       VectorOps.bucketOfN(col("embedding"), n).as("home"))
     val probeList = array(
@@ -86,7 +98,7 @@ object StreamEmbed {
 
   private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  private def bucketFn(
+  private def bucketFn(maxResidents: Int)(
       key: BucketKey, rows: Iterator[ProbedVec],
       state: GroupState[BucketState]): Iterator[EmbHit] = {
     if (state.hasTimedOut) {
@@ -100,7 +112,7 @@ object StreamEmbed {
     val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
     for (v <- batch) {
       if (!st.suppressed) {
-        if (st.vecs.length >= MaxBucketResidents) {
+        if (st.vecs.length >= maxResidents) {
           st = BucketState(Nil, suppressed = true)
         } else {
           for ((pid, pemb) <- st.vecs if pid != v.vec_id) {
@@ -130,27 +142,37 @@ object StreamEmbed {
   }
 
   /** The shared transform: watermark → probe rows → per-bucket
-    * incremental candidate + confirm.
+    * incremental candidate + confirm. `nPlanes` and `maxResidents` are
+    * the DEPLOY KNOBS of the admission stream — a production deployment
+    * sizes the plane count to the expected corpus exactly like an IVF
+    * nlist (wider planes → more, smaller buckets) and the resident cap
+    * to the per-bucket memory budget. Both default to the historical
+    * settings; q_embed_stream pins the default, q_embed_stream_wide the
+    * widened planes, q_embed_stream_capped a deliberately binding cap.
     */
-  def pairs(vecs: DataFrame): Dataset[EmbHit] = {
+  def pairs(vecs: DataFrame, nPlanes: Int = VectorOps.NPlanes,
+            maxResidents: Int = MaxBucketResidents): Dataset[EmbHit] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    probed(vecs.withWatermark("ts", Watermark))
+    probed(vecs.withWatermark("ts", Watermark), nPlanes)
       .as[ProbedVec]
       .groupByKey(v => BucketKey(v.bucket))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(bucketFn)
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(bucketFn(maxResidents))
   }
 
   /** Streaming job: NDJSON landing → near-dup pairs → append sink. */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery = {
+            checkpointDir: String, nPlanes: Int = VectorOps.NPlanes,
+            maxResidents: Int = MaxBucketResidents): StreamingQuery = {
     StateStores.useRocksDb(spark)
     pairs(
       spark.readStream
         .schema(docSchema)
         .option("maxFilesPerTrigger", 1)
-        .json(landingDir))
+        .json(landingDir),
+      nPlanes, maxResidents)
       .writeStream
       .outputMode(OutputMode.Append)
       .format("json")

@@ -201,14 +201,54 @@ object StreamOracle {
     * so the oracle is the SAME SQL as the batch near-dup row, the
     * strongest stream/batch contract.
     */
-  def embedStream(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = freshTmp(spark, dir, "embstream")
-    Tables.load(spark, dir, "embeddings")
+  def embedStream(spark: SparkSession, dir: String): DataFrame =
+    embedStreamAt(spark, dir, graft.operators.VectorOps.NPlanes,
+      StreamEmbed.MaxBucketResidents, "embstream", LandingFiles)
+
+  /** q_embed_stream_wide: the widened-plane deploy setting
+    * (VectorOps.NPlanesWide, the streaming twin of the batch
+    * q_embed_neardup_8p dial) — 16× more, smaller buckets, same
+    * exactly-once pair contract.
+    */
+  def embedStreamWide(spark: SparkSession, dir: String): DataFrame =
+    embedStreamAt(spark, dir, graft.operators.VectorOps.NPlanesWide,
+      StreamEmbed.MaxBucketResidents, "embwide", LandingFiles)
+
+  /** q_embed_stream_capped: the resident cap deliberately BINDING
+    * (StreamEmbed.CappedResidents): the landing is ONE file, so the
+    * whole stream is a single data batch and arrival order is exactly
+    * (ts, vec_id) = vec_id order — making the suppression cut a pure
+    * function of the data that the SQL oracle replays (a pair emits
+    * iff fewer than cap home arrivals preceded the later vector in
+    * the earlier vector's home bucket).
+    */
+  def embedStreamCapped(spark: SparkSession, dir: String): DataFrame =
+    embedStreamAt(spark, dir, graft.operators.VectorOps.NPlanes,
+      StreamEmbed.CappedResidents, "embcap", 1)
+
+  private def embedStreamAt(spark: SparkSession, dir: String, nPlanes: Int,
+      cap: Int, tag: String, files: Int): DataFrame = {
+    val tmp = freshTmp(spark, dir, tag)
+    val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), constTs,
         transform(col("embedding"), _.cast("double")).as("embedding"))
-      .repartition(LandingFiles).write.json(s"$tmp/landing")
-    drain(StreamEmbed.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "embstream")
+    if (cap >= StreamEmbed.MaxBucketResidents) {
+      // Fail-fast occupancy guard for the cap-free rows: their oracle is
+      // the pure batch pair SQL with no cap modeling, so stream==batch
+      // silently depends on no bucket approaching the cap. A corpus/SF
+      // bump that crowds buckets must produce THIS diagnosable error,
+      // not a bare hash mismatch.
+      val occ = vecs.select(graft.operators.VectorOps
+          .bucketOfN(col("embedding"), nPlanes).as("b"))
+        .groupBy("b").count().agg(max("count")).head().getLong(0)
+      require(occ <= cap / 2,
+        s"$tag: max home-bucket occupancy $occ approaches the resident " +
+          s"cap $cap at $nPlanes planes — widen the planes or raise the " +
+          "cap before the stream==batch hash gate can silently diverge")
+    }
+    vecs.repartition(files).write.json(s"$tmp/landing")
+    drain(StreamEmbed.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
+      nPlanes, cap), tag)
     val r = spark.read
       .schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE")
       .json(s"$tmp/out")

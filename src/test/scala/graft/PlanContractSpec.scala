@@ -275,6 +275,26 @@ class PlanContractSpec extends AnyFunSuite {
       s"no partial window-group-limit below the exchange:\n$plan")
   }
 
+  test("near-dup banders run on the clone-collapsed frame") {
+    spark.conf.set("graft.sort.results", "false")
+    try {
+      // Every near-dup bander must collapse exact clone groups to one
+      // canonical BEFORE the band self-join (pair counts are quadratic
+      // in clone multiplicity otherwise — the sf10 359 s lesson). The
+      // collapse's group key is aliased `clone_gkey`, so its aggregate
+      // appearing in the executed plan pins the pre-collapse in place.
+      val banders = Seq(
+        "simhash" -> operators.TextOps.simhashNearDup(spark, SparkT.Sf0001),
+        "simhash128" -> operators.TextOps.simhashNearDup128(spark, SparkT.Sf0001),
+        "minhash" -> operators.TextOps.minhashNearDup(spark, SparkT.Sf0001))
+      for ((name, df) <- banders) {
+        val plan = planOf(df)
+        assert(plan.contains("clone_gkey"),
+          s"$name bander input is not the clone-collapsed frame:\n$plan")
+      }
+    } finally spark.conf.set("graft.sort.results", "true")
+  }
+
   test("simhash band self-join: AQE reuses the fingerprint exchange at runtime") {
     spark.conf.set("graft.sort.results", "false")
     try {
