@@ -818,7 +818,12 @@ object TextOps {
         loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(loc, true)
         val base = Out.eager(shingleBase(docsDistributed(spark, dir)))
+        // clone_gkey is PRECOMPUTED into the table: every near-dup
+        // consumer's exact-clone pre-collapse then reads a stored
+        // column (pruned scan) instead of re-hashing the shingle set
+        // per query — measured at sf10 as +158 cpu-s per query inline.
         base.join(minhashSignatures(base), Seq("doc_id"))
+          .withColumn("clone_gkey", cloneGroupKey(col("shingles")))
           .write.bucketBy(SignatureBuckets, "doc_id").sortBy("doc_id")
           .mode("overwrite").saveAsTable(name)
       }
@@ -881,7 +886,11 @@ object TextOps {
     // group, re-expand pairs through membership afterward. Clones share
     // every band key, so banding the raw corpus is quadratic in clone
     // multiplicity; the collapse adds only linear gkey-keyed shuffles.
-    val keyed = sig.withColumn("clone_gkey", md5(to_json(array_sort(col("shingles")))))
+    // The materialized signature table carries clone_gkey as a stored
+    // column; ephemeral frames (spec corpora) compute it inline.
+    val keyed =
+      if (sig.columns.contains("clone_gkey")) sig
+      else sig.withColumn("clone_gkey", cloneGroupKey(col("shingles")))
     val groups = keyed.groupBy("clone_gkey")
       .agg(min(col("doc_id")).as("cdoc"), count(lit(1)).as("gsize"))
     val canonSig = keyed.join(groups, Seq("clone_gkey"))
@@ -1385,9 +1394,16 @@ object TextOps {
     * within-group pair expansion is the OUTPUT itself, not an
     * intermediate.
     */
+  /** Order-invariant exact hash of a string-set column (the clone-group
+    * key): md5 of the sorted set's JSON form — unambiguous under any
+    * element content, reproducible across engines and reshards.
+    */
+  private def cloneGroupKey(set: Column): Column =
+    md5(to_json(array_sort(set)))
+
   private def cloneCollapsed(docsDf: DataFrame): (DataFrame, DataFrame) = {
     val keyed = docsDf.select(col("doc_id"), col("text"),
-      md5(to_json(array_sort(array_distinct(toks)))).as("clone_gkey"))
+      cloneGroupKey(array_distinct(toks)).as("clone_gkey"))
     val groups = keyed.groupBy("clone_gkey").agg(min(col("doc_id")).as("cdoc"))
     val canonDocs = keyed.join(groups, Seq("clone_gkey"))
       .filter(col("doc_id") === col("cdoc"))
