@@ -1756,12 +1756,18 @@ object QueryCatalog {
     // Streaming multi-probe LSH admission over the embeddings table,
     // oracle-checked on the streamed pair set itself: with constant
     // event time and buckets under the resident cap, the emitted set
-    // equals the batch pair chain at pinned NPlanes — restated here as
-    // the same SQL the batch near-dup rows use.
+    // equals the batch pair chain. Both deploy knobs are CORPUS-SIZED
+    // at stream-start time: the plane count by the same derivedPlanes
+    // rule as batch q_embed_neardup (replayed by the oracle's npv CTE)
+    // and the resident cap from the measured max home-bucket occupancy
+    // with 4x headroom (exact clones share a bucket at any plane
+    // count, so skewed corpora need the cap sized, not just the
+    // planes). A pinned 4-plane count put 18k residents in one sf10
+    // home bucket; the sized form runs any SF under the same oracle.
     "q_embed_stream" -> Spec(
       streaming.StreamOracle.embedStream,
       Some(s"""
-        WITH ${embedPairCtesAt(VectorOps.NPlanes)}
+        WITH $embedPairCtes
         SELECT vec_a, vec_b, cos_sim FROM epairs
         ORDER BY vec_a, vec_b""")),
 

@@ -31,10 +31,13 @@ import graft.operators.VectorOps
   * [[MaxBucketResidents]]: past the cap the bucket flips to suppressed
   * and clears — the online form of the batch plane-derivation defense
   * against over-occupied buckets (a batch recomputes its plane count
-  * from the corpus; a stream cannot, so the cap bounds both state and
-  * per-arrival work; the plane count and cap are DEPLOY CONFIG —
-  * parameters of [[pairs]]/[[start]] — sized to the expected corpus
-  * exactly like an IVF nlist, with three oracle-pinned settings). The
+  * per query; a stream fixes it at START time, so the cap bounds both
+  * state and per-arrival work between resizings; the plane count and
+  * cap are DEPLOY CONFIG — parameters of [[pairs]]/[[start]] — sized
+  * to the expected corpus exactly like an IVF nlist, with three
+  * oracle-checked settings: q_embed_stream derives the count from the
+  * corpus footer at start, q_embed_stream_wide pins the widened dial,
+  * q_embed_stream_capped pins a deliberately binding cap). The
   * cap never binds at the oracle SFs (max bucket occupancy ~30 at
   * sf0.01, ~400 at sf0.1, cap 1024), so the streamed set stays
   * arrival-order independent there; the suppression path is pinned by

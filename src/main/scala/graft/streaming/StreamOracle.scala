@@ -197,13 +197,28 @@ object StreamOracle {
     * emitted pair set. With one constant event time and every bucket
     * far under [[StreamEmbed.MaxBucketResidents]] at the oracle SFs,
     * the streamed set is arrival-order independent and equals the
-    * batch multi-probe pair chain at pinned [[VectorOps.NPlanes]] —
-    * so the oracle is the SAME SQL as the batch near-dup row, the
-    * strongest stream/batch contract.
+    * batch multi-probe pair chain — so the oracle is the SAME SQL as
+    * the batch near-dup row, the strongest stream/batch contract.
+    *
+    * The plane count is CORPUS-DERIVED at deploy (stream-start) time —
+    * [[graft.operators.VectorOps.derivedPlanes]] of the parquet-footer
+    * row count, the identical sizing rule the batch q_embed_neardup
+    * runs per query — because a FIXED plane count is the LSH scale
+    * defect: at sf10's 200k vectors, 4 planes put ~18k residents in
+    * one home bucket (measured), blowing the resident cap the moment
+    * the corpus outgrows the pinned keyspace. Deriving restores
+    * ~[[graft.operators.VectorOps.TargetOccupancy]] AVERAGE occupancy
+    * at any corpus size, and the oracle replays the derivation from
+    * count(*) with the same integer comparisons (the batch rows' npv
+    * CTE). The resident cap is sized by the pre-start occupancy scan
+    * in [[embedStreamAt]] (clone skew defeats plane widening alone).
     */
-  def embedStream(spark: SparkSession, dir: String): DataFrame =
-    embedStreamAt(spark, dir, graft.operators.VectorOps.NPlanes,
+  def embedStream(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.ParquetMeta.rowCount(
+      spark, s"$dir/embeddings.parquet")
+    embedStreamAt(spark, dir, graft.operators.VectorOps.derivedPlanes(n),
       StreamEmbed.MaxBucketResidents, "embstream", LandingFiles)
+  }
 
   /** q_embed_stream_wide: the widened-plane deploy setting
     * (VectorOps.NPlanesWide, the streaming twin of the batch
@@ -232,23 +247,32 @@ object StreamOracle {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), constTs,
         transform(col("embedding"), _.cast("double")).as("embedding"))
-    if (cap >= StreamEmbed.MaxBucketResidents) {
-      // Fail-fast occupancy guard for the cap-free rows: their oracle is
+    val effCap = if (cap < StreamEmbed.MaxBucketResidents) cap else {
+      // Deploy-time SIZING SCAN for the cap-free rows: their oracle is
       // the pure batch pair SQL with no cap modeling, so stream==batch
-      // silently depends on no bucket approaching the cap. A corpus/SF
-      // bump that crowds buckets must produce THIS diagnosable error,
-      // not a bare hash mismatch.
+      // correctness requires that no bucket ever reaches the resident
+      // cap. Plane derivation holds the AVERAGE occupancy near
+      // TargetOccupancy, but exact-clone vectors share a home bucket at
+      // ANY plane count (identical signs), so a clone-heavy corpus has
+      // a max far above the average — sf10's ~100-replica families put
+      // 900 residents in the hottest bucket at the derived 11 planes
+      // while the average sat at ~98. Production sizes the cap the same
+      // way it sizes the planes: one pre-start aggregate over the
+      // corpus the stream will admit, then 4x headroom for post-start
+      // drift. For these rows the landed corpus IS that corpus, so the
+      // measured max is exact and the sized cap provably never binds.
+      // (The binding-cap semantics stay oracle-pinned by
+      // q_embed_stream_capped; a corpus where clone mass makes even the
+      // sized cap unaffordable wants the exact-clone pre-collapse the
+      // batch banders run — see TextOps.cloneGroupKey.)
       val occ = vecs.select(graft.operators.VectorOps
           .bucketOfN(col("embedding"), nPlanes).as("b"))
         .groupBy("b").count().agg(max("count")).head().getLong(0)
-      require(occ <= cap / 2,
-        s"$tag: max home-bucket occupancy $occ approaches the resident " +
-          s"cap $cap at $nPlanes planes — widen the planes or raise the " +
-          "cap before the stream==batch hash gate can silently diverge")
+      math.max(cap, 4L * occ).min(Int.MaxValue).toInt
     }
     vecs.repartition(files).write.json(s"$tmp/landing")
     drain(StreamEmbed.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
-      nPlanes, cap), tag)
+      nPlanes, effCap), tag)
     val r = spark.read
       .schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE")
       .json(s"$tmp/out")
