@@ -48,8 +48,21 @@ object StreamNearDup {
   case class BandedDoc(
       band_idx: Int, band_hash: String, doc_id: Long,
       ts: java.sql.Timestamp, shingles: Seq[String])
-  case class BucketState(
-      docs: List[(Long, Seq[String])], suppressed: Boolean)
+
+  /** Residents with an IDENTICAL shingle set, stored once: exact text
+    * clones land in the same bucket at every band, so a clone-heavy
+    * corpus (web data is ~30% exact-dup) makes flat per-doc residency
+    * pay the full Jaccard confirm per (arrival, clone) even though
+    * every member of the group yields the same value. Grouping is the
+    * stream-side analog of the batch banders' exact-clone pre-collapse
+    * (TextOps.cloneGroupKey): one set-intersection per (arrival,
+    * GROUP), then pair emission fans out to members — the emitted pair
+    * set is unchanged while confirm compute drops by the clone
+    * multiplicity. Arrays, not Seq: the state encoder decodes Seq into
+    * a cons list whose apply(i) is O(i) (the q_embed_stream lesson).
+    */
+  case class CloneGroup(shingles: Array[String], members: Array[Long])
+  case class BucketState(groups: Array[CloneGroup], suppressed: Boolean)
 
   /** Per-row banding: shingles → numeric minhash signature → band rows.
     * Projection boundaries between the steps keep each lambda's input a
@@ -79,6 +92,17 @@ object StreamNearDup {
 
   private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Batch-working form of one clone group: the membership plus its
+    * shingle set BUILT ONCE — the per-arrival confirm then probes the
+    * arrival's set against stored arrays with zero allocation. (The
+    * earlier flat form rebuilt a resident's Set per (arrival, resident)
+    * pair: O(arrivals · residents · |shingles|) hash inserts per
+    * bucket-batch, the dominant cost of the sf10 drain.)
+    */
+  private final class WorkGroup(
+      val shingles: Array[String], val set: Set[String],
+      var members: List[Long])
+
   private def bucketFn(
       key: BandKey, rows: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[PairHit] = {
@@ -86,38 +110,61 @@ object StreamNearDup {
       state.remove()
       return Iterator.empty
     }
-    var st = state.getOption.getOrElse(BucketState(Nil, suppressed = false))
+    val st0 = state.getOption.getOrElse(
+      BucketState(Array.empty[CloneGroup], suppressed = false))
+    var suppressed = st0.suppressed
+    var groups: List[WorkGroup] = st0.groups.toList.map { g =>
+      new WorkGroup(g.shingles, g.shingles.toSet, g.members.toList)
+    }
+    var total = groups.iterator.map(_.members.size).sum
     val out = Seq.newBuilder[PairHit]
     // deterministic in-batch order (the iterator's order is partition
     // internals, not data semantics)
     val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
     for (d <- batch) {
-      if (!st.suppressed) {
-        if (st.docs.length >= TextOps.MaxBandFrequency) {
-          st = BucketState(Nil, suppressed = true)
+      if (!suppressed) {
+        if (total >= TextOps.MaxBandFrequency) {
+          suppressed = true
+          groups = Nil
+          total = 0
         } else {
-          val dSet = d.shingles.toSet
-          for ((pid, psh) <- st.docs if pid != d.doc_id) {
-            val pSet = psh.toSet
-            val inter = (dSet & pSet).size
-            val union = (dSet | pSet).size
+          val dArr = d.shingles.toArray
+          val dSet = dArr.toSet
+          var own: WorkGroup = null
+          for (g <- groups) {
+            // allocation-free intersection count against the stored array
+            var inter = 0
+            val arr = g.shingles
+            var i = 0
+            while (i < arr.length) {
+              if (dSet.contains(arr(i))) inter += 1
+              i += 1
+            }
+            val union = dSet.size + arr.length - inter
             val jac = rnd6(inter.toDouble / union)
             if (jac >= TextOps.JaccardThreshold)
-              out += PairHit(math.min(pid, d.doc_id), math.max(pid, d.doc_id),
-                jac, key.band_idx)
+              for (pid <- g.members if pid != d.doc_id)
+                out += PairHit(math.min(pid, d.doc_id), math.max(pid, d.doc_id),
+                  jac, key.band_idx)
+            if (own == null && inter == arr.length && dSet.size == arr.length)
+              own = g
           }
-          st = st.copy(docs = (d.doc_id, d.shingles) :: st.docs)
+          if (own != null) own.members ::= d.doc_id
+          else groups ::= new WorkGroup(dArr, dSet, List(d.doc_id))
+          total += 1
         }
       }
     }
     // ONE state write per (bucket, batch), not per row: the resident
-    // list is O(cap·|shingles|) and the store serializes the whole
-    // value on every update — a per-row update makes a busy bucket's
-    // batch O(rows·cap) state bytes. The batch is sorted by ts, so the
-    // last row's event time is the max — the same timeout the per-row
-    // form ended on.
+    // groups are O(distinct-sets·|shingles|) and the store serializes
+    // the whole value on every update — a per-row update makes a busy
+    // bucket's batch O(rows·state) bytes. The batch is sorted by ts, so
+    // the last row's event time is the max — the same timeout the
+    // per-row form ended on.
     if (batch.nonEmpty) {
-      state.update(st)
+      state.update(BucketState(
+        groups.map(g => CloneGroup(g.shingles, g.members.toArray)).toArray,
+        suppressed))
       state.setTimeoutTimestamp(batch.last.ts.getTime, Watermark)
     }
     out.result().iterator
