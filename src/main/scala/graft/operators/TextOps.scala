@@ -891,17 +891,56 @@ object TextOps {
     val keyed =
       if (sig.columns.contains("clone_gkey")) sig
       else sig.withColumn("clone_gkey", cloneGroupKey(col("shingles")))
-    val groups = keyed.groupBy("clone_gkey")
+    // The group aggregate and the membership map shuffle ONLY
+    // (clone_gkey, doc_id) pairs; the FAT signature frame is never
+    // re-keyed by clone_gkey — canonicals come back via a doc_id
+    // equi-join against the cdoc list, which the bucketed signature
+    // table satisfies with no exchange on the table side (a gkey-keyed
+    // join of the full frame cost q_curation_funnel 1.9 -> 5.2 s at
+    // sf0.1 before this split; the ids-only form restores it).
+    val groups = keyed.select(col("clone_gkey"), col("doc_id"))
+      .groupBy("clone_gkey")
       .agg(min(col("doc_id")).as("cdoc"), count(lit(1)).as("gsize"))
-    val canonSig = keyed.join(groups, Seq("clone_gkey"))
-      .filter(col("doc_id") === col("cdoc"))
+    val canonSig = keyed.join(
+      groups.select(col("cdoc").as("doc_id"), col("gsize")), Seq("doc_id"))
     val members = keyed.select(col("clone_gkey"), col("doc_id"))
       .join(groups.select(col("clone_gkey"), col("cdoc")), Seq("clone_gkey"))
       .select(col("doc_id"), col("cdoc"))
-    // Band rows carry the clone-group size so the hot-band cap counts
-    // the EXPANDED frequency (sum of group sizes == the raw corpus's
-    // per-bucket doc count): band shedding — and therefore the emitted
-    // pair set — is byte-identical to banding the raw corpus.
+    val (cpairs, kept) = nearDupBandConfirm(canonSig)
+    // Re-expansion. Cross-group pairs inherit (n_shared_bands, jaccard)
+    // — both are shingle-set functions, group-invariant. Within-group
+    // pairs are exact clones: jaccard 1.0 by definition, and they agree
+    // on precisely the group's non-shed bands (kept-band count), so a
+    // fully-shed group emits no within pairs — exactly what banding the
+    // raw corpus does.
+    val ma = members.select(col("cdoc").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("cdoc").as("doc_b"), col("doc_id").as("db"))
+    val cross = cpairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("n_shared_bands"), col("jaccard"))
+    val keptCnt = kept.groupBy(col("doc_id").as("cg"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.cdoc") === col("y.cdoc") && col("x.doc_id") < col("y.doc_id"))
+      .join(keptCnt, col("x.cdoc") === col("cg"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("n_shared_bands"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** Band + hot-cap + candidate join + exact-Jaccard confirm over a
+    * signature frame of CANONICAL docs carrying `gsize` (the size of
+    * each doc's exact-clone group): (confirmed pairs, kept band rows).
+    * Band rows carry gsize so the hot-band cap counts the EXPANDED
+    * frequency (sum of group sizes == the raw corpus's per-bucket doc
+    * count) — band shedding is byte-identical to banding the raw
+    * corpus. Callers whose input is already exact-deduped (the
+    * curation funnel: bow-hash canonicals) band here directly with
+    * gsize=1 instead of paying [[nearDupPairsCore]]'s collapse again.
+    */
+  private def nearDupBandConfirm(
+      canonSig: DataFrame): (DataFrame, DataFrame) = {
     val bandCols = (0 until Bands).map { b =>
       md5(concat_ws("_",
         (0 until RowsPerBand).map(i =>
@@ -933,26 +972,7 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         jac.as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-    // Re-expansion. Cross-group pairs inherit (n_shared_bands, jaccard)
-    // — both are shingle-set functions, group-invariant. Within-group
-    // pairs are exact clones: jaccard 1.0 by definition, and they agree
-    // on precisely the group's non-shed bands (kept-band count), so a
-    // fully-shed group emits no within pairs — exactly what banding the
-    // raw corpus does.
-    val ma = members.select(col("cdoc").as("doc_a"), col("doc_id").as("da"))
-    val mb = members.select(col("cdoc").as("doc_b"), col("doc_id").as("db"))
-    val cross = cpairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        col("n_shared_bands"), col("jaccard"))
-    val keptCnt = kept.groupBy(col("doc_id").as("cg"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-    val within = members.as("x").join(members.as("y"),
-        col("x.cdoc") === col("y.cdoc") && col("x.doc_id") < col("y.doc_id"))
-      .join(keptCnt, col("x.cdoc") === col("cg"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("n_shared_bands"), lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    (cpairs, kept)
   }
 
   /** Band-occupancy profile of the MinHash-LSH index: per band, bucket
@@ -1404,9 +1424,14 @@ object TextOps {
   private def cloneCollapsed(docsDf: DataFrame): (DataFrame, DataFrame) = {
     val keyed = docsDf.select(col("doc_id"), col("text"),
       cloneGroupKey(array_distinct(toks)).as("clone_gkey"))
-    val groups = keyed.groupBy("clone_gkey").agg(min(col("doc_id")).as("cdoc"))
-    val canonDocs = keyed.join(groups, Seq("clone_gkey"))
-      .filter(col("doc_id") === col("cdoc"))
+    // ids-only group shuffle; the TEXT frame is never re-keyed by
+    // clone_gkey — canonicals come back via a doc_id join against the
+    // slim cdoc list (broadcastable under AQE), same split as
+    // nearDupPairsCore's.
+    val groups = keyed.select(col("clone_gkey"), col("doc_id"))
+      .groupBy("clone_gkey").agg(min(col("doc_id")).as("cdoc"))
+    val canonDocs = keyed
+      .join(groups.select(col("cdoc").as("doc_id")), Seq("doc_id"))
       .select("doc_id", "text")
     val members = keyed.select(col("clone_gkey"), col("doc_id"))
       .join(groups, Seq("clone_gkey"))
@@ -1638,7 +1663,14 @@ object TextOps {
       .join(flags.filter(col("is_canon")).select("doc_id"), Seq("doc_id"))
       .persist()
     try {
-      val losers = Out.eager(nearDupPairsCore(survivorSig)
+      // The survivors are ALREADY exact-deduped (one bow-hash canon
+      // each), so they band directly at gsize=1 — running
+      // nearDupPairsCore's clone collapse again would re-shuffle the
+      // signature frame to rediscover only singleton groups (measured
+      // as the whole 1.9 -> 4.5 s funnel regression at sf0.1).
+      val (cpairs, _) = nearDupBandConfirm(
+        survivorSig.withColumn("gsize", lit(1L)))
+      val losers = Out.eager(cpairs
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("is_loser", lit(true)))
       flags.join(broadcast(losers), Seq("doc_id"), "left")

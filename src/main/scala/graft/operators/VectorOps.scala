@@ -184,7 +184,19 @@ object VectorOps {
     * hyperplane family as literals and masks to the same derived count.
     */
   private[graft] def embedNearDupCandidates(
-      spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+      spark: SparkSession, dir: String, nPlanes: Int): DataFrame =
+    candidatesFrom(
+      emb(spark, dir).select(col("vec_id"), col("embedding")),
+      nPlanes, spark.sparkContext.defaultParallelism)
+
+  /** [[embedNearDupCandidates]] over an arbitrary (vec_id, embedding)
+    * frame — the entry the clone-collapsed kNN path feeds canonical
+    * vectors through. Candidacy (bucket Hamming ≤ 1) and the rounded
+    * cosine are both pure functions of vector CONTENT, which is what
+    * makes group-level candidate generation output-equivalent.
+    */
+  private def candidatesFrom(
+      e: DataFrame, nPlanes: Int, par: Int): DataFrame = {
     // Explicit-N repartitions on the join key: the shuffled bytes are
     // small (ids + 64-float arrays) so AQE would coalesce the bucket
     // join down to ~1 partition — serializing the pair enumeration and
@@ -193,8 +205,7 @@ object VectorOps {
     // user-specified partition count is exempt from AQE coalescing;
     // on a real multi-split scan this collapses into the partitioning
     // the join needs anyway.
-    val par = spark.sparkContext.defaultParallelism
-    val b = emb(spark, dir)
+    val b = e
       .select(col("vec_id"), col("embedding"),
         bucketOfN(col("embedding"), nPlanes).as("bucket"))
       .repartition(par, col("bucket"))
@@ -524,17 +535,107 @@ object VectorOps {
     */
   private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-    // Symmetrize INSIDE the join's projection (each undirected pair
-    // explodes into its two directed edges) so the expensive pair
-    // enumeration runs ONCE in one streamed pass. The previous form —
-    // union of two projections over a localCheckpoint of the candidate
-    // frame — ran the join once too, but paid a full materialization
-    // of the UNTHRESHOLDED pair set, which is corpus-sized·occupancy
-    // rows: at sf10 that checkpoint (235M rows) made the graph build
-    // 130 s where the same join streamed into the per-node top-k runs
-    // in 31 s (q_semantic_clusters 194 -> 29 s, q_embed_outliers
-    // 104 -> 41 s). Nothing corpus×corpus is ever stored.
-    val cand = embedNearDupCandidates(spark, dir, derivedPlanes(n))
+    knnEdgesFrom(
+      emb(spark, dir).select(col("vec_id"), col("embedding")),
+      derivedPlanes(n), spark.sparkContext.defaultParallelism)
+  }
+
+  /** Clone-collapsed kNN edge builder. Exact-duplicate vectors (the
+    * embeddings of exact-duplicate documents — byte-identical arrays)
+    * are the vector-space twin of the text banders' clone problem:
+    * clones share their home bucket AND every probe bucket at any
+    * plane count, so a clone family of size m contributes m² candidate
+    * pairs to the bucket join while carrying exactly one distinct
+    * geometry. The corpus-derived plane count holds AVERAGE occupancy
+    * flat but cannot thin clones apart (identical signs), which is
+    * what kept the kNN family ~12×/decade at sf10's planted ~100-member
+    * families. Collapse: group vectors by content, run the bucket join
+    * over one CANONICAL per group, then re-expand — a group's members
+    * all see the SAME member-level neighbor list (their candidate set
+    * is a pure function of content), so the group takes top-(k+1) ONCE
+    * and each member drops itself and keeps k. Emitted edges are
+    * byte-identical to the flat build ([[knnEdgesFlatFrom]] pins the
+    * law on a clone-planted corpus in KnnCloneCollapseSpec); within-
+    * group cosines come from the canonical's real self-dot, never an
+    * assumed 1.0 (stored float arrays need not be exactly unit-norm).
+    */
+  private[graft] def knnEdgesFrom(
+      e: DataFrame, nPlanes: Int, par: Int): DataFrame = {
+    // Exact-clone pre-collapse: canonical = min vec_id per distinct
+    // vector content (md5 of the exact float-array JSON form — content
+    // equality, engine-side only, never replayed by the oracle).
+    val keyed = e.select(col("vec_id"), col("embedding"),
+      md5(to_json(col("embedding"))).as("vgkey"))
+    val groups = keyed.groupBy("vgkey")
+      .agg(min(col("vec_id")).as("cvec"), count(lit(1)).as("gsize"))
+    val canon = keyed.join(groups, Seq("vgkey"))
+      .filter(col("vec_id") === col("cvec"))
+      .select(col("vec_id"), col("embedding"), col("gsize"))
+    val members = keyed.select(col("vgkey"), col("vec_id"))
+      .join(groups.select(col("vgkey"), col("cvec")), Seq("vgkey"))
+      .select(col("vec_id"), col("cvec"))
+    // Canonical candidate pairs, symmetrized INSIDE the join's
+    // projection (each undirected pair explodes into its two directed
+    // edges) so the pair enumeration runs ONCE in one streamed pass —
+    // nothing corpus×occupancy is ever stored (the r8 lesson: a
+    // localCheckpoint of the unthresholded pair set was 235M rows and
+    // 130 s at sf10; streaming it into the top-k runs in 31 s).
+    val cand = candidatesFrom(
+      canon.select(col("vec_id"), col("embedding")), nPlanes, par)
+    val sym = cand.select(explode(array(
+        struct(col("vec_a").as("cg"), col("vec_b").as("ng"), col("cos_sim")),
+        struct(col("vec_b").as("cg"), col("vec_a").as("ng"), col("cos_sim"))))
+        .as("e"))
+      .select(col("e.cg"), col("e.ng"), col("e.cos_sim"))
+    // Within-group edge: a clone family is its own candidate bucket
+    // (flat build: every clone pair shares the home bucket), at the
+    // canonical's self-cosine, computed with the same dot + rounding
+    // as every cross pair.
+    val self = canon.filter(col("gsize") > 1L)
+      .select(col("vec_id").as("cg"), col("vec_id").as("ng"),
+        F.roundHalfUp(dot(col("embedding"), col("embedding")), 6).as("cos_sim"))
+    val gEdges = sym.unionByName(self)
+    // Member-level neighbor list per GROUP: expand only the neighbor
+    // side, rank once per group, keep k+1 — dropping a member's own
+    // row (it appears at most once) still leaves its full top-k.
+    val nbr = gEdges.join(
+      members.select(col("cvec").as("ng"), col("vec_id").as("neighbor_id")),
+      Seq("ng"))
+    val wg = Window.partitionBy("cg")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val gTop = nbr.withColumn("grank", row_number().over(wg))
+      .filter(col("grank") <= KnnK + 1)
+      .select(col("cg"), col("neighbor_id"), col("cos_sim"))
+    // Node-side expansion: n·(k+1) rows, self-excluded, final rank.
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    // The reciprocity join references the top-k frame twice (probe +
+    // reversed build); eager the k·n-row edge set so the window isn't
+    // executed once per side.
+    val topk = Out.eager(
+      members.select(col("vec_id"), col("cvec").as("cg"))
+        .join(gTop, Seq("cg"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= KnnK)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"),
+          col("cos_sim")))
+    val rev = topk.select(
+      col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+      lit(true).as("reciprocal"))
+    topk.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), coalesce(col("reciprocal"), lit(false)).as("reciprocal"))
+  }
+
+  /** The FLAT (un-collapsed) kNN edge build — the reference
+    * implementation KnnCloneCollapseSpec holds [[knnEdgesFrom]] to on
+    * clone-planted corpora. Quadratic in clone multiplicity at the
+    * bucket join; kept spec-side only.
+    */
+  private[graft] def knnEdgesFlatFrom(
+      e: DataFrame, nPlanes: Int, par: Int): DataFrame = {
+    val cand = candidatesFrom(e, nPlanes, par)
     val sym = cand.select(explode(array(
         struct(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
           col("cos_sim")),
@@ -543,9 +644,6 @@ object VectorOps {
       .select(col("e.vec_id"), col("e.neighbor_id"), col("e.cos_sim"))
     val w = Window.partitionBy("vec_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    // The reciprocity join references the top-k frame twice (probe +
-    // reversed build); eager the k·n-row edge set so the 14M-row
-    // window isn't executed once per side.
     val topk = Out.eager(
       sym.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= KnnK))
