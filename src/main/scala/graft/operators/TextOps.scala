@@ -818,12 +818,21 @@ object TextOps {
         loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(loc, true)
         val base = Out.eager(shingleBase(docsDistributed(spark, dir)))
-        // clone_gkey is PRECOMPUTED into the table: every near-dup
-        // consumer's exact-clone pre-collapse then reads a stored
-        // column (pruned scan) instead of re-hashing the shingle set
-        // per query — measured at sf10 as +158 cpu-s per query inline.
+        // The ENTIRE clone-group geometry is PRECOMPUTED into the
+        // table: clone_gkey (order-invariant shingle-set hash), cdoc
+        // (the group's canonical = min doc_id) and gsize. Every
+        // near-dup consumer's exact-clone pre-collapse is then a
+        // FILTER (doc_id = cdoc) and the membership map a column
+        // PROJECTION — zero per-query joins or aggregates. Deriving
+        // the groups at query time instead cost each consumer a
+        // re-scan + groupBy + join per reference of the canonical
+        // frame (three references: bands + both confirm sides),
+        // measured as q_doc_minhash_neardup 0.6 -> 2.9 s at sf0.1.
+        val w = Window.partitionBy("clone_gkey")
         base.join(minhashSignatures(base), Seq("doc_id"))
           .withColumn("clone_gkey", cloneGroupKey(col("shingles")))
+          .withColumn("cdoc", min(col("doc_id")).over(w))
+          .withColumn("gsize", count(lit(1)).over(w))
           .write.bucketBy(SignatureBuckets, "doc_id").sortBy("doc_id")
           .mode("overwrite").saveAsTable(name)
       }
@@ -888,23 +897,28 @@ object TextOps {
     // multiplicity; the collapse adds only linear gkey-keyed shuffles.
     // The materialized signature table carries clone_gkey as a stored
     // column; ephemeral frames (spec corpora) compute it inline.
+    // The clone-group geometry (cdoc = canonical member, gsize) is a
+    // STORED column of the materialized signature table, so the
+    // collapse is a filter and the membership map a projection —
+    // zero per-query joins. Ephemeral frames (spec corpora) derive
+    // the same columns with one window pass.
     val keyed =
-      if (sig.columns.contains("clone_gkey")) sig
-      else sig.withColumn("clone_gkey", cloneGroupKey(col("shingles")))
-    // The group aggregate and the membership map shuffle ONLY
-    // (clone_gkey, doc_id) pairs; the FAT signature frame is never
-    // re-keyed by clone_gkey — canonicals come back via a doc_id
-    // equi-join against the cdoc list, which the bucketed signature
-    // table satisfies with no exchange on the table side (a gkey-keyed
-    // join of the full frame cost q_curation_funnel 1.9 -> 5.2 s at
-    // sf0.1 before this split; the ids-only form restores it).
-    val groups = keyed.select(col("clone_gkey"), col("doc_id"))
-      .groupBy("clone_gkey")
-      .agg(min(col("doc_id")).as("cdoc"), count(lit(1)).as("gsize"))
-    val canonSig = keyed.join(
-      groups.select(col("cdoc").as("doc_id"), col("gsize")), Seq("doc_id"))
-    val members = keyed.select(col("clone_gkey"), col("doc_id"))
-      .join(groups.select(col("clone_gkey"), col("cdoc")), Seq("clone_gkey"))
+      if (sig.columns.contains("cdoc")) sig
+      else {
+        val gk =
+          if (sig.columns.contains("clone_gkey")) sig
+          else sig.withColumn("clone_gkey", cloneGroupKey(col("shingles")))
+        val w = Window.partitionBy("clone_gkey")
+        gk.withColumn("cdoc", min(col("doc_id")).over(w))
+          .withColumn("gsize", count(lit(1)).over(w))
+      }
+    val canonSig = keyed.filter(col("doc_id") === col("cdoc"))
+    val members = keyed.select(col("doc_id"), col("cdoc"))
+    // Only gsize>1 groups expand to anything beyond identity, so the
+    // within-pair self-join runs over CLONE members alone — on a
+    // clone-free corpus it is empty instead of a corpus-sized
+    // self-join of singleton groups.
+    val cloneMembers = keyed.filter(col("gsize") > 1L)
       .select(col("doc_id"), col("cdoc"))
     val (cpairs, kept) = nearDupBandConfirm(canonSig)
     // Re-expansion. Cross-group pairs inherit (n_shared_bands, jaccard)
@@ -921,7 +935,7 @@ object TextOps {
         col("n_shared_bands"), col("jaccard"))
     val keptCnt = kept.groupBy(col("doc_id").as("cg"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    val within = members.as("x").join(members.as("y"),
+    val within = cloneMembers.as("x").join(cloneMembers.as("y"),
         col("x.cdoc") === col("y.cdoc") && col("x.doc_id") < col("y.doc_id"))
       .join(keptCnt, col("x.cdoc") === col("cg"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -1422,20 +1436,25 @@ object TextOps {
     md5(to_json(array_sort(set)))
 
   private def cloneCollapsed(docsDf: DataFrame): (DataFrame, DataFrame) = {
-    val keyed = docsDf.select(col("doc_id"), col("text"),
-      cloneGroupKey(array_distinct(toks)).as("clone_gkey"))
-    // ids-only group shuffle; the TEXT frame is never re-keyed by
-    // clone_gkey — canonicals come back via a doc_id join against the
-    // slim cdoc list (broadcastable under AQE), same split as
-    // nearDupPairsCore's.
-    val groups = keyed.select(col("clone_gkey"), col("doc_id"))
-      .groupBy("clone_gkey").agg(min(col("doc_id")).as("cdoc"))
-    val canonDocs = keyed
-      .join(groups.select(col("cdoc").as("doc_id")), Seq("doc_id"))
-      .select("doc_id", "text")
-    val members = keyed.select(col("clone_gkey"), col("doc_id"))
-      .join(groups, Seq("clone_gkey"))
-      .select(col("doc_id"), col("cdoc"))
+    // ONE ids-only corpus pass derives the whole group geometry: the
+    // window shuffles (doc_id, clone_gkey) pairs — never texts — and
+    // the eager'd three-longs-per-doc membership map is what the pair
+    // expansions (up to four references) and the canonical filter
+    // read. Canonical TEXTS come back via a doc_id join against the
+    // materialized id list (AQE broadcasts it at test SFs), so the
+    // band self-join's two references stay IDENTICAL subtrees and
+    // ReuseExchange shares one shingle+fingerprint pass, exactly like
+    // the pre-collapse flat form did.
+    val w = Window.partitionBy("clone_gkey")
+    val members = Out.eager(
+      docsDf.select(col("doc_id"),
+        cloneGroupKey(array_distinct(toks)).as("clone_gkey"))
+        .withColumn("cdoc", min(col("doc_id")).over(w))
+        .withColumn("gsize", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cdoc"), col("gsize")))
+    val canonDocs = docsDf.select(col("doc_id"), col("text"))
+      .join(members.filter(col("doc_id") === col("cdoc"))
+        .select("doc_id"), Seq("doc_id"))
     (canonDocs, members)
   }
 
@@ -1454,7 +1473,12 @@ object TextOps {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("hamming"), col("n_shared_bands"))
-    val within = members.as("x").join(members.as("y"),
+    // Only gsize>1 groups emit within pairs, so the self-join runs
+    // over CLONE members alone — empty on a clone-free corpus instead
+    // of a corpus-sized self-join of singleton groups.
+    val cm = members.filter(col("gsize") > 1L)
+      .select(col("doc_id"), col("cdoc"))
+    val within = cm.as("x").join(cm.as("y"),
         col("x.cdoc") === col("y.cdoc") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0).cast("int").as("hamming"), lit(4L).as("n_shared_bands"))
