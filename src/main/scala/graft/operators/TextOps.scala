@@ -807,6 +807,33 @@ object TextOps {
     * location before writing.
     */
   private[graft] def signatureTable(spark: SparkSession, dir: String): DataFrame =
+    signatureTableFull(spark, dir).filter(col("shingles").isNotNull)
+
+  /** The full fingerprint-index table: one row per DOCUMENT, carrying
+    * both dedup-index families plus their exact-clone geometry —
+    *
+    *   - MinHash half (null for docs under 3 words, the shingle
+    *     domain): shingles, mh0..mh{k-1}, clone_gkey (shingle-set
+    *     hash), cdoc, gsize;
+    *   - SimHash half (every doc): tok_cdoc / tok_gsize (the
+    *     DISTINCT-TOKEN-set clone geometry — the exact invariant of a
+    *     simhash fingerprint, a different key than the shingle set),
+    *     and the three fingerprint dials computed for TOKEN-canonical
+    *     docs only: simhash_d (corpus-derived width), simhash_w
+    *     ([[SimhashWideBits]]), fp_hi/fp_lo (120-bit two-long form).
+    *
+    * The ENTIRE clone-group geometry and every fingerprint is
+    * PRECOMPUTED: a near-dup query's pre-collapse is then a FILTER
+    * (doc_id = cdoc / tok_cdoc) and its membership map a column
+    * PROJECTION — zero per-query joins, aggregates, or fingerprint
+    * recomputation. Deriving groups at query time cost each minhash
+    * consumer a re-scan + groupBy + join per canonical-frame reference
+    * (q_doc_minhash_neardup 0.6 -> 2.9 s at sf0.1), and the per-query
+    * simhash fingerprint pass held q_simhash_neardup at ~2 s where the
+    * stored-column form pays only the band self-join.
+    */
+  private[graft] def signatureTableFull(
+      spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
@@ -817,22 +844,28 @@ object TextOps {
           spark.conf.get("spark.sql.warehouse.dir"), name)
         loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(loc, true)
-        val base = Out.eager(shingleBase(docsDistributed(spark, dir)))
-        // The ENTIRE clone-group geometry is PRECOMPUTED into the
-        // table: clone_gkey (order-invariant shingle-set hash), cdoc
-        // (the group's canonical = min doc_id) and gsize. Every
-        // near-dup consumer's exact-clone pre-collapse is then a
-        // FILTER (doc_id = cdoc) and the membership map a column
-        // PROJECTION — zero per-query joins or aggregates. Deriving
-        // the groups at query time instead cost each consumer a
-        // re-scan + groupBy + join per reference of the canonical
-        // frame (three references: bands + both confirm sides),
-        // measured as q_doc_minhash_neardup 0.6 -> 2.9 s at sf0.1.
+        val docsD = docsDistributed(spark, dir)
+        val base = Out.eager(shingleBase(docsD))
         val w = Window.partitionBy("clone_gkey")
-        base.join(minhashSignatures(base), Seq("doc_id"))
+        val minhashPart = base.join(minhashSignatures(base), Seq("doc_id"))
           .withColumn("clone_gkey", cloneGroupKey(col("shingles")))
           .withColumn("cdoc", min(col("doc_id")).over(w))
           .withColumn("gsize", count(lit(1)).over(w))
+        val (tokCanon, tokMembers) = cloneCollapsed(docsD)
+        val nDocs = graft.sources.ParquetMeta.rowCount(
+          spark, s"$dir/documents.parquet")
+        val fps = simhashTableFrom(tokCanon, 4 * derivedSimhashBandBits(nDocs))
+          .select(col("doc_id"), col("simhash").as("simhash_d"))
+          .join(simhashTableFrom(tokCanon, SimhashWideBits)
+            .select(col("doc_id"), col("simhash").as("simhash_w")),
+            Seq("doc_id"))
+          .join(simhash128TableFrom(tokCanon)
+            .select(col("doc_id"), col("fp_hi"), col("fp_lo")), Seq("doc_id"))
+        tokMembers
+          .select(col("doc_id"), col("cdoc").as("tok_cdoc"),
+            col("gsize").as("tok_gsize"))
+          .join(fps, Seq("doc_id"), "left")
+          .join(minhashPart, Seq("doc_id"), "left")
           .write.bucketBy(SignatureBuckets, "doc_id").sortBy("doc_id")
           .mode("overwrite").saveAsTable(name)
       }
@@ -1350,7 +1383,8 @@ object TextOps {
     */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/documents.parquet")
-    simhashNearDupAt(spark, dir, 4 * derivedSimhashBandBits(n))
+    simhashNearDupFromTable(spark, dir, "simhash_d",
+      4 * derivedSimhashBandBits(n))
   }
 
   /** Per-band bucket-occupancy target of the width derivation. */
@@ -1392,7 +1426,7 @@ object TextOps {
     * prefix stays sign-safe BIGINT arithmetic in both engines.
     */
   def simhashNearDupWide(spark: SparkSession, dir: String): DataFrame =
-    simhashNearDupAt(spark, dir, SimhashWideBits)
+    simhashNearDupFromTable(spark, dir, "simhash_w", SimhashWideBits)
 
   val SimhashWideBits = 60
 
@@ -1485,10 +1519,41 @@ object TextOps {
     cross.unionByName(within)
   }
 
+  /** Table-backed near-dup at a fingerprint width STORED in
+    * [[signatureTableFull]] (`simhash_d` / `simhash_w`): the query pays
+    * only the band self-join + clone expansion over stored longs — no
+    * tokenize/fingerprint pass, no group derivation.
+    */
+  private def simhashNearDupFromTable(
+      spark: SparkSession, dir: String, fpCol: String, bits: Int): DataFrame = {
+    val t = signatureTableFull(spark, dir)
+    val members = t.select(col("doc_id"), col("tok_cdoc").as("cdoc"),
+      col("tok_gsize").as("gsize"))
+    simhashPairsOf(
+      t.filter(col("doc_id") === col("tok_cdoc"))
+        .select(col("doc_id"), col(fpCol).as("simhash")),
+      members, bits)
+  }
+
+  /** Ephemeral form for widths the table does not store (the 32-bit
+    * floor SimhashDialSpec pins): collapse + fingerprint inline.
+    */
   private def simhashNearDupAt(
       spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val (canonDocs, members) = cloneCollapsed(docsDistributed(spark, dir))
-    val bands = simhashBandsFrom(canonDocs, bits)
+    simhashPairsOf(simhashTableFrom(canonDocs, bits)
+      .select(col("doc_id"), col("simhash")), members, bits)
+  }
+
+  private def simhashPairsOf(
+      tbl: DataFrame, members: DataFrame, bits: Int): DataFrame = {
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until 4).map { b =>
+      shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask))
+    }
+    val bands = tbl.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     val cpairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -1554,8 +1619,19 @@ object TextOps {
     * [[SimhashTargetOccupancy]] to ~4·2^30 ≈ 4 billion documents.
     */
   def simhashNearDup128(spark: SparkSession, dir: String): DataFrame = {
-    val (canonDocs, members) = cloneCollapsed(docsDistributed(spark, dir))
-    val bands = simhash128BandsFrom(canonDocs)
+    val t = signatureTableFull(spark, dir)
+    val members = t.select(col("doc_id"), col("tok_cdoc").as("cdoc"),
+      col("tok_gsize").as("gsize"))
+    val tbl = t.filter(col("doc_id") === col("tok_cdoc"))
+      .select(col("doc_id"), col("fp_hi"), col("fp_lo"))
+    val mask = (1L << Simhash128BandBits) - 1
+    val bandCols = Seq(
+      col("fp_lo").bitwiseAND(lit(mask)),
+      shiftright(col("fp_lo"), Simhash128BandBits).bitwiseAND(lit(mask)),
+      col("fp_hi").bitwiseAND(lit(mask)),
+      shiftright(col("fp_hi"), Simhash128BandBits).bitwiseAND(lit(mask)))
+    val bands = tbl.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     val hamming120 =
       bit_count(col("x.fp_hi").bitwiseXOR(col("y.fp_hi"))) +
         bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo")))
