@@ -153,8 +153,9 @@ object VectorOps {
     */
   private[graft] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
-    embedNearDupCandidates(spark, dir, derivedPlanes(n))
-      .filter(col("cos_sim") >= NearDupCosine)
+    embedNearDupCollapsed(
+      emb(spark, dir).select(col("vec_id"), col("embedding")),
+      derivedPlanes(n), spark.sparkContext.defaultParallelism)
   }
 
   /** The production dial setting for [[embedNearDupWide]]: 2^8 = 256
@@ -173,8 +174,67 @@ object VectorOps {
     * an SF where the derivation would sit at the floor. */
   def embedNearDupWide(spark: SparkSession, dir: String): DataFrame =
     Out.sorted(
-      embedNearDupCandidates(spark, dir, NPlanesWide)
-        .filter(col("cos_sim") >= NearDupCosine))(col("vec_a"), col("vec_b"))
+      embedNearDupCollapsed(
+        emb(spark, dir).select(col("vec_id"), col("embedding")),
+        NPlanesWide, spark.sparkContext.defaultParallelism))(
+      col("vec_a"), col("vec_b"))
+
+  /** Clone-collapsed near-dup pair builder — the embed-channel twin of
+    * the text banders' exact-clone pre-collapse ([[knnEdgesFrom]] has
+    * the kNN form). Candidacy (bucket Hamming ≤ 1) and the rounded
+    * cosine are pure functions of vector CONTENT, so banding one
+    * CANONICAL per distinct vector and re-expanding pairs through group
+    * membership emits a pair set byte-identical to banding the raw
+    * corpus (EmbedCloneCollapseSpec pins the law) while the bucket
+    * self-join — quadratic in clone multiplicity on the flat build —
+    * runs over distinct geometry only. On replica-planted corpora
+    * (sf10: ~100 byte-identical copies of every vector) this is the
+    * difference between a constant-size candidate stage and a 10⁴×
+    * within-family dot-product blow-up. Within-group pairs carry the
+    * canonical's REAL self-cosine (stored arrays need not be exactly
+    * unit-norm), thresholded like every cross pair.
+    */
+  private[graft] def embedNearDupCollapsed(
+      e: DataFrame, nPlanes: Int, par: Int): DataFrame = {
+    val (canon, members) = vecCloneCollapsed(e)
+    val cpairs = candidatesFrom(
+      canon.select(col("vec_id"), col("embedding")), nPlanes, par)
+      .filter(col("cos_sim") >= NearDupCosine)
+    // Cross-group expansion: a canonical pair's cos_sim is group-
+    // invariant, so members inherit it; least/greatest restores the
+    // flat build's vec_a < vec_b orientation.
+    val ma = members.select(col("cvec").as("vec_a"), col("vec_id").as("va"))
+    val mb = members.select(col("cvec").as("vec_b"), col("vec_id").as("vb"))
+    val cross = cpairs.join(ma, Seq("vec_a")).join(mb, Seq("vec_b"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("cos_sim"))
+    // Within-group pairs: a clone family shares its home bucket in the
+    // flat build (Hamming 0 → always candidates) at the canonical's
+    // self-cosine. Only gsize>1 groups emit anything, so the self-join
+    // runs over CLONE members alone — empty on a clone-free corpus.
+    val self = canon.filter(col("gsize") > 1L)
+      .select(col("vec_id").as("cvec"),
+        F.roundHalfUp(dot(col("embedding"), col("embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= NearDupCosine)
+    val cm = members.join(
+      self.select("cvec"), Seq("cvec"))
+    val within = cm.as("x").join(cm.as("y"),
+        col("x.cvec") === col("y.cvec") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.cvec").as("cvec"))
+      .join(self, Seq("cvec"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    cross.unionByName(within)
+  }
+
+  /** The FLAT (un-collapsed) near-dup pair build — the reference
+    * implementation EmbedCloneCollapseSpec holds [[embedNearDupCollapsed]]
+    * to on clone-planted corpora. Quadratic in clone multiplicity at
+    * the bucket join; kept spec-side only.
+    */
+  private[graft] def embedNearDupFlatFrom(
+      e: DataFrame, nPlanes: Int, par: Int): DataFrame =
+    candidatesFrom(e, nPlanes, par).filter(col("cos_sim") >= NearDupCosine)
 
   /** Bucket-matched candidate pairs (pre-threshold) at an arbitrary
     * plane count — the scaling dial made callable: more planes = more
@@ -540,6 +600,41 @@ object VectorOps {
       derivedPlanes(n), spark.sparkContext.defaultParallelism)
   }
 
+  /** Exact-clone pre-collapse of a (vec_id, embedding) frame:
+    * (canonical frame (vec_id, embedding, gsize), membership map
+    * (vec_id, cvec)). Canonical = min vec_id per distinct vector
+    * content (md5 of the exact float-array JSON form — content
+    * equality, engine-side only, never replayed by the oracle).
+    * Shared by the kNN edge builder and the near-dup pair builder;
+    * both re-expand group-invariant results through the membership
+    * map afterward.
+    */
+  private def vecCloneCollapsed(e: DataFrame): (DataFrame, DataFrame) = {
+    // ONE ids-only corpus pass derives the whole group geometry (the
+    // TextOps.cloneCollapsed shape): the window shuffles (vec_id,
+    // vgkey) pairs — never embeddings — and the eager'd
+    // three-longs-per-vector membership map is what every downstream
+    // reference reads (the pair expansions reference it up to three
+    // times; re-deriving it per reference re-ran the md5-of-array pass
+    // once per join side, measured 5.1→16.1 s on q_embed_neardup at
+    // sf10). Canonical VECTORS come back via a vec_id join against the
+    // materialized id list (AQE broadcasts it at test SFs) — the
+    // corpus-sized canon frame itself is never checkpointed (the r8
+    // lesson: localCheckpoint only k·n or ids-only frames).
+    val w = Window.partitionBy("vgkey")
+    val members = Out.eager(
+      e.select(col("vec_id"), md5(to_json(col("embedding"))).as("vgkey"))
+        .withColumn("cvec", min(col("vec_id")).over(w))
+        .withColumn("gsize", count(lit(1)).over(w))
+        .select(col("vec_id"), col("cvec"), col("gsize")))
+    val canon = e.join(
+      members.filter(col("vec_id") === col("cvec"))
+        .select(col("vec_id"), col("gsize")),
+      Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("gsize"))
+    (canon, members.select(col("vec_id"), col("cvec")))
+  }
+
   /** Clone-collapsed kNN edge builder. Exact-duplicate vectors (the
     * embeddings of exact-duplicate documents — byte-identical arrays)
     * are the vector-space twin of the text banders' clone problem:
@@ -561,19 +656,7 @@ object VectorOps {
     */
   private[graft] def knnEdgesFrom(
       e: DataFrame, nPlanes: Int, par: Int): DataFrame = {
-    // Exact-clone pre-collapse: canonical = min vec_id per distinct
-    // vector content (md5 of the exact float-array JSON form — content
-    // equality, engine-side only, never replayed by the oracle).
-    val keyed = e.select(col("vec_id"), col("embedding"),
-      md5(to_json(col("embedding"))).as("vgkey"))
-    val groups = keyed.groupBy("vgkey")
-      .agg(min(col("vec_id")).as("cvec"), count(lit(1)).as("gsize"))
-    val canon = keyed.join(groups, Seq("vgkey"))
-      .filter(col("vec_id") === col("cvec"))
-      .select(col("vec_id"), col("embedding"), col("gsize"))
-    val members = keyed.select(col("vgkey"), col("vec_id"))
-      .join(groups.select(col("vgkey"), col("cvec")), Seq("vgkey"))
-      .select(col("vec_id"), col("cvec"))
+    val (canon, members) = vecCloneCollapsed(e)
     // Canonical candidate pairs, symmetrized INSIDE the join's
     // projection (each undirected pair explodes into its two directed
     // edges) so the pair enumeration runs ONCE in one streamed pass —
