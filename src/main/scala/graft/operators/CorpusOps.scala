@@ -539,10 +539,16 @@ object CorpusOps {
     * [[QualityBuckets]] further if the distribution demands it.
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).select(
+    // distributed read: quality score + token count are per-doc CPU
+    // that a single-split scan serializes. Eager'd because THREE
+    // consumers (local prefix, bucket offsets, total) sit above it —
+    // the scoring pass would otherwise re-run per consumer (the frame
+    // is four scalars per doc, safe to checkpoint at any corpus size
+    // that fits a token-budget job)
+    val base = Out.eager(docsDistributed(spark, dir).select(
       col("doc_id"), TextOps.qualityScore.as("q"),
       size(toks).cast(LongType).as("n_tokens"))
-      .withColumn("bucket", floor(col("q") * QualityBuckets).cast("int"))
+      .withColumn("bucket", floor(col("q") * QualityBuckets).cast("int")))
     val wLocal = Window.partitionBy("bucket")
       .orderBy(desc("q"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
