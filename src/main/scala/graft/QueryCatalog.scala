@@ -2269,6 +2269,20 @@ object QueryCatalog {
         SELECT q_id, rank, neighbor_id, cos_sim, approx_sim FROM rr2
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
+    // The faiss write_index/read_index split: train+encode once, write
+    // the index as parquet tables (inverted lists = hive partitions by
+    // cell), search from the STORED artifacts with dynamic partition
+    // pruning at the lists scan. Result is byte-identical to the
+    // in-session q_ann_ivfpq, so the roundtrip rides its oracle SQL —
+    // what the row gates is the on-disk index contract (layout, types
+    // through parquet, partition-column round trip).
+    "q_ann_index_roundtrip" -> Spec(
+      VectorOps.ivfPqIndexRoundtrip,
+      Some(s"""
+        WITH $ivfPqRankedCtes
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,
       Some(s"""

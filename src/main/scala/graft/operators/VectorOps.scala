@@ -80,6 +80,22 @@ object VectorOps {
   private def emb(spark: SparkSession, dir: String) =
     Tables.load(spark, dir, "embeddings")
 
+  /** The embeddings table spread over the cores (the TextOps
+    * docsDistributed twin): the corpus can land as ONE parquet row
+    * group, so Spark's scan gives one task and every per-vector map
+    * stage (64-dim dots against centroids/hyperplanes, posexplode
+    * stats, content hashing) runs single-threaded no matter how many
+    * cores exist. One cheap keyed shuffle of (id + 64 floats) spreads
+    * the compute, with an EXPLICIT partition count so AQE's size-based
+    * coalescing cannot fold the tiny-in-bytes/huge-in-CPU exchange back
+    * to one partition. At 100 TB the scan has thousands of splits and
+    * this collapses into the partitioning the downstream joins need
+    * anyway.
+    */
+  private def embDistributed(spark: SparkSession, dir: String) =
+    emb(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+
   /** Left-to-right dot product in doubles — the native codegen
     * [[graft.functions.VectorDot]] expression (bit-identical to a
     * zip_with+aggregate fold, minus the interpreted HOF overhead that
@@ -94,7 +110,7 @@ object VectorOps {
     * (vectors are unit-norm, so cosine = dot).
     */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+    val e = embDistributed(spark, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val sims = e.crossJoin(broadcast(q))
@@ -312,7 +328,7 @@ object VectorOps {
     annIvfProbed(spark, dir, IvfNProbe)
 
   private[graft] def annIvfProbed(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val e = emb(spark, dir)
+    val e = embDistributed(spark, dir)
     val comp = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
@@ -361,7 +377,7 @@ object VectorOps {
     * generation never compares a query to vectors outside its bucket.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = emb(spark, dir)
+    val bucketed = embDistributed(spark, dir)
       .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
     val q = bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
@@ -458,7 +474,9 @@ object VectorOps {
     */
   private[graft] def trainedIndex(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    lloydOn(emb(spark, dir).select(col("vec_id"), col("embedding"), col("label")),
+    lloydOn(
+      embDistributed(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label")),
       col("label"))
 
   /** [[KmeansIters]] Lloyd iterations over any (vec_id, embedding,
@@ -622,8 +640,13 @@ object VectorOps {
     // corpus-sized canon frame itself is never checkpointed (the r8
     // lesson: localCheckpoint only k·n or ids-only frames).
     val w = Window.partitionBy("vgkey")
+    // the vgkey spread: md5-of-JSON'd-array is per-vector CPU that
+    // would otherwise run below the window's exchange, i.e. inside a
+    // possibly single-split scan stage
     val members = Out.eager(
-      e.select(col("vec_id"), md5(to_json(col("embedding"))).as("vgkey"))
+      e.repartition(
+          e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), md5(to_json(col("embedding"))).as("vgkey"))
         .withColumn("cvec", min(col("vec_id")).over(w))
         .withColumn("gsize", count(lit(1)).over(w))
         .select(col("vec_id"), col("cvec"), col("gsize")))
@@ -949,7 +972,7 @@ object VectorOps {
     * dequantized grid, so the gate is hash-exact despite quantization.
     */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"),
+    val e = embDistributed(spark, dir).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("emb"))
     // per-dimension (min, span) packed into two broadcastable arrays
     val stats = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
@@ -1241,6 +1264,108 @@ object VectorOps {
       .filter(col("rank") <= TopKPq)
       .select("q_id", "rank", "neighbor_id", "cos_sim", "approx_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** PERSISTED-INDEX round trip — the faiss `write_index` /
+    * `read_index` production split made Spark-native: training (Lloyd
+    * over the md5 sample) and encoding (the full-corpus code sweep)
+    * run ONCE and land on disk as three parquet tables; the search
+    * side then runs against the stored artifacts with zero Lloyd
+    * iterations — the shape a production deployment actually has
+    * (index built nightly by one job, queried all day by others).
+    *
+    * On-disk layout (the IVF inverted lists made physical):
+    *   - `centroids/`  (cluster, centroid)            — k rows
+    *   - `codebooks/`  (sub, code, centroid)          — k·16 rows
+    *   - `lists/`      (vec_id, sub, code) PARTITIONED BY cell —
+    *     a query's probed cell is a HIVE PARTITION, so the cell
+    *     restriction is dynamic partition pruning at the SCAN: the
+    *     search reads only the probed cells' files, never the corpus
+    *     (IvfPqIndexSpec pins the pruning in the executed plan). This
+    *     is exactly the faiss invlist layout expressed as a parquet
+    *     table — at 10⁹ vectors a probe touches |cell| ≈ N/nlist rows
+    *     of 16-byte codes per query, the same IO the native index does.
+    *
+    * The search result is byte-identical to [[annIvfPq]] (same trained
+    * artifacts, same joins — the round trip through parquet preserves
+    * every double exactly), so the roundtrip row rides q_ann_ivfpq's
+    * oracle SQL unchanged.
+    */
+  def ivfPqIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = indexBase(dir)
+    ivfPqPersist(spark, dir, base)
+    val r = annIvfPqFromIndex(spark, dir, base)
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** Digest-keyed index location under the JVM tmpdir (the
+    * SinkRoundTrips convention): repeated bench/verify runs overwrite
+    * one location instead of leaking copies.
+    */
+  private def indexBase(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_index_$digest").toString
+  }
+
+  /** Train + encode + write the IVF-PQ index tables (see
+    * [[ivfPqIndexRoundtrip]] for the layout). The lists table stores
+    * each vector's 16 codes under its coarse cell; at warehouse scale
+    * this single partitioned write IS the index build job.
+    */
+  private[graft] def ivfPqPersist(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val (coarseCents, assigned) = trainedIndex(spark, dir)
+    val (cents, codes) = pqIndex(pqSubs(spark, dir))
+    coarseCents.write.mode("overwrite").parquet(s"$base/centroids")
+    cents.write.mode("overwrite").parquet(s"$base/codebooks")
+    codes.join(assigned.select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/lists")
+  }
+
+  /** IVF-PQ search against a PERSISTED index (no training, no encode):
+    * probe each query's best cell against the stored centroids, build
+    * the LUT from the stored codebooks, and score only the probed
+    * cells' stored codes. The broadcast join on the `cell` partition
+    * column is what lets Spark prune the lists scan to the probed
+    * partitions (dynamic partition pruning).
+    */
+  private[graft] def annIvfPqFromIndex(
+      spark: SparkSession, dir: String, base: String): DataFrame = {
+    val coarseCents = spark.read.parquet(s"$base/centroids")
+    val cents = spark.read.parquet(s"$base/codebooks")
+    // the partition column reads back via directory-name inference;
+    // cast restores the stored assignment's int type exactly
+    val lists = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("cell").cast("int").as("cell"))
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cell_sim"), asc("cluster"))
+    val probed = q.crossJoin(broadcast(coarseCents))
+      .select(col("q_id"), col("q_emb"), col("cluster"),
+        F.roundHalfUp(dot(col("q_emb"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 1)
+      .select(col("q_id"), col("q_emb"), col("cluster").as("cell"),
+        col("cell_sim"))
+    val lut = pqLut(probed.select(col("q_id"), col("q_emb")), cents)
+    val cand = lists
+      .join(broadcast(probed.select(col("q_id"), col("cell"), col("cell_sim"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+    cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("cell"), col("cell_sim"),
+        col("vec_id").as("neighbor_id"))
+      .agg(F.sumDecAsDouble(col("part"), 10).as("approx_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("approx_sim"), asc("neighbor_id"))))
   }
 
   /** Recall@k of the IVF approximation against the exact brute-force
