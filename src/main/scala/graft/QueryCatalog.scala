@@ -1974,7 +1974,7 @@ object QueryCatalog {
                           ORDER BY us, event_id) AS prev_us
               FROM kept),
         y AS (SELECT *, CASE WHEN prev_us IS NULL
-                               OR us - prev_us >= ${graft.streaming.Sessions.GapMicros}
+                               OR us - prev_us > ${graft.streaming.Sessions.GapMicros}
                              THEN 1 ELSE 0 END AS new_s
               FROM x),
         z AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY event_type
@@ -2975,7 +2975,7 @@ object QueryCatalog {
                  lag(epoch_us(t)) OVER (PARTITION BY event_type ORDER BY t, event_id) AS prev_us
           FROM e),
         y AS (
-          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= ${graft.streaming.Sessions.GapMicros}
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > ${graft.streaming.Sessions.GapMicros}
                          THEN 1 ELSE 0 END AS new_s
           FROM x),
         z AS (
@@ -3007,7 +3007,7 @@ object QueryCatalog {
                  lag(epoch_us(t)) OVER (PARTITION BY event_type ORDER BY t, event_id) AS prev_us
           FROM e),
         y AS (
-          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= ${graft.streaming.Sessions.GapMicros}
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > ${graft.streaming.Sessions.GapMicros}
                          THEN 1 ELSE 0 END AS new_s
           FROM x),
         z AS (

@@ -21,9 +21,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * bounded by live key cardinality. SessionsSpec pins streamed output
   * equal to the batch derivation restricted to finalized sessions.
   *
-  * The boundary rule matches on both forms: an event exactly `gap`
-  * after its predecessor starts a NEW session (streaming merges only
-  * strictly-closer events; batch flags `diff >= gap`).
+  * The boundary rule matches on both forms: Spark's `session_window`
+  * represents each event as the half-open range [ts, ts+gap) and
+  * merges ranges that overlap OR TOUCH, so an event EXACTLY `gap`
+  * after its predecessor joins the SAME session — the batch twin and
+  * every oracle flag `diff > gap` to state the identical rule
+  * (SessionBoundarySpec pins both sides; the sf0.001 sweep caught the
+  * `>=` form diverging on an exact-30-min adjacency).
   */
 object Sessions {
 
@@ -40,7 +44,7 @@ object Sessions {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") >= GapMicros, 1L)
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapMicros, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("new_s")).over(run))
       .groupBy(col("event_type"), col("session_seq"))

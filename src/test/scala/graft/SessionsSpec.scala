@@ -11,9 +11,9 @@ import graft.streaming.Sessions
 
 /** Streaming session windows == the batch gap-islands derivation
   * restricted to finalized sessions (session end = last event + gap,
-  * finalized once the watermark passes it). Pins both the island
-  * boundary rule (an event exactly `gap` later starts a new session on
-  * both forms) and append-mode finalization.
+  * finalized once the watermark passes it). Pins the island derivation
+  * and append-mode finalization; the exact-gap boundary rule (touching
+  * ranges MERGE on both forms) is pinned by SessionBoundarySpec.
   */
 class SessionsSpec extends AnyFunSuite {
   private lazy val spark = SparkT.spark
