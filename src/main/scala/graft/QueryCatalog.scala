@@ -209,7 +209,11 @@ object QueryCatalog {
   // Training CTEs (a0/a1) read the TrainCap-bounded md5 sample `tr` —
   // the VectorOps.lloydOn sampling rule verbatim — while the final
   // assignment a2 (the index encode) sweeps the full source.
-  private def lloydChain(src: String, sfx: String, seed: String = "label"): String = {
+  // `encodeSrc` decouples the encoded relation from the training one
+  // (VectorOps.lloydOnSplit: the add-after-train oracle trains on the
+  // base subset but encodes the whole corpus); null = same as src.
+  private def lloydChain(src: String, sfx: String, seed: String = "label",
+      encodeSrc: String = null): String = {
     val mean = rnd("CAST(sum(CAST(v::DOUBLE AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)
     val simOf = (cent: String) =>
       rnd(s"list_dot_product(e.embedding::DOUBLE[], $cent.centroid::DOUBLE[])", 6)
@@ -236,7 +240,7 @@ object QueryCatalog {
         ${centStep(s"a0$sfx", s"comp0$sfx", s"cent0$sfx")},
         ${assignStep(s"tr$sfx", s"cent0$sfx", s"a1$sfx")},
         ${centStep(s"a1$sfx", s"comp1$sfx", s"cent1$sfx")},
-        ${assignStep(src, s"cent1$sfx", s"a2$sfx")}"""
+        ${assignStep(Option(encodeSrc).getOrElse(src), s"cent1$sfx", s"a2$sfx")}"""
   }
 
   private lazy val lloydCtes: String = lloydChain("embeddings", "")
@@ -264,6 +268,67 @@ object QueryCatalog {
       .map(i => s"SELECT $i AS sub, cluster AS code, centroid FROM cent1_s$i")
       .mkString(" UNION ALL ")
     s"""$lloydCtes,
+        $subViews,
+        $chains,
+        codes AS ($codes),
+        cents AS ($cents),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < ${VectorOps.NQueries}),
+        cells AS (
+          SELECT q_id, q_emb, cluster, $cellSim AS cell_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY $cellSim DESC, cluster) AS rn
+          FROM q, cent1),
+        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
+        lut AS (
+          SELECT q_id, sub, code,
+                 ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
+          FROM best, cents),
+        cand AS (
+          SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
+          FROM best b JOIN a2 a ON a.cluster = b.cluster
+          WHERE a.vec_id <> b.q_id),
+        s AS (
+          SELECT c.q_id, c.cell, c.cell_sim, c.vec_id AS neighbor_id,
+                 CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
+          FROM cand c
+          JOIN codes co ON co.vec_id = c.vec_id
+          JOIN lut l ON l.q_id = c.q_id AND l.sub = co.sub AND l.code = co.code
+          GROUP BY 1, 2, 3, 4),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_sim DESC, neighbor_id) AS INTEGER) AS rank
+              FROM s)"""
+  }
+
+  // Add-after-train IVF-PQ chain (q_ann_index_add): every quantizer —
+  // the coarse Lloyd AND all 16 PQ codebooks — trains on the BASE
+  // corpus only (vec_id % AddModulus <> AddResidue: the rows that
+  // existed when the index was built), while the final assignment /
+  // encode CTEs sweep the FULL corpus — exactly what the engine's
+  // stored-quantizer delta encode produces (base lists ∪ delta lists ≡
+  // everything encoded against base-trained artifacts). Ends in `r`
+  // like ivfPqRankedCtes.
+  private lazy val ivfPqAddRankedCtes: String = {
+    val m = VectorOps.PqSubspaces
+    val d = VectorOps.PqSubDim
+    val deltaPred = s"vec_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue}"
+    val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
+    val subViews = (0 until m).flatMap(i => Seq(
+      s"es$i AS (SELECT vec_id, label, embedding[${i * d + 1}:${(i + 1) * d}] AS embedding FROM embeddings)",
+      s"esb$i AS (SELECT * FROM es$i WHERE NOT ($deltaPred))"))
+      .mkString(",\n        ")
+    val chains = (0 until m)
+      .map(i => lloydChain(s"esb$i", s"_s$i",
+        s"vec_id % ${VectorOps.PqCodebooks}", encodeSrc = s"es$i"))
+      .mkString(",\n        ")
+    val codes = (0 until m)
+      .map(i => s"SELECT vec_id, $i AS sub, cluster AS code FROM a2_s$i")
+      .mkString(" UNION ALL ")
+    val cents = (0 until m)
+      .map(i => s"SELECT $i AS sub, cluster AS code, centroid FROM cent1_s$i")
+      .mkString(" UNION ALL ")
+    s"""ebase AS (SELECT * FROM embeddings WHERE NOT ($deltaPred)),
+        ${lloydChain("ebase", "", encodeSrc = "embeddings")},
         $subViews,
         $chains,
         codes AS ($codes),
@@ -2281,6 +2346,23 @@ object QueryCatalog {
       Some(s"""
         WITH $ivfPqRankedCtes
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // The faiss add-after-train half of the index lifecycle: the index
+    // is built over the BASE corpus only, the held-out 10% batch is
+    // added against the STORED quantizers (zero Lloyd iterations —
+    // IvfPqAddSpec meters it), and the search reads base ∪ delta lists
+    // with both scans partition-pruned to the probed cells. The oracle
+    // trains every quantizer on the base subset but encodes the whole
+    // corpus — the algebraic identity add-then-search ≡
+    // encode-all-then-search makes that the exact replay.
+    "q_ann_index_add" -> Spec(
+      VectorOps.ivfPqIndexAdd,
+      Some(s"""
+        WITH $ivfPqAddRankedCtes
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+               neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} AS from_delta
+        FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
     "q_ann_sq8" -> Spec(

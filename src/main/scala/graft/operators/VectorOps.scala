@@ -92,7 +92,7 @@ object VectorOps {
     * this collapses into the partitioning the downstream joins need
     * anyway.
     */
-  private def embDistributed(spark: SparkSession, dir: String) =
+  private[graft] def embDistributed(spark: SparkSession, dir: String) =
     emb(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
 
@@ -398,6 +398,18 @@ object VectorOps {
     */
   val KmeansIters = 2
 
+  /** Plan-build-time count of Lloyd iterations composed since the last
+    * reset — the instrument behind IvfPqAddSpec's zero-retrain law: the
+    * incremental index ADD path must construct NO k-means step (its
+    * quantizers come from the stored artifacts), and the meter proves
+    * it at the level the code can't fake (every Lloyd step in the
+    * engine is composed inside [[lloydOnSplit]] / [[pqIndexSplit]]).
+    */
+  private[graft] object LloydMeter {
+    val iterations = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = iterations.set(0L)
+  }
+
   /** Quantizer TRAINING-SAMPLE cap — the faiss discipline: codebooks
     * and coarse centroids train on a bounded, deterministic sample of
     * the corpus (smallest [[TrainCap]] md5(vec_id) values — a
@@ -492,14 +504,26 @@ object VectorOps {
     * corpus. Identical to unsampled training whenever the corpus fits
     * the cap (every oracle-gated SF).
     */
-  private def lloydOn(e: DataFrame, seed: Column): (DataFrame, DataFrame) = {
+  private def lloydOn(e: DataFrame, seed: Column): (DataFrame, DataFrame) =
+    lloydOnSplit(e, e, seed)
+
+  /** [[lloydOn]] with the training source and the encode (final
+    * assignment) source decoupled — the faiss add-after-train shape:
+    * quantizers train on one frame (the BASE corpus's md5 sample) while
+    * the index encode sweeps another (base ∪ later-arrived vectors).
+    * `lloydOn(e, seed)` is the `train == encode` special case.
+    */
+  private def lloydOnSplit(
+      trainSrc: DataFrame, encodeSrc: DataFrame,
+      seed: Column): (DataFrame, DataFrame) = {
     val train = Out.eager(
-      e.orderBy(md5(col("vec_id").cast("string"))).limit(TrainCap))
+      trainSrc.orderBy(md5(col("vec_id").cast("string"))).limit(TrainCap))
     var assigned = train.withColumn("cluster", seed)
     var centroids: DataFrame = null
     (1 to KmeansIters).foreach { i =>
+      LloydMeter.iterations.incrementAndGet()
       centroids = centroidsOf(assigned)
-      assigned = assignTo(if (i == KmeansIters) e else train, centroids)
+      assigned = assignTo(if (i == KmeansIters) encodeSrc else train, centroids)
     }
     (centroids, assigned)
   }
@@ -1033,17 +1057,26 @@ object VectorOps {
     * scheduling latency dominated the query ~6×; the oracle unrolls
     * per subspace, which is arithmetic-identical).
     */
-  private def pqIndex(subs: DataFrame): (DataFrame, DataFrame) = {
+  private def pqIndex(subs: DataFrame): (DataFrame, DataFrame) =
+    pqIndexSplit(subs, subs)
+
+  /** [[pqIndex]] with the codebook-training sub-rows and the encoded
+    * sub-rows decoupled (see [[lloydOnSplit]] — same add-after-train
+    * shape, per subspace).
+    */
+  private def pqIndexSplit(
+      trainSubs: DataFrame, encodeSubs: DataFrame): (DataFrame, DataFrame) = {
     // codebooks train on the TrainCap-bounded md5 sample (whole-vector
     // granularity: all of a sampled vector's sub-rows); only the final
     // encode pass — the index build itself — sweeps the full corpus
-    val trainIds = subs.select("vec_id").dropDuplicates("vec_id")
+    val trainIds = trainSubs.select("vec_id").dropDuplicates("vec_id")
       .orderBy(md5(col("vec_id").cast("string"))).limit(TrainCap)
     val train = Out.eager(
-      subs.join(broadcast(trainIds), Seq("vec_id"), "left_semi"))
+      trainSubs.join(broadcast(trainIds), Seq("vec_id"), "left_semi"))
     var assigned = train.withColumn("cluster", col("vec_id") % PqCodebooks)
     var cents: DataFrame = null
     (1 to KmeansIters).foreach { i =>
+      LloydMeter.iterations.incrementAndGet()
       cents = assigned
         .select(col("sub"), col("cluster"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -1053,7 +1086,7 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           x => x.getField("c")).as("centroid"))
       val w = Window.partitionBy("vec_id", "sub").orderBy(desc("sim"), asc("cluster"))
-      assigned = (if (i == KmeansIters) subs else train)
+      assigned = (if (i == KmeansIters) encodeSubs else train)
         .join(broadcast(cents), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("embedding"), col("cluster"),
           F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
@@ -1093,7 +1126,15 @@ object VectorOps {
     * they feed every Lloyd step and the code table (at warehouse scale
     * this frame is the written PQ index).
     */
-  private def pqSubs(spark: SparkSession, dir: String): DataFrame = {
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    subsOf(spark, emb(spark, dir))
+
+  /** Sub-vector rows of ANY (vec_id, embedding, …) frame — [[pqSubs]]
+    * for the whole corpus, and the per-frame form the split-trained
+    * index build ([[ivfPqPersistFrames]]) and the delta encode
+    * ([[ivfPqAdd]]) reuse.
+    */
+  private def subsOf(spark: SparkSession, e: DataFrame): DataFrame = {
     val chunks = transform(sequence(lit(0), lit(PqSubspaces - 1)),
       m => slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)))
     // Explicit spread BEFORE the checkpoint: the encode pass is a
@@ -1102,7 +1143,7 @@ object VectorOps {
     // the corpus × codebook argmin (measured 5.8 s -> 3.0 s wall on
     // q_ann_pq at sf1, similarly IVF-PQ; on a real multi-split scan this collapses into
     // the partitioning the downstream windows need anyway).
-    Out.eager(emb(spark, dir)
+    Out.eager(e
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(chunks).as(Seq("sub", "embedding"))))
   }
@@ -1290,6 +1331,12 @@ object VectorOps {
     * artifacts, same joins — the round trip through parquet preserves
     * every double exactly), so the roundtrip row rides q_ann_ivfpq's
     * oracle SQL unchanged.
+    *
+    * Bench note: the row's wall is BUILD + search (train, encode,
+    * partitioned write, then the probe) — it gates the whole
+    * write_index/read_index contract, not read-only search latency.
+    * The read-only path in isolation is [[annIvfPqFromIndex]]
+    * (IvfPqIndexSpec drives it against a pre-built index).
     */
   def ivfPqIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val base = indexBase(dir)
@@ -1302,13 +1349,23 @@ object VectorOps {
 
   /** Digest-keyed index location under the JVM tmpdir (the
     * SinkRoundTrips convention): repeated bench/verify runs overwrite
-    * one location instead of leaking copies.
+    * one location instead of leaking copies. `tag` separates
+    * independent index lifecycles over the same corpus (the roundtrip
+    * row and the add row must not race each other's lists/).
+    *
+    * SINGLE-WRITER assumption: the path is keyed on (corpus dir, tag)
+    * only, so two concurrent JVMs running the same catalog row against
+    * the same corpus would overwrite lists/ under each other's search.
+    * The driver runs verify and bench sequentially, and a production
+    * deployment gives the index build its own job + location; when
+    * concurrent same-corpus runs are possible, suffix `tag` with a
+    * session token.
     */
-  private def indexBase(dir: String): String = {
+  private[graft] def indexBase(dir: String, tag: String = "index"): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_index_$digest").toString
+      s"graft_ivfpq_${tag}_$digest").toString
   }
 
   /** Train + encode + write the IVF-PQ index tables (see
@@ -1318,13 +1375,94 @@ object VectorOps {
     */
   private[graft] def ivfPqPersist(
       spark: SparkSession, dir: String, base: String): Unit = {
-    val (coarseCents, assigned) = trainedIndex(spark, dir)
-    val (cents, codes) = pqIndex(pqSubs(spark, dir))
+    val e = emb(spark, dir)
+    ivfPqPersistFrames(spark, e, e, base)
+  }
+
+  /** [[ivfPqPersist]] with the TRAINING corpus and the ENCODED corpus
+    * decoupled: quantizers (coarse centroids + PQ codebooks) Lloyd on
+    * `train`'s md5 sample, while the written inverted lists cover
+    * `encode` — the frame pair [[ivfPqIndexAdd]]'s equality spec uses
+    * to build the "encoded everything against base-trained quantizers"
+    * reference index in one shot.
+    */
+  private[graft] def ivfPqPersistFrames(
+      spark: SparkSession, train: DataFrame, encode: DataFrame,
+      base: String): Unit = {
+    def dist(f: DataFrame) = f
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val (coarseCents, assigned) =
+      lloydOnSplit(dist(train), dist(encode), col("label"))
+    val (cents, codes) =
+      pqIndexSplit(subsOf(spark, train), subsOf(spark, encode))
     coarseCents.write.mode("overwrite").parquet(s"$base/centroids")
     cents.write.mode("overwrite").parquet(s"$base/codebooks")
     codes.join(assigned.select(col("vec_id"), col("cluster").as("cell")),
         Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$base/lists")
+  }
+
+  /** Deterministic "new batch" split of the corpus for the incremental
+    * index-add row: vectors with vec_id ≡ [[AddResidue]] (mod
+    * [[AddModulus]]) arrive AFTER the index was built — 10% of the
+    * corpus at every SF, id-interleaved so every cell sees additions.
+    */
+  val AddModulus = 10L
+  val AddResidue = 7L
+
+  private[graft] def embBase(spark: SparkSession, dir: String): DataFrame =
+    embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus =!= AddResidue)
+
+  private def embDelta(spark: SparkSession, dir: String): DataFrame =
+    embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus === AddResidue)
+
+  /** Encode sub-vector rows against a STORED codebook frame
+    * (sub, code, centroid) — the final [[pqIndexSplit]] assignment step
+    * with zero training: argmax rounded dot, ties to the smaller code.
+    */
+  private def encodeAgainst(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(desc("sim"), asc("code"))
+    subs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "code")
+  }
+
+  /** Incremental ADD to a persisted IVF-PQ index — the faiss
+    * add-after-train half of the write_index lifecycle: a new-vector
+    * batch is assigned to cells against the STORED coarse centroids
+    * and encoded against the STORED codebooks (zero Lloyd iterations,
+    * zero codebook retrain — IvfPqAddSpec meters it), and the codes
+    * land as a DELTA lists table partitioned by cell beside the base
+    * lists — the [[graft.operators.TextOps]] incrementalDedupChain
+    * delta-append shape applied to the vector index. Overwrite of the
+    * delta location makes re-admitting the same batch idempotent.
+    *
+    * At 100 TB this is the continuous-ingest story: the nightly build
+    * trains + encodes once; each arriving batch pays ONE broadcast
+    * assign + ONE broadcast encode over just its own rows and one
+    * partitioned append — never a corpus re-train, never a corpus
+    * rewrite. Searches pick the delta up with the same probed-cell
+    * partition pruning as the base (both tables are hive-partitioned
+    * by cell).
+    */
+  private[graft] def ivfPqAdd(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val delta = embDelta(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val coarseCents = spark.read.parquet(s"$base/centroids")
+    val codebooks = spark.read.parquet(s"$base/codebooks")
+    val cells = assignTo(delta, coarseCents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val codes = encodeAgainst(subsOf(spark, delta), codebooks)
+    codes.join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$base/lists_delta")
   }
 
   /** IVF-PQ search against a PERSISTED index (no training, no encode):
@@ -1335,12 +1473,27 @@ object VectorOps {
     * partitions (dynamic partition pruning).
     */
   private[graft] def annIvfPqFromIndex(
-      spark: SparkSession, dir: String, base: String): DataFrame = {
+      spark: SparkSession, dir: String, base: String): DataFrame =
+    searchStored(spark, dir, base, withDelta = false)
+
+  /** [[annIvfPqFromIndex]] over base lists ∪ delta lists (post-add
+    * search). Each lists table joins the broadcast probe frame
+    * SEPARATELY — a join above the union would sit on a Union node and
+    * dynamic partition pruning fires per scan, so probing each side
+    * then unioning keeps BOTH scans pruned to the probed cells.
+    */
+  private[graft] def annIvfPqFromIndexWithDelta(
+      spark: SparkSession, dir: String, base: String): DataFrame =
+    searchStored(spark, dir, base, withDelta = true)
+
+  private def searchStored(
+      spark: SparkSession, dir: String, base: String,
+      withDelta: Boolean): DataFrame = {
     val coarseCents = spark.read.parquet(s"$base/centroids")
     val cents = spark.read.parquet(s"$base/codebooks")
     // the partition column reads back via directory-name inference;
     // cast restores the stored assignment's int type exactly
-    val lists = spark.read.parquet(s"$base/lists")
+    def listsAt(path: String) = spark.read.parquet(path)
       .select(col("vec_id"), col("sub"), col("code"),
         col("cell").cast("int").as("cell"))
     val q = emb(spark, dir).filter(col("vec_id") < NQueries)
@@ -1355,10 +1508,15 @@ object VectorOps {
       .select(col("q_id"), col("q_emb"), col("cluster").as("cell"),
         col("cell_sim"))
     val lut = pqLut(probed.select(col("q_id"), col("q_emb")), cents)
-    val cand = lists
-      .join(broadcast(probed.select(col("q_id"), col("cell"), col("cell_sim"))),
-        Seq("cell"))
+    val probeKeys = probed.select(col("q_id"), col("cell"), col("cell_sim"))
+    def candOf(lists: DataFrame) = lists
+      .join(broadcast(probeKeys), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
+    val cand =
+      if (withDelta)
+        candOf(listsAt(s"$base/lists"))
+          .unionByName(candOf(listsAt(s"$base/lists_delta")))
+      else candOf(listsAt(s"$base/lists"))
     cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("cell"), col("cell_sim"),
         col("vec_id").as("neighbor_id"))
@@ -1366,6 +1524,39 @@ object VectorOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(desc("approx_sim"), asc("neighbor_id"))))
+  }
+
+  /** INCREMENTAL-ADD round trip (q_ann_index_add) — the full faiss
+    * add-after-train lifecycle as one oracle-gated row: (1) build and
+    * persist the index over the BASE corpus only (vec_id ≢
+    * [[AddResidue]] mod [[AddModulus]] — training sample AND inverted
+    * lists both base-only); (2) [[ivfPqAdd]] the held-out 10% as an
+    * arriving batch, encoded against the STORED quantizers with zero
+    * Lloyd iterations; (3) search base ∪ delta lists, both scans
+    * pruned to the probed cells. `from_delta` marks neighbors that
+    * entered through the add path — the oracle recomputes it from the
+    * id rule, so delta rows surviving into the top-k are themselves
+    * hash-gated.
+    *
+    * Equality law (IvfPqAddSpec): this search is row-identical to a
+    * one-shot index that trains on base and encodes everything
+    * ([[ivfPqPersistFrames]]) — add-then-search ≡ encode-all-then-
+    * search, the property that makes incremental maintenance safe.
+    * Like the roundtrip row, the benched wall is build + add + search,
+    * not search alone.
+    */
+  def ivfPqIndexAdd(spark: SparkSession, dir: String): DataFrame = {
+    val base = indexBase(dir, "add")
+    val baseCorpus = embBase(spark, dir)
+    ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    ivfPqAdd(spark, dir, base)
+    val r = annIvfPqFromIndexWithDelta(spark, dir, base)
+      .filter(col("rank") <= TopKPq)
+      .withColumn("from_delta",
+        col("neighbor_id") % AddModulus === AddResidue)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim", "from_delta")
+    Out.sorted(r)(col("q_id"), col("rank"))
   }
 
   /** Recall@k of the IVF approximation against the exact brute-force

@@ -27,12 +27,9 @@ class IvfPqIndexSpec extends AnyFunSuite {
   }
 
   test("the lists table is hive-partitioned by cell and the search scan prunes on it") {
-    // roundtrip above already wrote the index; locate it the same way
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(SparkT.Sf0001.getBytes("UTF-8")).take(4)
-      .map("%02x".format(_)).mkString
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_index_$digest")
+    // self-contained: persist the index at the production path
+    val base = java.nio.file.Paths.get(
+      VectorOps.indexBase(SparkT.Sf0001))
     VectorOps.ivfPqPersist(spark, SparkT.Sf0001, base.toString)
     val cellDirs = base.resolve("lists").toFile.listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
