@@ -61,6 +61,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.sort.results", "false")
+    // captured BEFORE the sweep: what the box looked like when timing
+    // began, not after the run's own load
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     // Per-query executor CPU time alongside wall time: the host's
     // scheduling jitter makes wall-clock vary up to 3x run-to-run on
@@ -192,14 +196,36 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, (v, _, _, _)) if v >= 0 => v }.sum
     // Audit fields: engine version + the configs that shape every plan,
-    // so a bench JSON is self-describing without the harness script.
+    // so a bench JSON is self-describing without the harness script —
+    // plus a HOST FINGERPRINT (cpu model, core count, anonymized host
+    // id, load at start). Each round's sessions land on different
+    // boxes and committed walls do not reproduce cross-host (2-9×
+    // observed); the fingerprint lets tools/bench_gate.py ANNOTATE a
+    // cross-host comparison instead of a human having to adjudicate
+    // drift by memory (docs/SCALE.md isolated-re-measure rule).
+    val hostCpu =
+      try scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":", 2)(1).trim }
+        .getOrElse("unknown")
+      catch { case _: Throwable => "unknown" }
+    val hostId = // digest, not the raw name: fingerprint without leaking it
+      try {
+        val hn = java.net.InetAddress.getLocalHost.getHostName
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(hn.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      } catch { case _: Throwable => "unknown" }
     val audit = Seq(
       "spark_version" -> spark.version,
       "master" -> spark.sparkContext.master,
       "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
       "aqe" -> spark.conf.get("spark.sql.adaptive.enabled"),
       "codegen_cache" -> spark.conf.get("spark.sql.codegen.cache.maxEntries"),
-      "repeats" -> repeats.toString
+      "repeats" -> repeats.toString,
+      "host_cpu" -> hostCpu,
+      "host_cores" -> Runtime.getRuntime.availableProcessors.toString,
+      "host_id" -> hostId,
+      "host_load_start" -> f"$loadStart%.2f"
     ).map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"batches":$batchesJson,"sec_per_batch":$secPerBatchJson,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
