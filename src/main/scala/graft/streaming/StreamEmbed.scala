@@ -165,11 +165,46 @@ object StreamEmbed {
         GroupStateTimeout.EventTimeTimeout)(bucketFn(maxResidents))
   }
 
+  /** Knob manifest persisted beside the checkpoint state. The plane
+    * count and resident cap are fixed at START time, and the bucket
+    * state in the checkpoint is keyed by the plane family that wrote
+    * it — a restore under a DIFFERENT derived count would silently mix
+    * bucketings (old-bucket residents never probed by new-bucket
+    * arrivals: missing pairs, not an error). First start records the
+    * knobs; every restart fails fast on mismatch with the rebuild
+    * procedure (docs/SCALE.md "Resizing the embedding admission
+    * stream") instead of producing wrong pairs.
+    */
+  private def guardKnobs(
+      checkpointDir: String, nPlanes: Int, maxResidents: Int): Unit = {
+    val p = java.nio.file.Paths.get(checkpointDir, "graft_knobs.json")
+    val cur = s"""{"n_planes":$nPlanes,"max_residents":$maxResidents}"""
+    if (java.nio.file.Files.exists(p)) {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      if (stored != cur)
+        throw new IllegalStateException(
+          s"StreamEmbed checkpoint at $checkpointDir was built with " +
+            s"knobs $stored but this start asked for $cur. Restoring " +
+            "under different LSH knobs would silently mix bucketings " +
+            "(checkpointed residents keyed by the old buckets are never " +
+            "probed by new-bucket arrivals — missing pairs, not a " +
+            "crash). Rebuild instead: stop the query, delete the " +
+            "checkpoint dir and the emitted pairs, restart with the new " +
+            "knobs, and re-admit the landing history (docs/SCALE.md, " +
+            "\"Resizing the embedding admission stream\").")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (cur + "\n").getBytes("UTF-8"))
+    }
+  }
+
   /** Streaming job: NDJSON landing → near-dup pairs → append sink. */
   def start(spark: SparkSession, landingDir: String, outDir: String,
             checkpointDir: String, nPlanes: Int = VectorOps.NPlanes,
             maxResidents: Int = MaxBucketResidents): StreamingQuery = {
     StateStores.useRocksDb(spark)
+    guardKnobs(checkpointDir, nPlanes, maxResidents)
     pairs(
       spark.readStream
         .schema(docSchema)

@@ -92,4 +92,46 @@ class StreamEmbedSpec extends AnyFunSuite {
     // every pre-cap pair emitted exactly once
     assert(streamed.length === cap * (cap - 1) / 2)
   }
+
+  test("restart contract: changed knobs fail fast; same knobs restore cleanly") {
+    val landing = Files.createTempDirectory("graft-semb-rst-landing").toString
+    val outDir = Files.createTempDirectory("graft-semb-rst-out").toString
+    val ckpt = Files.createTempDirectory("graft-semb-rst-ckpt").toString
+    val unit = Array.fill(64)(0.125)
+    Files.writeString(new java.io.File(landing, "vecs_0.json").toPath,
+      (1 to 3).map(i => line(i.toLong, i, unit)).mkString("\n"))
+    val q1 = StreamEmbed.start(spark, landing, outDir, ckpt)
+    assert(q1.awaitTermination(180000L), "first run did not finish")
+
+    // a restart under a DIFFERENT derived plane count must be a clear
+    // error naming the stored knobs — never wrong (silently thinner)
+    // pairs from mixed bucketings
+    val e = intercept[IllegalStateException] {
+      StreamEmbed.start(spark, landing, outDir, ckpt,
+        nPlanes = VectorOps.NPlanesWide)
+    }
+    assert(e.getMessage.contains("knobs"))
+    assert(e.getMessage.contains(s""""n_planes":${VectorOps.NPlanes}"""))
+
+    // ...and so must a changed resident cap
+    intercept[IllegalStateException] {
+      StreamEmbed.start(spark, landing, outDir, ckpt,
+        maxResidents = StreamEmbed.CappedResidents)
+    }
+
+    // same knobs: restores and picks up new arrivals exactly once
+    Files.writeString(new java.io.File(landing, "vecs_1.json").toPath,
+      Seq(line(4L, 4, unit)).mkString("\n"))
+    val q2 = StreamEmbed.start(spark, landing, outDir, ckpt)
+    assert(q2.awaitTermination(180000L), "restart did not finish")
+    val streamed = spark.read
+      .schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE")
+      .json(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 4 clones in one bucket: all 6 pairs, each exactly once — the
+    // restored residents met the new arrival, nothing re-emitted
+    assert(streamed.distinct.length === streamed.length)
+    assert(streamed.toSet === (1 to 4).combinations(2)
+      .map(c => (c(0).toLong, c(1).toLong)).toSet)
+  }
 }
