@@ -1,0 +1,354 @@
+#!/usr/bin/env python3
+"""Adversarial boundary-corpus generator.
+
+Generalizes the round-9 exact-gap session find (Spark `session_window`
+merges ranges that TOUCH; the `>=` oracle form lived 9 rounds because no
+corpus contained an exactly-gap adjacency): every threshold comparison in
+the engine has the same latent risk, so this writes a small corpus where
+the THRESHOLD-EQUAL case of each boundary rule actually occurs, plus both
+one-ulp-ish neighbors. Run the affected catalog rows over it with the
+normal verify + oracle pipeline:
+
+    SPARK_GRAFT_ONLY=q_event_sessions,q_event_sessions_stream,\
+q_embed_neardup,q_embed_stream,q_embed_stream_capped,q_doc_exact_dedup,\
+q_doc_minhash_neardup,q_dedup_stream,q_neardup_stream \
+      sbt -batch "runMain graft.Verify fixtures/adversarial /tmp/adv_out"
+    python3 tools/oracle_check.py fixtures/adversarial /tmp/adv_out <same list>
+    python3 tools/adversarial_assert.py /tmp/adv_out
+
+(q_minhash_neardup_sql is the one minhash row excluded: its SQL surface
+registers the whole table catalog, and the fixture ships only the three
+boundary tables — the identical banding math is covered by
+q_doc_minhash_neardup.)
+
+Planted boundaries (each asserted PRESENT at build time, so the fixture
+cannot silently stop exercising them):
+  events      — consecutive events EXACTLY SessionGap apart (merge: the
+                r9 rule), gap+1us (split), gap-1us (merge), a mixed chain;
+                sessions whose end+gap is EXACTLY the final ms-floored
+                watermark (emit per `<=`), +1ms (hold), -1ms (emit).
+  embeddings  — pair with left-to-right f32-widened dot rounding to
+                EXACTLY NearDupCosine=0.45 (include per `>=`), one just
+                below (exclude), one just above (include), all within
+                Hamming<=1 of each other's LSH bucket so both engines
+                actually compare them; exact-clone families of exactly
+                CappedResidents and CappedResidents+1 vectors (the
+                binding-cap rule's two sides in q_embed_stream_capped).
+  documents   — pairs whose distinct 3-shingle sets have Jaccard EXACTLY
+                0.5 == JaccardThreshold (include per `>=`; banding
+                verified at build time by replaying the md5 minhash/band
+                chain), one just below; exact-clone text families; a
+                same-shingle-set/different-text pair (identical dedup key
+                and signature, different raw bytes).
+
+Constants replicated from the engine (kept in lockstep by the build-time
+asserts, which fail loudly if the Scala side changes):
+  Sessions.GapMicros=30min, watermark 2h, ms-floored; VectorOps: Dim=64,
+  NPlanes=4 (corpus kept <= 2048 so derivedPlanes=4), NearDupCosine=0.45,
+  planes md5(f"{p}_{d}")[:4hex] % 1001 - 500 over 500.0, strict dot>0;
+  StreamEmbed.CappedResidents=30; TextOps: MinhashK=16, Bands=8, r=2,
+  prime 2^31-1, perms md5(f"perm_{a|b}_{p}")[:14hex] % prime (a floored
+  to >=1), base hash md5(shingle)[:15hex] % prime, band key md5 of
+  '_'-joined band slice, JaccardThreshold=0.5.
+"""
+import hashlib
+import math
+import os
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "adversarial")
+
+# ---------------------------------------------------------------- shared
+GAP_US = 30 * 60 * 1000000
+WM_DELAY_MS = 2 * 3600 * 1000
+DIM = 64
+N_PLANES = 4
+NEAR_DUP_COS = 0.45
+CAPPED_RESIDENTS = 30
+MINHASH_K = 16
+BANDS = 8
+ROWS_PER_BAND = 2
+PRIME = 2147483647
+JACCARD_T = 0.5
+
+
+def md5hex(s):
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def round6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def ltr_dot(a, b):
+    """Left-to-right double accumulation — the engine's VectorDot order."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += float(x) * float(y)
+    return d
+
+
+# ---------------------------------------------------------------- events
+def build_events():
+    rows = []  # (event_id, ts_us, user_id, event_type, value, props)
+    eid = [1]
+
+    def ev(ts_us, etype, uid=1):
+        rows.append((eid[0], ts_us, uid, etype, 1.0, "{}"))
+        eid[0] += 1
+
+    def chain(t0, etype, diffs):
+        t = t0
+        ev(t, etype)
+        for d in diffs:
+            t += d
+            ev(t, etype)
+
+    may1 = 1746057600000000  # 2025-05-01T00:00:00Z in us
+    day = 86400 * 1000000
+    # exact-gap adjacency: ONE session of 5 (merge on touch — the r9 rule)
+    chain(may1, "adv_exact", [GAP_US] * 4)
+    # one microsecond past the gap: every event its own session (5)
+    chain(may1 + day, "adv_plus", [GAP_US + 1] * 4)
+    # one microsecond inside the gap: ONE session of 5
+    chain(may1 + 2 * day, "adv_minus", [GAP_US - 1] * 4)
+    # mixed chain: splits only at the +1us step -> sessions of 3 and 2
+    chain(may1 + 3 * day, "adv_mixed",
+          [GAP_US, GAP_US + 1, GAP_US, GAP_US - 1])
+    # hold out the watermark-equality family around the horizon: whole-ms
+    # timestamps so the ms-floored watermark arithmetic is exact
+    horizon = 1748736000000000  # 2025-06-01T00:00:00Z
+    wm = horizon - WM_DELAY_MS * 1000
+    ev(horizon, "adv_horizon")
+    # session end (= last event + gap) EXACTLY the watermark: emit per <=
+    ev(wm - GAP_US, "adv_wm_eq")
+    # end 1ms past the watermark: held open (not emitted by the stream)
+    ev(wm - GAP_US + 1000, "adv_wm_plus")
+    # end 1ms before: emitted
+    ev(wm - GAP_US - 1000, "adv_wm_minus")
+
+    assert max(r[1] for r in rows) == horizon
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(t, os.path.join(OUT, "events.parquet"))
+    return len(rows)
+
+
+# ------------------------------------------------------------ embeddings
+def planes():
+    ps = []
+    for p in range(N_PLANES):
+        ps.append([(int(md5hex(f"{p}_{d}")[:4], 16) % 1001 - 500) / 500.0
+                   for d in range(DIM)])
+    return ps
+
+
+PLANES = planes()
+
+
+def bucket(v32):
+    b = 0
+    for p in range(N_PLANES):
+        if ltr_dot(v32, PLANES[p]) > 0:
+            b |= 1 << p
+    return b
+
+
+def hamming(a, b):
+    return bin(a ^ b).count("1")
+
+
+def unit(rng):
+    v = np.array([rng.gauss(0, 1) for _ in range(DIM)], dtype=np.float64)
+    return v / math.sqrt(ltr_dot(v, v))
+
+
+def pair_at(rng, target, accept):
+    """A unit pair whose f32-widened left-to-right dot satisfies `accept`,
+    with buckets within Hamming<=1 (so the multi-probe chain compares it)."""
+    for _ in range(50000):
+        v1 = unit(rng)
+        u = unit(rng)
+        u = u - ltr_dot(u, v1) * v1
+        u = u / math.sqrt(ltr_dot(u, u))
+        v2 = target * v1 + math.sqrt(1 - target * target) * u
+        v2 = v2 / math.sqrt(ltr_dot(v2, v2))
+        f1 = np.asarray(v1, dtype=np.float32)
+        f2 = np.asarray(v2, dtype=np.float32)
+        d = ltr_dot(f1, f2)
+        if accept(d) and hamming(bucket(f1), bucket(f2)) <= 1:
+            return f1, f2, d
+    raise AssertionError(f"no pair found at target {target}")
+
+
+def build_embeddings():
+    rng = random.Random(20260815)
+    vids, vecs = [], []
+
+    def add(vid, v32):
+        vids.append(vid)
+        vecs.append(np.asarray(v32, dtype=np.float32))
+
+    # clone family of EXACTLY CappedResidents+1: the binding cap trips on
+    # the last arrival (31st has nprior=30, cut; all earlier pairs emit)
+    fam_a = np.asarray(np.full(DIM, 0.125), dtype=np.float32)
+    for i in range(CAPPED_RESIDENTS + 1):
+        add(200 + i, fam_a)
+    # clone family of EXACTLY CappedResidents: the cap never quite trips
+    # (last arrival has nprior=29 < 30) — all pairs emit
+    fb = np.array([0.125 if i % 2 == 0 else -0.125 for i in range(DIM)])
+    fam_b = np.asarray(fb, dtype=np.float32)
+    for i in range(CAPPED_RESIDENTS):
+        add(300 + i, fam_b)
+
+    fam_buckets = {bucket(fam_a), bucket(fam_b)}
+
+    # threshold-equality pairs, each forced into compared buckets that do
+    # not share the clone families' buckets (keeps the capped row's
+    # suppression away from the threshold signal)
+    def clear_of_fams(f1, f2):
+        return bucket(f1) not in fam_buckets and bucket(f2) not in fam_buckets
+
+    p_eq = pair_at(rng, NEAR_DUP_COS,
+                   lambda d: round6(d) == NEAR_DUP_COS)
+    p_below = pair_at(rng, NEAR_DUP_COS - 0.0004,
+                      lambda d: 0 < NEAR_DUP_COS - round6(d) <= 0.001)
+    p_above = pair_at(rng, NEAR_DUP_COS + 0.0004,
+                      lambda d: 0 < round6(d) - NEAR_DUP_COS <= 0.001)
+    for p in (p_eq, p_below, p_above):
+        assert clear_of_fams(p[0], p[1])
+    add(400, p_eq[0]); add(401, p_eq[1])
+    add(410, p_below[0]); add(411, p_below[1])
+    add(420, p_above[0]); add(421, p_above[1])
+
+    # background: isolated random unit vectors (pairwise cos far below
+    # threshold w.h.p.; they exist so bucket occupancy is not degenerate)
+    for i in range(100):
+        add(1000 + i, np.asarray(unit(rng), dtype=np.float32))
+
+    n = len(vids)
+    assert n <= 2048, "corpus must keep derivedPlanes at NPlanes=4"
+    t = pa.table({
+        "vec_id": pa.array(vids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([int(v % 10) for v in vids], pa.int32()),
+    })
+    pq.write_table(t, os.path.join(OUT, "embeddings.parquet"))
+    return n, round6(p_eq[2]), round6(p_below[2]), round6(p_above[2])
+
+
+# ------------------------------------------------------------- documents
+def shingle_set(text):
+    ws = text.split(" ")
+    return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)} \
+        if len(ws) >= 3 else set()
+
+
+def minhash_sig(shingles):
+    hs = [int(md5hex(s)[:15], 16) % PRIME for s in shingles]
+    sig = []
+    for p in range(MINHASH_K):
+        a = max(1, int(md5hex(f"perm_a_{p}")[:14], 16) % PRIME)
+        b = int(md5hex(f"perm_b_{p}")[:14], 16) % PRIME
+        sig.append(min((a * h + b) % PRIME for h in hs))
+    return sig
+
+
+def band_keys(sig):
+    return {md5hex("_".join(str(sig[b * ROWS_PER_BAND + i])
+                            for i in range(ROWS_PER_BAND)))
+            for b in range(BANDS)}
+
+
+def jaccard_pair(tag):
+    """Two 11-token docs sharing an 8-token prefix: 9 distinct shingles
+    each, 6 shared -> Jaccard 6/12 = 0.5 EXACTLY (= JaccardThreshold)."""
+    pre = [f"{tag}s{i}" for i in range(8)]
+    a = pre + [f"{tag}a{i}" for i in range(3)]
+    b = pre + [f"{tag}b{i}" for i in range(3)]
+    ta, tb = " ".join(a), " ".join(b)
+    sa, sb = shingle_set(ta), shingle_set(tb)
+    assert len(sa) == 9 and len(sb) == 9 and len(sa & sb) == 6
+    assert len(sa & sb) / len(sa | sb) == JACCARD_T
+    return ta, tb, bool(band_keys(minhash_sig(sa)) &
+                        band_keys(minhash_sig(sb)))
+
+
+def build_documents():
+    rng = random.Random(31337)
+    rows = []  # (doc_id, text)
+    did = [1]
+
+    def doc(text):
+        rows.append((did[0], text))
+        did[0] += 1
+
+    # Jaccard exactly at threshold: several pairs; >=1 must band-collide
+    # (P(collide) ~= 0.90/pair at J=0.5) so the >= comparison is EXERCISED
+    banded = 0
+    for k in range(5):
+        ta, tb, collides = jaccard_pair(f"p{k}")
+        doc(ta)
+        doc(tb)
+        banded += collides
+    assert banded >= 1, "no threshold-equal pair band-collides; re-tag"
+    # just-below control: 7-token shared prefix -> 5 shared of 13 united
+    pre = [f"q0s{i}" for i in range(7)]
+    doc(" ".join(pre + [f"q0a{i}" for i in range(4)]))
+    doc(" ".join(pre + [f"q0b{i}" for i in range(4)]))
+    # exact-clone text families (collapse machinery + exact dedup)
+    clone_a = "c1 c2 c3 c4 c5 c6 c7 c8"
+    clone_b = "d1 d2 d3 d4 d5 d6 d7 d8"
+    for _ in range(5):
+        doc(clone_a)
+    for _ in range(4):
+        doc(clone_b)
+    # same distinct-shingle-set AND same distinct-word-set, different raw
+    # text: the signature/dedup keys call these clones, bytes disagree
+    doc("r1 r2 r3 r1 r2 r3")
+    doc("r1 r2 r3 r1 r2 r3 r1 r2 r3")
+    # background
+    for i in range(50):
+        n = rng.randint(6, 20)
+        doc(" ".join(f"w{rng.randint(0, 400)}" for _ in range(n)))
+
+    langs = ["en", "de", "fr", "ru", "es"]
+    srcs = ["web", "wiki", "news"]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([langs[r[0] % len(langs)] for r in rows],
+                         pa.string()),
+        "source": pa.array([srcs[r[0] % len(srcs)] for r in rows],
+                           pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "documents.parquet"))
+    return len(rows), banded
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    ne = build_events()
+    nv, eq, below, above = build_embeddings()
+    nd, banded = build_documents()
+    print(f"events={ne} embeddings={nv} documents={nd}")
+    print(f"cos boundary: eq={eq} below={below} above={above}")
+    print(f"jaccard-at-threshold pairs band-colliding: {banded}/5")
+    assert eq == NEAR_DUP_COS and below < NEAR_DUP_COS < above
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [q_a,q_b,...]
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs
 <verifyOutDir>/oracle_sql.json[name] in DuckDB over the sfDir tables,
-sorts columns by name, canonicalizes values, and diffs.
+sorts columns by name, canonicalizes values, and diffs. The optional
+third argument restricts the check to a comma-separated query subset
+(pairs with Verify's SPARK_GRAFT_ONLY for targeted runs, e.g. the
+adversarial fixture gate).
 """
 import sys, json, glob, os
 import duckdb
@@ -24,12 +27,16 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        missing = only - set(oracle)
+        assert not missing, f"unknown queries in subset: {sorted(missing)}"
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
@@ -63,4 +70,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
