@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -189,15 +189,7 @@ object Parsing {
     * however many captured pages landed.
     */
   def analyzePipeline(spark: SparkSession, dir: String): DataFrame = {
-    val offers = offersWithFallback(spark, dir).filter(col("price") > 0)
-    val w = Window.partitionBy(col("product_id"))
-    val flagged = offers
-      .withColumn("mn", min(col("price")).over(w))
-      .withColumn("md", median(col("price")).over(w))
-      .withColumn("is_bot",
-        F.isPriceBot(col("price").cast("double"), col("mn").cast("double"),
-          col("md"), nearAbs = 100.0, nearPct = 0.0025, tight = 3000.0))
-    val perProduct = flagged.groupBy("product_id").agg(
+    val perProduct = flaggedOffers(spark, dir).groupBy("product_id").agg(
         count(lit(1)).as("n_offers"),
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"),
@@ -207,6 +199,29 @@ object Parsing {
         when(col("n_bots") >= 2,
           greatest(lit(0.0), col("min_price").cast("double") - 200.0))
           .otherwise(col("min_price").cast("double")))
+    globalAgg(perProduct)
+  }
+
+  /** Merged offers with per-product anchors and the X19 bot flag — the
+    * shared front half of [[analyzePipeline]] and the typed
+    * [[analyzeResults]] assembly.
+    */
+  private def flaggedOffers(spark: SparkSession, dir: String): DataFrame = {
+    val offers = offersWithFallback(spark, dir).filter(col("price") > 0)
+    val w = Window.partitionBy(col("product_id"))
+    offers
+      .withColumn("mn", min(col("price")).over(w))
+      .withColumn("md", median(col("price")).over(w))
+      .withColumn("is_bot",
+        F.isPriceBot(col("price").cast("double"), col("mn").cast("double"),
+          col("md"), nearAbs = 100.0, nearPct = 0.0025, tight = 3000.0))
+  }
+
+  /** The A9 second-level aggregate over any per-product stats frame
+    * (n_offers, min_price, max_price, n_bots, spread,
+    * predicted_min_24h) — shared tail of both pipeline forms.
+    */
+  private def globalAgg(perProduct: DataFrame): DataFrame =
     perProduct.agg(
       count(lit(1)).as("n_products"),
       sum(col("n_offers")).as("n_offers"),
@@ -218,7 +233,90 @@ object Parsing {
       max(col("spread")).as("max_spread"),
       min(col("min_price")).as("best_entry_price"),
       min(col("predicted_min_24h")).as("best_floor_24h"))
+
+  /** One merged seller offer inside an [[AnalyzeResult]] document
+    * (reference: the sellers array assembled at scrape.ts:779-817).
+    */
+  case class SellerOffer(
+      seller_key: String, seller: String, source: String, price: Long,
+      delivery_date: Option[String], n_merged: Long, is_bot: Boolean)
+
+  /** Per-variant stats block of the document. */
+  case class VariantStats(
+      n_offers: Long, min_price: Long, max_price: Long, n_bots: Long,
+      spread: Long, predicted_min_24h: Double)
+
+  /** The nested analyze-result document — SURVEY §1.3's promised
+    * `Dataset[AnalyzeResult]` shape (ArrayType(StructType) sellers +
+    * a stats struct), typed end-to-end.
+    */
+  case class AnalyzeResult(
+      product_id: String, sellers: Seq[SellerOffer], stats: VariantStats)
+
+  /** Flat flagged-offer row feeding the typed assembly (non-private:
+    * Catalyst's generated encoder projections cannot access private
+    * classes — the StreamEmbed rule).
+    */
+  case class FlaggedOffer(
+      product_id: String, seller_key: String, seller: String, source: String,
+      price: Long, delivery_date: Option[String], n_merged: Long,
+      is_bot: Boolean)
+
+  /** TYPED document assembly — the reference's per-product
+    * `AnalyzeResult` build (scrape.ts:809-817) as a
+    * `Dataset[AnalyzeResult]`: the flagged-offer rows group per product
+    * and fold into one nested case-class document (sellers array sorted
+    * by merge key + the stats block), with compile-time field safety
+    * through the whole assembly. Per-product stats computed here are
+    * definitionally identical to [[analyzePipeline]]'s aggregate form
+    * (TypedAnalyzeSpec pins the global row hash-equal).
+    *
+    * Scale shape: one groupByKey on the product key — the same single
+    * shuffle the DataFrame groupBy pays — then a per-group fold whose
+    * state is one product's offer list (bounded by sellers-per-product,
+    * a small constant at any corpus size). The DataFrame form remains
+    * the catalog row: `mapGroups` is opaque to Catalyst (no partial
+    * aggregation, no codegen), the documented cost of the typed
+    * surface; the document Dataset is the API a caller who wants the
+    * reference's nested object gets.
+    */
+  def analyzeResults(
+      spark: SparkSession, dir: String): Dataset[AnalyzeResult] = {
+    import spark.implicits._
+    flaggedOffers(spark, dir)
+      .select(col("product_id"), col("seller_key"), col("seller"),
+        col("source"), col("price"), col("delivery_date"), col("n_merged"),
+        col("is_bot"))
+      .as[FlaggedOffer]
+      .groupByKey(_.product_id)
+      .mapGroups { (pid, it) =>
+        val offers = it.toSeq.sortBy(_.seller_key)
+        val nBots = offers.count(_.is_bot).toLong
+        val mn = offers.map(_.price).min
+        val mx = offers.map(_.price).max
+        val pred =
+          if (nBots >= 2) math.max(0.0, mn.toDouble - 200.0) else mn.toDouble
+        AnalyzeResult(
+          pid,
+          offers.map(o => SellerOffer(o.seller_key, o.seller, o.source,
+            o.price, o.delivery_date, o.n_merged, o.is_bot)),
+          VariantStats(offers.size.toLong, mn, mx, nBots, mx - mn, pred))
+      }
   }
+
+  /** [[analyzePipeline]] recomposed from the TYPED documents: unpack
+    * each [[AnalyzeResult]]'s stats block and run the identical global
+    * aggregate — the equality TypedAnalyzeSpec asserts against the
+    * DataFrame row.
+    */
+  def analyzePipelineTyped(spark: SparkSession, dir: String): DataFrame =
+    globalAgg(analyzeResults(spark, dir)
+      .select(col("product_id"), col("stats.n_offers").as("n_offers"),
+        col("stats.min_price").as("min_price"),
+        col("stats.max_price").as("max_price"),
+        col("stats.n_bots").as("n_bots"),
+        col("stats.spread").as("spread"),
+        col("stats.predicted_min_24h").as("predicted_min_24h")))
 
   /** S12/X15/X17/X13/X14 — embedded configurator payload: balanced-JSON
     * extraction via the native [[ExtractBalancedJson]] expression, then
