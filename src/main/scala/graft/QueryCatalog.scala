@@ -308,10 +308,15 @@ object QueryCatalog {
   // stored-quantizer delta encode produces (base lists ∪ delta lists ≡
   // everything encoded against base-trained artifacts). Ends in `r`
   // like ivfPqRankedCtes.
-  private lazy val ivfPqAddRankedCtes: String = {
+  private lazy val ivfPqAddRankedCtes: String =
+    ivfPqAddRankedCtesFor(
+      s"vec_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue}")
+
+  // Same chain with the held-out (post-build) rows given by any
+  // predicate — the chained two-batch row holds out both residues.
+  private def ivfPqAddRankedCtesFor(deltaPred: String): String = {
     val m = VectorOps.PqSubspaces
     val d = VectorOps.PqSubDim
-    val deltaPred = s"vec_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue}"
     val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
     val subViews = (0 until m).flatMap(i => Seq(
       s"es$i AS (SELECT vec_id, label, embedding[${i * d + 1}:${(i + 1) * d}] AS embedding FROM embeddings)",
@@ -2362,6 +2367,22 @@ object QueryCatalog {
         WITH $ivfPqAddRankedCtes
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
                neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} AS from_delta
+        FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // CHAINED adds: two successive batches absorbed against the same
+    // stored quantizers (each in its own delta table), search over
+    // base ∪ both deltas — add-add-then-search ≡ encode-all-then-search
+    // with training held out on BOTH batches.
+    "q_ann_index_add_chain" -> Spec(
+      VectorOps.ivfPqIndexAddChain,
+      Some(s"""
+        WITH ${ivfPqAddRankedCtesFor(
+          s"vec_id % ${VectorOps.AddModulus} IN (${VectorOps.AddResidue}, ${VectorOps.AddResidue2})")}
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+               CASE WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} THEN 1
+                    WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue2} THEN 2
+                    ELSE 0 END AS from_batch
         FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 

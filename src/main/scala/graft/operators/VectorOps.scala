@@ -1411,6 +1411,13 @@ object VectorOps {
   val AddModulus = 10L
   val AddResidue = 7L
 
+  /** Second arriving batch of the CHAINED add row (q_ann_index_add_chain):
+    * a further 10% lands after the first add — the index absorbs
+    * batch after batch against the same stored quantizers, the full
+    * incrementalDedupChain shape on the vector side.
+    */
+  val AddResidue2 = 3L
+
   private[graft] def embBase(spark: SparkSession, dir: String): DataFrame =
     embDistributed(spark, dir)
       .filter(col("vec_id") % AddModulus =!= AddResidue)
@@ -1452,9 +1459,21 @@ object VectorOps {
     * by cell).
     */
   private[graft] def ivfPqAdd(
-      spark: SparkSession, dir: String, base: String): Unit = {
-    val delta = embDelta(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
+      spark: SparkSession, dir: String, base: String): Unit =
+    ivfPqAddBatch(spark, dir, base,
+      embDelta(spark, dir), "lists_delta")
+
+  /** One add batch: encode `delta` against the STORED quantizers (zero
+    * Lloyd) and land it as its own cell-partitioned delta table under
+    * `sub` — the batch-addressed form the CHAIN row uses (each arriving
+    * batch gets its own location, so re-admitting any one batch is an
+    * overwrite of just that batch, exactly the incrementalDedupChain
+    * delta-parquet shape).
+    */
+  private[graft] def ivfPqAddBatch(
+      spark: SparkSession, dir: String, base: String,
+      deltaFrame: DataFrame, sub: String): Unit = {
+    val delta = deltaFrame.select(col("vec_id"), col("embedding"), col("label"))
     val coarseCents = spark.read.parquet(s"$base/centroids")
     val codebooks = spark.read.parquet(s"$base/codebooks")
     val cells = assignTo(delta, coarseCents)
@@ -1462,7 +1481,7 @@ object VectorOps {
     val codes = encodeAgainst(subsOf(spark, delta), codebooks)
     codes.join(cells, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$base/lists_delta")
+      .parquet(s"$base/$sub")
   }
 
   /** IVF-PQ search against a PERSISTED index (no training, no encode):
@@ -1474,21 +1493,21 @@ object VectorOps {
     */
   private[graft] def annIvfPqFromIndex(
       spark: SparkSession, dir: String, base: String): DataFrame =
-    searchStored(spark, dir, base, withDelta = false)
+    searchStored(spark, dir, base, Nil)
 
   /** [[annIvfPqFromIndex]] over base lists ∪ delta lists (post-add
     * search). Each lists table joins the broadcast probe frame
     * SEPARATELY — a join above the union would sit on a Union node and
     * dynamic partition pruning fires per scan, so probing each side
-    * then unioning keeps BOTH scans pruned to the probed cells.
+    * then unioning keeps EVERY scan pruned to the probed cells.
     */
   private[graft] def annIvfPqFromIndexWithDelta(
       spark: SparkSession, dir: String, base: String): DataFrame =
-    searchStored(spark, dir, base, withDelta = true)
+    searchStored(spark, dir, base, Seq("lists_delta"))
 
-  private def searchStored(
+  private[graft] def searchStored(
       spark: SparkSession, dir: String, base: String,
-      withDelta: Boolean): DataFrame = {
+      deltas: Seq[String]): DataFrame = {
     val coarseCents = spark.read.parquet(s"$base/centroids")
     val cents = spark.read.parquet(s"$base/codebooks")
     // the partition column reads back via directory-name inference;
@@ -1512,11 +1531,9 @@ object VectorOps {
     def candOf(lists: DataFrame) = lists
       .join(broadcast(probeKeys), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-    val cand =
-      if (withDelta)
-        candOf(listsAt(s"$base/lists"))
-          .unionByName(candOf(listsAt(s"$base/lists_delta")))
-      else candOf(listsAt(s"$base/lists"))
+    val cand = ("lists" +: deltas)
+      .map(s => candOf(listsAt(s"$base/$s")))
+      .reduce(_ unionByName _)
     cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("cell"), col("cell_sim"),
         col("vec_id").as("neighbor_id"))
@@ -1556,6 +1573,41 @@ object VectorOps {
         col("neighbor_id") % AddModulus === AddResidue)
       .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
         "approx_sim", "from_delta")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** CHAINED adds (q_ann_index_add_chain) — the full continuous-ingest
+    * lifecycle: build once over the base (vec_id ≢ {[[AddResidue]],
+    * [[AddResidue2]]} mod [[AddModulus]]), then absorb TWO successive
+    * 10% batches against the SAME stored quantizers, each landing in
+    * its own delta table (re-admitting either batch overwrites just
+    * that batch — the incrementalDedupChain shape whole). The search
+    * reads base ∪ delta₁ ∪ delta₂, all three scans pruned to the
+    * probed cells; `from_batch` (0 = built-in, 1/2 = which add)
+    * hash-gates which arrivals surface in the top-k. The oracle trains
+    * on the two-batch-held-out base and encodes everything —
+    * add-add-then-search ≡ encode-all-then-search, the associativity
+    * that makes batch-at-a-time maintenance safe indefinitely.
+    */
+  def ivfPqIndexAddChain(spark: SparkSession, dir: String): DataFrame = {
+    val base = indexBase(dir, "addchain")
+    val baseCorpus = embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus =!= AddResidue &&
+        col("vec_id") % AddModulus =!= AddResidue2)
+    ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    def batch(residue: Long) = embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus === residue)
+    ivfPqAddBatch(spark, dir, base, batch(AddResidue), "lists_delta_b1")
+    ivfPqAddBatch(spark, dir, base, batch(AddResidue2), "lists_delta_b2")
+    val r = searchStored(spark, dir, base,
+        Seq("lists_delta_b1", "lists_delta_b2"))
+      .filter(col("rank") <= TopKPq)
+      .withColumn("from_batch",
+        when(col("neighbor_id") % AddModulus === AddResidue, 1)
+          .when(col("neighbor_id") % AddModulus === AddResidue2, 2)
+          .otherwise(0))
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim", "from_batch")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 
