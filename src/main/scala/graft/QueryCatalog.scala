@@ -2386,6 +2386,35 @@ object QueryCatalog {
         FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
+    // The merge verb completing the chain row's lifecycle: both delta
+    // batches folded back into the base lists (pure partition rewrite,
+    // zero Lloyd, zero re-encode) before a single-scan search. The
+    // codes are unchanged, only their location — so the oracle is the
+    // chain's verbatim: compact-then-search ≡ add-add-then-search.
+    "q_ann_index_compact" -> Spec(
+      VectorOps.ivfPqIndexCompact,
+      Some(s"""
+        WITH ${ivfPqAddRankedCtesFor(
+          s"vec_id % ${VectorOps.AddModulus} IN (${VectorOps.AddResidue}, ${VectorOps.AddResidue2})")}
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+               CASE WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} THEN 1
+                    WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue2} THEN 2
+                    ELSE 0 END AS from_batch
+        FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // Read-only search against the persisted index: builds at most once
+    // per corpus (committed tables + matching corpus stamp skip the
+    // build entirely), so the benched repeats measure the steady-state
+    // serving cost alone — probe + LUT + DPP-pruned lists scan. Same
+    // artifacts as the roundtrip row, so the same oracle SQL.
+    "q_ann_index_search" -> Spec(
+      VectorOps.ivfPqIndexSearch,
+      Some(s"""
+        WITH $ivfPqRankedCtes
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,
       Some(s"""

@@ -262,8 +262,9 @@ object Parsing {
       price: Long, delivery_date: Option[String], n_merged: Long,
       is_bot: Boolean)
 
-  /** TYPED document assembly — the reference's per-product
-    * `AnalyzeResult` build (scrape.ts:809-817) as a
+  /** TYPED document assembly — the reference's per-variant analyze
+    * entry (scrape.ts:779-788: productId + sellers + stats; the
+    * master-level wrapper at :809-817 nests these) as a
     * `Dataset[AnalyzeResult]`: the flagged-offer rows group per product
     * and fold into one nested case-class document (sellers array sorted
     * by merge key + the stats block), with compile-time field safety

@@ -1469,11 +1469,25 @@ object VectorOps {
     * batch gets its own location, so re-admitting any one batch is an
     * overwrite of just that batch, exactly the incrementalDedupChain
     * delta-parquet shape).
+    *
+    * An EMPTY batch is a no-op admission, not a zero-row table: a
+    * partitioned overwrite of nothing writes no part files, and the
+    * subsequent read would die on schema inference instead of treating
+    * the batch as absent. Overwrite semantics are preserved exactly by
+    * DELETING the location (the last admitted content of this batch is
+    * "nothing"), which [[searchStored]]'s committed-table filter then
+    * skips.
     */
   private[graft] def ivfPqAddBatch(
       spark: SparkSession, dir: String, base: String,
       deltaFrame: DataFrame, sub: String): Unit = {
     val delta = deltaFrame.select(col("vec_id"), col("embedding"), col("label"))
+    if (delta.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      return
+    }
     val coarseCents = spark.read.parquet(s"$base/centroids")
     val codebooks = spark.read.parquet(s"$base/codebooks")
     val cells = assignTo(delta, coarseCents)
@@ -1482,6 +1496,59 @@ object VectorOps {
     codes.join(cells, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/$sub")
+  }
+
+  /** True iff a committed table sits at `path`: the `_SUCCESS` marker
+    * the parquet committer writes last. A missing OR uncommitted
+    * (crashed-mid-write) table reads as absent — searches and
+    * compaction skip it rather than failing on schema inference or
+    * folding in a torn write.
+    */
+  private def committed(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Fold every committed delta lists table back into the base lists —
+    * the faiss merge verb completing the train/add lifecycle. Pure
+    * partition rewrite against the SAME stored quantizers: the codes
+    * and cell assignments were fixed when each batch was encoded, so
+    * compaction reads (vec_id, sub, code, cell) rows and rewrites them
+    * under one location — ZERO Lloyd iterations, zero re-encode
+    * (IvfPqCompactSpec meters it). This is what bounds the search cost
+    * under continuous ingest: N chained adds leave N+1 pruned scans +
+    * N+1 broadcast probe joins in every search ([[searchStored]]);
+    * compacting restores the single-scan plan without touching a
+    * single embedding.
+    *
+    * Swap protocol: the merged table lands at `lists_compacting`, then
+    * replaces `lists` by delete + rename, then the deltas are removed.
+    * The window between delete and rename is NOT atomic — same
+    * single-writer assumption as [[indexBase]] (the index has one
+    * maintenance job; a crash inside the window leaves the committed
+    * merged table at `lists_compacting` for manual rename). Missing
+    * deltas are skipped, so re-running compaction after a partial
+    * delete — or with nothing to fold — is a no-op, not a rewrite.
+    */
+  private[graft] def ivfPqCompact(
+      spark: SparkSession, base: String, deltas: Seq[String]): Unit = {
+    val present = deltas.filter(s => committed(spark, s"$base/$s"))
+    if (present.isEmpty) return
+    def listsAt(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("cell").cast("int").as("cell"))
+    ("lists" +: present)
+      .map(s => listsAt(s"$base/$s"))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$base/lists_compacting")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/lists"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/lists_compacting"),
+      new org.apache.hadoop.fs.Path(s"$base/lists"))
+    present.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
   }
 
   /** IVF-PQ search against a PERSISTED index (no training, no encode):
@@ -1508,6 +1575,11 @@ object VectorOps {
   private[graft] def searchStored(
       spark: SparkSession, dir: String, base: String,
       deltas: Seq[String]): DataFrame = {
+    // a named delta that was never written (empty admission), already
+    // compacted away, or torn mid-write is ABSENT, not an error — the
+    // committed-table filter is what makes add/compact/search verbs
+    // composable in any order
+    val presentDeltas = deltas.filter(s => committed(spark, s"$base/$s"))
     val coarseCents = spark.read.parquet(s"$base/centroids")
     val cents = spark.read.parquet(s"$base/codebooks")
     // the partition column reads back via directory-name inference;
@@ -1531,7 +1603,7 @@ object VectorOps {
     def candOf(lists: DataFrame) = lists
       .join(broadcast(probeKeys), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-    val cand = ("lists" +: deltas)
+    val cand = ("lists" +: presentDeltas)
       .map(s => candOf(listsAt(s"$base/$s")))
       .reduce(_ unionByName _)
     cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
@@ -1608,6 +1680,98 @@ object VectorOps {
           .otherwise(0))
       .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
         "approx_sim", "from_batch")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** COMPACTION round trip (q_ann_index_compact) — the chain row's
+    * lifecycle completed by the merge verb: build over the two-batch-
+    * held-out base, absorb both batches as deltas, then [[ivfPqCompact]]
+    * folds the deltas back into the base lists (pure partition rewrite,
+    * zero Lloyd, zero re-encode) and the search runs against ONE lists
+    * table again — one pruned scan, one broadcast probe join, however
+    * many adds preceded it. The result is row-identical to
+    * [[ivfPqIndexAddChain]]'s union search (the codes never change,
+    * only their location), so the row rides the chain's oracle SQL —
+    * what it gates is the merge step's losslessness
+    * (compact-then-search ≡ add-add-then-search ≡
+    * encode-all-then-search, the chain law extended one verb).
+    */
+  def ivfPqIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = indexBase(dir, "compact")
+    val baseCorpus = embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus =!= AddResidue &&
+        col("vec_id") % AddModulus =!= AddResidue2)
+    ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    def batch(residue: Long) = embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus === residue)
+    ivfPqAddBatch(spark, dir, base, batch(AddResidue), "lists_delta_b1")
+    ivfPqAddBatch(spark, dir, base, batch(AddResidue2), "lists_delta_b2")
+    ivfPqCompact(spark, base, Seq("lists_delta_b1", "lists_delta_b2"))
+    val r = searchStored(spark, dir, base, Nil)
+      .filter(col("rank") <= TopKPq)
+      .withColumn("from_batch",
+        when(col("neighbor_id") % AddModulus === AddResidue, 1)
+          .when(col("neighbor_id") % AddModulus === AddResidue2, 2)
+          .otherwise(0))
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim", "from_batch")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** Provenance stamp of the corpus an index was built from: path +
+    * mtime + length of the embeddings table, written beside the stored
+    * quantizers at build time. [[ivfPqIndexSearch]]'s build-skip
+    * compares it so a corpus swapped under the digest-keyed location
+    * forces a rebuild instead of serving a stale index.
+    */
+  private def corpusStamp(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p)
+    s"""{"path":${graft.Json.quote(p.toString)},"mtime":${st.getModificationTime},"len":${st.getLen}}"""
+  }
+
+  private def stampPath(base: String) =
+    new org.apache.hadoop.fs.Path(base, "_corpus_stamp.json")
+
+  /** READ-ONLY search wall for the persisted index
+    * (q_ann_index_search): the steady-state serving cost — the number
+    * a capacity planner needs for "index built nightly, queried all
+    * day". The build runs AT MOST ONCE per corpus: when all three
+    * index tables are committed and the corpus stamp matches, the call
+    * goes straight to [[annIvfPqFromIndex]] with zero Lloyd iterations
+    * and zero writes (IvfPqSearchRowSpec meters the skip), so the
+    * bench's timed repeats — and every run after the first — measure
+    * the search path alone: probe + LUT + the DPP-pruned lists scan.
+    * Result is byte-identical to [[ivfPqIndexRoundtrip]]'s search
+    * (same corpus, same trained artifacts), so the row rides the same
+    * oracle SQL; a regression unique to THIS row's wall is a
+    * search-path regression (e.g. DPP silently lost), not build noise.
+    */
+  def ivfPqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val base = indexBase(dir, "search")
+    val stamp = corpusStamp(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val built = Seq("centroids", "codebooks", "lists")
+      .forall(t => committed(spark, s"$base/$t")) && {
+      val sp = stampPath(base)
+      // an unreadable/corrupt stamp is a MISMATCH (rebuild), not a
+      // crash — the stamp gates staleness, it must never gate liveness
+      try fs.exists(sp) && {
+        val in = fs.open(sp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == stamp
+        finally in.close()
+      } catch { case _: java.io.IOException => false }
+    }
+    if (!built) {
+      ivfPqPersist(spark, dir, base)
+      val out = fs.create(stampPath(base), true)
+      try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
+    }
+    val r = annIvfPqFromIndex(spark, dir, base)
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 

@@ -175,13 +175,20 @@ object StreamEmbed {
     * procedure (docs/SCALE.md "Resizing the embedding admission
     * stream") instead of producing wrong pairs.
     */
-  private def guardKnobs(
+  private def guardKnobs(spark: SparkSession,
       checkpointDir: String, nPlanes: Int, maxResidents: Int): Unit = {
-    val p = java.nio.file.Paths.get(checkpointDir, "graft_knobs.json")
+    // Resolved through Hadoop's FileSystem so the manifest lands BESIDE
+    // the checkpoint on whatever filesystem hosts it — a production
+    // restart points at hdfs:// or s3a://, where a java.nio path would
+    // either throw at start() or silently guard a bogus local file.
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft_knobs.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = s"""{"n_planes":$nPlanes,"max_residents":$maxResidents}"""
-    if (java.nio.file.Files.exists(p)) {
-      val stored = new String(
-        java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
       if (stored != cur)
         throw new IllegalStateException(
           s"StreamEmbed checkpoint at $checkpointDir was built with " +
@@ -194,8 +201,8 @@ object StreamEmbed {
             "knobs, and re-admit the landing history (docs/SCALE.md, " +
             "\"Resizing the embedding admission stream\").")
     } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (cur + "\n").getBytes("UTF-8"))
+      val out = fs.create(p, true) // creates parent dirs on any scheme
+      try out.write((cur + "\n").getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -204,7 +211,7 @@ object StreamEmbed {
             checkpointDir: String, nPlanes: Int = VectorOps.NPlanes,
             maxResidents: Int = MaxBucketResidents): StreamingQuery = {
     StateStores.useRocksDb(spark)
-    guardKnobs(checkpointDir, nPlanes, maxResidents)
+    guardKnobs(spark, checkpointDir, nPlanes, maxResidents)
     pairs(
       spark.readStream
         .schema(docSchema)

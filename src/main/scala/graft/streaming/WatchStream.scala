@@ -107,6 +107,27 @@ object WatchStream {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
 
+  /** TYPED batch twin of the T3 bot window — the watch stream's output
+    * as a compile-time-safe `Dataset[BotOutput]` over the events table
+    * (the [[graft.operators.Parsing.typedAnalyze]] pattern applied to
+    * the streaming side's surface): same [[detectBots]] core, same
+    * single groupByKey shuffle, no DataFrame detour. Because the core
+    * is shared, this is definitionally the stream's semantics — the
+    * same per-user running-min ring buffer the micro-batch path holds
+    * in state (TypedBotFlagSpec pins the rows hash-equal to
+    * q_running_undercut, which StreamOracleSpec in turn pins equal to
+    * the drained q_watch_stream). Same tradeoff as the typed analyze
+    * surface: the lambda inside flatMapGroupsWithState is opaque to
+    * Catalyst (no pushdown through it), which is why the relational
+    * catalog row keeps the window-function form.
+    */
+  def typedBotFlags(spark: SparkSession, dir: String): Dataset[BotOutput] = {
+    import spark.implicits._
+    detectBots(graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[WatchEvent])
+  }
+
   /** Full T1→T4 wiring: landing dir → explode → stateful bot window →
     * NDJSON append partitioned by user key.
     *

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** The COMPACTION contract of the persisted IVF-PQ index — the faiss
+  * merge verb completing train/add: folding delta lists back into the
+  * base lists must (a) be lossless (compact-then-search row-identical
+  * to the chain's union search — the chain law extended one verb),
+  * (b) restore the single-scan plan (ONE pruned lists scan, no delta
+  * scans), (c) be a pure partition rewrite — zero Lloyd iterations,
+  * zero re-encode — and (d) be idempotent: re-compacting with nothing
+  * to fold rewrites nothing. Plus the empty-batch admission rule
+  * compaction shares its absent-table semantics with.
+  */
+class IvfPqCompactSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+  private val dir = SparkT.Sf0001
+
+  test("compact-then-search == add-add-then-search (the chain law, one verb further)") {
+    val viaCompact = VectorOps.ivfPqIndexCompact(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val viaChain = VectorOps.ivfPqIndexAddChain(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(viaCompact.nonEmpty)
+    assert(viaCompact === viaChain)
+    // both arriving batches survived the fold into base
+    val batches = viaCompact.map(_.last).collect { case i: Int => i }
+    assert(batches.contains(1) || batches.contains(2),
+      s"no added vector surfaced post-compact: $batches")
+  }
+
+  test("post-compact search plans ONE lists scan, still DPP-pruned; deltas are gone") {
+    VectorOps.ivfPqIndexCompact(spark, dir).collect()
+    val base = VectorOps.indexBase(dir, "compact")
+    for (d <- Seq("lists_delta_b1", "lists_delta_b2", "lists_compacting"))
+      assert(!new java.io.File(s"$base/$d").exists(), s"$d survived compaction")
+    val plan = VectorOps.searchStored(spark, dir, base, Nil)
+      .queryExecution.executedPlan.toString
+    // one pruned scan may print its dynamicpruning expression several
+    // times (PartitionFilters + the subquery node), so count SCANS by
+    // their Location lines, and pruning by presence
+    val listScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("/lists"))
+    assert(listScans === 1,
+      s"expected exactly one lists scan, found $listScans:\n$plan")
+    assert(plan.contains("dynamicpruning"), "the lone lists scan lost DPP")
+    assert(!plan.contains("lists_delta"), "a delta scan survived in the plan")
+  }
+
+  test("compaction composes ZERO Lloyd iterations (pure partition rewrite)") {
+    val base = VectorOps.indexBase(dir, "compact")
+    val baseCorpus = VectorOps.embDistributed(spark, dir)
+      .filter(col("vec_id") % VectorOps.AddModulus =!= VectorOps.AddResidue &&
+        col("vec_id") % VectorOps.AddModulus =!= VectorOps.AddResidue2)
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    VectorOps.ivfPqAdd(spark, dir, base)
+    VectorOps.LloydMeter.reset()
+    VectorOps.ivfPqCompact(spark, base, Seq("lists_delta"))
+    assert(VectorOps.LloydMeter.iterations.get() === 0L,
+      "compaction re-trained a quantizer")
+  }
+
+  test("re-compacting with nothing to fold is a NO-OP: same result, lists untouched") {
+    VectorOps.ivfPqIndexCompact(spark, dir).collect()
+    val base = VectorOps.indexBase(dir, "compact")
+    def listing() = {
+      val d = new java.io.File(s"$base/lists")
+      d.listFiles().flatMap { c =>
+        if (c.isDirectory) c.listFiles().map(f => (f.getPath, f.lastModified))
+        else Array((c.getPath, c.lastModified))
+      }.toSet
+    }
+    val r1 = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    val files1 = listing()
+    VectorOps.ivfPqCompact(spark, base, Seq("lists_delta_b1", "lists_delta_b2"))
+    val r2 = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r2)
+    assert(listing() === files1, "a no-op compaction rewrote the lists table")
+  }
+
+  test("an EMPTY add batch is an absent table, and search treats it as a no-op") {
+    val base = VectorOps.indexBase(dir, "emptyadd")
+    val corpus = VectorOps.embDistributed(spark, dir)
+    VectorOps.ivfPqPersistFrames(spark, corpus, corpus, base)
+    val baseline = VectorOps.annIvfPqFromIndex(spark, dir, base)
+      .collect().map(_.toSeq).toSet
+    // first admit a REAL batch, then re-admit it empty: overwrite
+    // semantics must leave "nothing admitted", not the stale rows
+    VectorOps.ivfPqAddBatch(spark, dir, base,
+      corpus.filter(col("vec_id") % VectorOps.AddModulus === VectorOps.AddResidue),
+      "lists_delta")
+    VectorOps.ivfPqAddBatch(spark, dir, base,
+      corpus.filter(col("vec_id") < -1), "lists_delta")
+    assert(!new java.io.File(s"$base/lists_delta").exists(),
+      "empty re-admission left the prior batch on disk")
+    val withEmpty = VectorOps.annIvfPqFromIndexWithDelta(spark, dir, base)
+      .collect().map(_.toSeq).toSet
+    assert(withEmpty === baseline,
+      "searching past an empty admission changed the result (or threw)")
+  }
+}

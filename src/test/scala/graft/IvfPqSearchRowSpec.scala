@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** The read-only search row (q_ann_index_search): the first call per
+  * corpus may build, every later call must SKIP the build — zero Lloyd
+  * iterations — and serve the search path alone, byte-identical to the
+  * roundtrip row's search (same corpus, same trained artifacts). A
+  * corpus swapped under the digest-keyed location must force a
+  * rebuild via the corpus stamp, not serve the stale index.
+  */
+class IvfPqSearchRowSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+  private val dir = SparkT.Sf0001
+
+  test("search row == roundtrip row's search; repeat calls compose ZERO Lloyd") {
+    val first = VectorOps.ivfPqIndexSearch(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+
+    VectorOps.LloydMeter.reset()
+    val second = VectorOps.ivfPqIndexSearch(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(VectorOps.LloydMeter.iterations.get() === 0L,
+      "the second call rebuilt the index — the benched repeats would be build+search")
+    assert(second === first)
+
+    val roundtrip = VectorOps.ivfPqIndexRoundtrip(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(second === roundtrip)
+  }
+
+  test("a corpus-stamp mismatch forces a rebuild instead of serving a stale index") {
+    VectorOps.ivfPqIndexSearch(spark, dir).collect()
+    val stamp = java.nio.file.Paths.get(
+      VectorOps.indexBase(dir, "search"), "_corpus_stamp.json")
+    java.nio.file.Files.write(stamp,
+      """{"path":"swapped","mtime":0,"len":0}""".getBytes("UTF-8"))
+    VectorOps.LloydMeter.reset()
+    val r = VectorOps.ivfPqIndexSearch(spark, dir).collect().map(_.toSeq).toSet
+    assert(VectorOps.LloydMeter.iterations.get() > 0L,
+      "stale stamp did not trigger a rebuild")
+    assert(r.nonEmpty)
+  }
+}
