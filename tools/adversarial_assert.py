@@ -98,6 +98,66 @@ def _(out):
     assert twins.n_distinct_texts.iloc[0] == 2
 
 
+@check("delivery fee: tier bounds inclusive (>=), surcharge off at weight exactly 3.0kg")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_margin_by_sku").set_index("sku")
+    # single-line, zero-discount skus: margin == price - fee, so the fee
+    # is read straight off the output
+    expect = {9001: 15000.0,   # price exactly 15000 -> fee 0 (>= rule)
+              9002: 14300.0,   # 14999 -> 699
+              9003: 9301.0,    # exactly 10000 -> 699
+              9004: 9200.0,    # 9999 -> 799
+              9005: 4201.0,    # exactly 5000 -> 799
+              9006: 4000.0,    # 4999 -> 999
+              9007: 15000.0,   # weight exactly 3.0 -> ceil(3.0)-3 = 0
+              9008: 14601.0}   # weight 3.3 -> ceil->4 -> +399
+    got = {s: df.margin_kzt[s] for s in expect}
+    assert got == expect, got
+
+
+@check("target price: |target-current| EXACTLY == step keeps current (<= rule)")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_target_prices").set_index("sku")
+    assert df.target_price[9101] == 10000.0, df.target_price[9101]  # == 50: keep
+    assert df.target_price[9102] == 10051.0, df.target_price[9102]  # 51: move
+    assert df.target_price[9103] == 10000.0, df.target_price[9103]  # 49: keep
+    assert df.target_price[9104] == 8000.0, df.target_price[9104]   # clamp+move
+
+
+@check("bot flags: delta==nearAbs, delta/min==nearPct, median-min==tight all EXACT")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_bot_flags")
+    flag = {(r.sku, r.seller): r.is_bot for r in df.itertuples()
+            if 9200 <= r.sku <= 9299}
+    assert flag[(9201, 2)], "delta == 100 exactly must flag (<= rule)"
+    assert not flag[(9202, 2)], "delta == 101 leaked in"
+    assert flag[(9203, 2)], "delta/min == 0.0025 exactly must flag (<= rule)"
+    assert not flag[(9204, 2)], "one KZT past the pct bound leaked in"
+    assert flag[(9205, 1)], "median-min == 3000 exactly must flag (<= rule)"
+    assert not flag[(9206, 1)], "median-min == 3001 leaked in"
+
+
+@check("sliding undercut: value EXACTLY min+50 counts; EXACTLY 3 of 5 trips the bot")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_sliding_undercut")
+    u1 = df[df.user_id == 9001].sort_values("event_id")
+    assert u1.undercut.tolist() == [1, 1, 0, 0, 1], u1.undercut.tolist()
+    assert u1.sliding_hits.tolist()[-1] == 3 and bool(u1.is_bot.iloc[-1]), \
+        "exactly-3-of-5 window did not trip is_bot (>= rule)"
+    u2 = df[df.user_id == 9002].sort_values("event_id")
+    assert u2.sliding_hits.tolist()[-1] == 2 and not u2.is_bot.any(), \
+        "2-of-5 control tripped"
+
+
+@check("daily demand: shipdate EXACTLY anchor-30d is inside the window (>= rule)")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_daily_demand")
+    skus = set(df.sku)
+    assert 9301 in skus and 9304 in skus
+    assert 9302 in skus, "shipdate == anchor - 30 days fell out of the window"
+    assert 9303 not in skus, "anchor - 31 days leaked into the window"
+
+
 def main(out):
     failed = 0
     for name, fn in CHECKS:

@@ -32,28 +32,55 @@ overhead at test SFs (round-8 lesson: the RocksDB flip moved q_hll_stream
     spb tracking host fixed-overhead 2.85->4.47 s across boxes while
     its multi-batch siblings stayed within envelope).
 
+Row-set parity (--correctness CORRECTNESS_rN.json): the gate HARD-FAILS
+when the new bench artifact's query set differs from the correctness
+gate's row set. Two consecutive rounds lost the newest catalog row from
+the wall archive (r9: q_ann_index_roundtrip; r10: q_ann_index_add_chain
+was in NO bench artifact) — the gate cannot catch a regression in a row
+it never sees, and human memory demonstrably does not enforce the
+parity. Pass the round's correctness file whenever archiving.
+
 Usage: python3 tools/bench_gate.py NEW.json OLD.json [ratio=1.5] [floor=1.0]
-       [stream_floor=2.5] [batch_floor=0.25]
+       [stream_floor=2.5] [batch_floor=0.25] [--correctness FILE]
 """
 import json
 import sys
 
 
 def main():
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    correctness = None
+    if "--correctness" in argv:
+        i = argv.index("--correctness")
+        correctness = argv[i + 1]
+        del argv[i:i + 2]
+    if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
-    new_path, old_path = sys.argv[1], sys.argv[2]
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+    new_path, old_path = argv[0], argv[1]
+    ratio = float(argv[2]) if len(argv) > 2 else 1.5
+    floor = float(argv[3]) if len(argv) > 3 else 1.0
     new = json.load(open(new_path))
     old = json.load(open(old_path))
+    if correctness:
+        want = set(json.load(open(correctness)))
+        have = set(new["queries"])
+        missing, extra = sorted(want - have), sorted(have - want)
+        if missing or extra:
+            print(f"FAIL: bench row set != correctness row set "
+                  f"({correctness}):")
+            for q in missing:
+                print(f"  missing from bench: {q}")
+            for q in extra:
+                print(f"  benched but not correctness-gated: {q}")
+            sys.exit(1)
+        print(f"OK: row-set parity with {correctness} ({len(want)} queries)")
     if new.get("sf") != old.get("sf"):
         print(f"FAIL: sf mismatch ({new.get('sf')} vs {old.get('sf')}) — "
               "wall comparisons across scale factors are meaningless")
         sys.exit(1)
-    stream_floor = float(sys.argv[5]) if len(sys.argv) > 5 else 2.5
-    batch_floor = float(sys.argv[6]) if len(sys.argv) > 6 else 0.25
+    stream_floor = float(argv[4]) if len(argv) > 4 else 2.5
+    batch_floor = float(argv[5]) if len(argv) > 5 else 0.25
     nq, oq = new["queries"], old["queries"]
     nb, ob = new.get("sec_per_batch", {}), old.get("sec_per_batch", {})
     if new.get("errors"):
@@ -92,8 +119,18 @@ def main():
     for name in sorted(set(nb) & set(ob)):
         nv, ov = nb[name], ob[name]
         if new.get("batches", {}).get(name, 0) < 2:
-            print(f"  info: {name} sec/batch not gated (single-batch drain"
-                  f" — spb is fixed overhead, wall rule applies)")
+            # a drain that took >=2 batches before but collapsed to 1 is
+            # itself a behavioral signal (trigger/file-split change), not
+            # a quiet exemption — say so distinctly
+            ob_count = old.get("batches", {}).get(name, 0)
+            if ob_count >= 2:
+                print(f"  WARN: {name} batch count collapsed "
+                      f"{ob_count} -> {new.get('batches', {}).get(name, 0)}"
+                      f" across runs — sec/batch not comparable; check the"
+                      f" drain's trigger/file-split behavior")
+            else:
+                print(f"  info: {name} sec/batch not gated (single-batch"
+                      f" drain — spb is fixed overhead, wall rule applies)")
             continue
         if nv > ratio * ov and nv - ov > batch_floor:
             bad.append((name, "sec/batch", ov, nv))

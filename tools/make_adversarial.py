@@ -11,7 +11,8 @@ normal verify + oracle pipeline:
 
     SPARK_GRAFT_ONLY=q_event_sessions,q_event_sessions_stream,\
 q_embed_neardup,q_embed_stream,q_embed_stream_capped,q_doc_exact_dedup,\
-q_doc_minhash_neardup,q_dedup_stream,q_neardup_stream \
+q_doc_minhash_neardup,q_dedup_stream,q_neardup_stream,q_target_prices,\
+q_bot_flags,q_margin_by_sku,q_sliding_undercut,q_daily_demand \
       sbt -batch "runMain graft.Verify fixtures/adversarial /tmp/adv_out"
     python3 tools/oracle_check.py fixtures/adversarial /tmp/adv_out <same list>
     python3 tools/adversarial_assert.py /tmp/adv_out
@@ -40,6 +41,18 @@ cannot silently stop exercising them):
                 chain), one just below; exact-clone text families; a
                 same-shingle-set/different-text pair (identical dedup key
                 and signature, different raw bytes).
+  lineitem +  — the MONEY-PATH thresholds (round-10 verdict task 4), one
+  part          planted sku family per rule, each with both neighbors:
+                X1 delivery tiers at price EXACTLY 15000/10000/5000 KZT
+                (>= includes) and the per-kg surcharge at weight exactly
+                integral (ceil boundary); X18 hysteresis at
+                |target - current| EXACTLY == step (keep per <=); X19 bot
+                flags at delta == nearAbs exactly, delta/min == nearPct
+                exactly, median - min == tight exactly; F2 recency window
+                at shipdate EXACTLY anchor - 30 days (>= includes).
+  events (+)  — W6 sliding undercut: value EXACTLY min+50 counts (<=),
+                and a 5-window with EXACTLY 3 hits trips is_bot (>= 3)
+                beside a 2-hit control.
 
 Constants replicated from the engine (kept in lockstep by the build-time
 asserts, which fail loudly if the Scala side changes):
@@ -49,7 +62,16 @@ asserts, which fail loudly if the Scala side changes):
   StreamEmbed.CappedResidents=30; TextOps: MinhashK=16, Bands=8, r=2,
   prime 2^31-1, perms md5(f"perm_{a|b}_{p}")[:14hex] % prime (a floored
   to >=1), base hash md5(shingle)[:15hex] % prime, band key md5 of
-  '_'-joined band slice, JaccardThreshold=0.5.
+  '_'-joined band slice, JaccardThreshold=0.5;
+  Relational/F: deliveryFee tiers >=15000->0 / >=10000->699 /
+  >=5000->799 / else 999 plus max(0, ceil(p_size*0.3) - 3)*399
+  (F.scala:72-79); targetPrice clamp [rnd2(0.8c), rnd2(1.2c)], step 50,
+  hysteresis |target-cur| <= 50 keeps current (F.scala:141-147);
+  isPriceBot nearAbs=100, nearPct=0.0025, tight=3000 over per-(sku,
+  seller) min-price offers (Relational.scala:521-531); dailyDemand
+  shipdate >= max - INTERVAL 30 DAY (Relational.scala:85-95);
+  slidingUndercut value <= user-min + 50, bot when >= 3 of last 5
+  (Relational.scala:295-306).
 """
 import hashlib
 import math
@@ -131,6 +153,30 @@ def build_events():
     ev(wm - GAP_US + 1000, "adv_wm_plus")
     # end 1ms before: emitted
     ev(wm - GAP_US - 1000, "adv_wm_minus")
+
+    # W6 sliding-undercut boundaries (price_watch.ts:31-52 shape): the
+    # undercut rule is value <= user-min + 50 (the EXACTLY min+50 value
+    # must count), the bot rule is >= 3 hits in the last-5 window (the
+    # EXACTLY-3 window must trip). event_ids are appended in value
+    # order, so the per-user sequence below is the window order.
+    def undercut_user(uid, values):
+        t = may1 + 10 * day
+        flags = []
+        mn = min(values)
+        for v in values:
+            rows.append((eid[0], t, uid, f"adv_uc{uid % 10}", float(v), "{}"))
+            eid[0] += 1
+            t += 1000000
+            flags.append(1 if v <= mn + 50 else 0)
+        return flags
+
+    # exactly 3 of 5 at the last event -> is_bot TRUE at the boundary;
+    # value 150 == min(100)+50 is the <= equality that must count
+    f1 = undercut_user(9001, [100, 150, 151, 151, 150])
+    assert f1 == [1, 1, 0, 0, 1] and sum(f1) == 3
+    # exactly 2 of 5 -> is_bot FALSE one below the boundary
+    f2 = undercut_user(9002, [100, 151, 151, 151, 150])
+    assert f2 == [1, 0, 0, 0, 1] and sum(f2) == 2
 
     assert max(r[1] for r in rows) == horizon
     t = pa.table({
@@ -339,12 +385,105 @@ def build_documents():
     return len(rows), banded
 
 
+# --------------------------------------------------- lineitem + part
+# Money-path boundary skus. Integral prices and midnight timestamps
+# keep every comparison exact in IEEE doubles on both engines; the
+# deltas below are chosen so each rule is met with EQUALITY on one row
+# and missed by exactly 1 unit on its neighbor.
+ANCHOR_US = 1748736000000000        # 2025-06-01T00:00:00Z, = max shipdate
+DAY_US = 86400 * 1000000
+FILL_DATE = ANCHOR_US - 5 * DAY_US  # in-window filler for non-F2 skus
+
+
+def build_lineitem_part():
+    li = []    # (orderkey, sku, seller, price, ship_us)
+    parts = {}  # sku -> (size, retail)
+    okey = [1]
+
+    def row(sku, seller, price, ship=FILL_DATE, size=1, retail=10000.0):
+        li.append((okey[0], sku, seller, float(price), ship))
+        okey[0] += 1
+        parts.setdefault(sku, (size, retail))
+
+    # X1 delivery tiers: single-line skus at discount 0 so
+    # margin == price - fee surfaces the fee itself. Equality rows sit
+    # exactly ON each >= tier bound; neighbors 1 KZT below.
+    for sku, price in [(9001, 15000), (9002, 14999), (9003, 10000),
+                       (9004, 9999), (9005, 5000), (9006, 4999)]:
+        row(sku, 90, price)
+    # surcharge boundary at weight EXACTLY integral: p_size*0.3 must be
+    # the integral double (both engines fold the same IEEE multiply —
+    # asserted here, not assumed). ceil(3.0)-3 = 0 vs ceil(3.3)-3 = 1.
+    assert 10 * 0.3 == 3.0 and math.ceil(10 * 0.3) == 3
+    assert math.ceil(11 * 0.3) == 4
+    row(9007, 90, 15000, size=10)   # weight 3.0 exactly -> no surcharge
+    row(9008, 90, 15000, size=11)   # weight 3.3 -> ceil 4 -> +399
+
+    # X18 hysteresis: current 10000, step 50, bounds [8000, 12000];
+    # chased = lowest_comp - 50. |chased - current| == step EXACTLY must
+    # KEEP current (PRICEBOT_SPEC_V2.md:98's no-op rule).
+    row(9101, 91, 10100, retail=10000.0)   # |10050-10000| == 50 -> keep
+    row(9102, 91, 10101, retail=10000.0)   # 51 -> move to 10051
+    row(9103, 91, 10099, retail=10000.0)   # 49 -> keep
+    row(9104, 91, 3000, retail=10000.0)    # clamp to minP 8000 -> move
+
+    # X19 bot boundaries: 3-seller groups (odd -> median is the middle
+    # offer), one rule isolated per sku.
+    for sku, prices in [
+            (9201, [10000, 10100, 10200]),  # delta == nearAbs exactly
+            (9202, [10000, 10101, 10200]),  # delta == nearAbs + 1
+            (9203, [80000, 80200, 80400]),  # delta/min == nearPct exactly
+            (9204, [80000, 80201, 80400]),  # one KZT past the pct bound
+            (9205, [10000, 13000, 13500]),  # median-min == tight exactly
+            (9206, [10000, 13001, 13500])]:  # tight + 1
+        for s, price in enumerate(prices, start=1):
+            row(sku, s, price)
+    assert 200 / 80000 == 0.0025  # the pct equality is IEEE-exact
+
+    # F2 recency window: anchor = max shipdate (sku 9301 defines it);
+    # shipdate EXACTLY anchor - 30 days is IN per >=.
+    row(9301, 93, 10000, ship=ANCHOR_US)
+    row(9302, 93, 10000, ship=ANCHOR_US - 30 * DAY_US)  # == bound: in
+    row(9303, 93, 10000, ship=ANCHOR_US - 31 * DAY_US)  # out
+    row(9304, 93, 10000, ship=ANCHOR_US - 29 * DAY_US)  # in
+    assert max(r[4] for r in li) == ANCHOR_US
+
+    t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+        "l_linenumber": pa.array([1] * len(li), pa.int32()),
+        "l_quantity": pa.array([30.0] * len(li), pa.float64()),
+        "l_extendedprice": pa.array([r[3] for r in li], pa.float64()),
+        "l_discount": pa.array([0.0] * len(li), pa.float64()),
+        "l_tax": pa.array([0.0] * len(li), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(li), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(li), pa.string()),
+        "l_shipdate": pa.array([r[4] for r in li], pa.timestamp("us")),
+    })
+    pq.write_table(t, os.path.join(OUT, "lineitem.parquet"))
+    skus = sorted(parts)
+    p = pa.table({
+        "p_partkey": pa.array(skus, pa.int64()),
+        "p_name": pa.array([f"adv part {s}" for s in skus], pa.string()),
+        "p_brand": pa.array(["ADV"] * len(skus), pa.string()),
+        "p_type": pa.array(["BOUNDARY"] * len(skus), pa.string()),
+        "p_size": pa.array([parts[s][0] for s in skus], pa.int32()),
+        "p_retailprice": pa.array([parts[s][1] for s in skus],
+                                  pa.float64()),
+    })
+    pq.write_table(p, os.path.join(OUT, "part.parquet"))
+    return len(li), len(skus)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     ne = build_events()
     nv, eq, below, above = build_embeddings()
     nd, banded = build_documents()
-    print(f"events={ne} embeddings={nv} documents={nd}")
+    nl, np_ = build_lineitem_part()
+    print(f"events={ne} embeddings={nv} documents={nd} "
+          f"lineitem={nl} part={np_}")
     print(f"cos boundary: eq={eq} below={below} above={above}")
     print(f"jaccard-at-threshold pairs band-colliding: {banded}/5")
     assert eq == NEAR_DUP_COS and below < NEAR_DUP_COS < above
