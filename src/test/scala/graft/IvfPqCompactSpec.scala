@@ -83,6 +83,37 @@ class IvfPqCompactSpec extends AnyFunSuite {
     assert(listing() === files1, "a no-op compaction rewrote the lists table")
   }
 
+  test("ADD resumes after a compact: add-compact-add-search == encode-all (continuous ingest)") {
+    // the production cadence — adds land all day, compaction folds them
+    // nightly, adds RESUME against the same stored quantizers: hold out
+    // three batches, fold the first two, admit the third post-compact
+    val base = VectorOps.indexBase(dir, "addaftercompact")
+    val res3 = 5L
+    def residueOf(c: org.apache.spark.sql.Column) = c % VectorOps.AddModulus
+    val corpus = VectorOps.embDistributed(spark, dir)
+    val baseCorpus = corpus.filter(
+      !residueOf(col("vec_id")).isin(VectorOps.AddResidue, VectorOps.AddResidue2, res3))
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    def batch(r: Long) = corpus.filter(residueOf(col("vec_id")) === r)
+    VectorOps.ivfPqAddBatch(spark, dir, base, batch(VectorOps.AddResidue), "lists_delta_b1")
+    VectorOps.ivfPqAddBatch(spark, dir, base, batch(VectorOps.AddResidue2), "lists_delta_b2")
+    VectorOps.ivfPqCompact(spark, base, Seq("lists_delta_b1", "lists_delta_b2"))
+    VectorOps.LloydMeter.reset()
+    VectorOps.ivfPqAddBatch(spark, dir, base, batch(res3), "lists_delta_b3")
+    assert(VectorOps.LloydMeter.iterations.get() === 0L,
+      "the post-compact add re-trained a quantizer")
+    val got = VectorOps.searchStored(spark, dir, base, Seq("lists_delta_b3"))
+      .collect().map(_.toSeq).toSet
+
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_oneshot3").toString
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, corpus, oneShot)
+    val ref = VectorOps.annIvfPqFromIndex(spark, dir, oneShot)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === ref)
+  }
+
   test("an EMPTY add batch is an absent table, and search treats it as a no-op") {
     val base = VectorOps.indexBase(dir, "emptyadd")
     val corpus = VectorOps.embDistributed(spark, dir)
