@@ -40,8 +40,18 @@ was in NO bench artifact) — the gate cannot catch a regression in a row
 it never sees, and human memory demonstrably does not enforce the
 parity. Pass the round's correctness file whenever archiving.
 
+Adjudicated waivers (--waive "query:kind=reason", repeatable): a flagged
+signal whose isolated re-measure retired it (the SCALE.md rule) is
+downgraded to a loud WAIVED line instead of a permanent red exit on the
+committed archive pair. kind is "wall" or "sec/batch"; the reason is
+REQUIRED and should cite the isolated number + the docs/SCALE.md
+adjudication. A waiver only suppresses the named signal — anything else
+still fails — and an unused waiver is itself an error (stale waivers
+must not outlive the drift they excused).
+
 Usage: python3 tools/bench_gate.py NEW.json OLD.json [ratio=1.5] [floor=1.0]
        [stream_floor=2.5] [batch_floor=0.25] [--correctness FILE]
+       [--waive "query:kind=reason"]...
 """
 import json
 import sys
@@ -54,6 +64,22 @@ def main():
         i = argv.index("--correctness")
         correctness = argv[i + 1]
         del argv[i:i + 2]
+    waivers = {}
+    while "--waive" in argv:
+        i = argv.index("--waive")
+        spec = argv[i + 1]
+        del argv[i:i + 2]
+        if "=" not in spec or ":" not in spec.split("=", 1)[0]:
+            print(f"FAIL: malformed --waive {spec!r} "
+                  "(want query:kind=reason, kind in wall|sec/batch)")
+            sys.exit(2)
+        key, reason = spec.split("=", 1)
+        if not reason.strip():
+            print(f"FAIL: --waive {key} carries no reason — a waiver "
+                  "must cite its isolated re-measure")
+            sys.exit(2)
+        name, kind = key.rsplit(":", 1)
+        waivers[(name, kind)] = reason
     if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
@@ -136,6 +162,22 @@ def main():
             bad.append((name, "sec/batch", ov, nv))
     for name in added:
         print(f"  new query (no prior wall): {name} = {nq[name]:.2f}s")
+    used = set()
+    kept = []
+    for name, kind, ov, nv in bad:
+        if (name, kind) in waivers:
+            used.add((name, kind))
+            print(f"  WAIVED: {name} [{kind}] {ov:.2f}s -> {nv:.2f}s — "
+                  f"{waivers[(name, kind)]}")
+        else:
+            kept.append((name, kind, ov, nv))
+    bad = kept
+    stale = sorted(set(waivers) - used)
+    if stale:
+        print(f"FAIL: {len(stale)} waiver(s) no longer match any flagged "
+              f"signal — drop them: " +
+              ", ".join(f"{n}:{k}" for n, k in stale))
+        sys.exit(1)
     if bad:
         print(f"FAIL: {len(bad)} signal{'' if len(bad)==1 else 's'} regressed "
               f">{ratio}x vs {old_path}:")

@@ -136,6 +136,35 @@ def _(td):
     assert code == 0 and "cross-host comparison" in out
 
 
+@case("waived signal passes with a loud WAIVED line")
+def _(td):
+    code, out = run(td, art({"q_a": 4.0}), art({"q_a": 2.0}),
+                    "--waive", "q_a:wall=isolated min-of-5 at baseline")
+    assert code == 0 and "WAIVED: q_a [wall]" in out, (code, out)
+
+
+@case("a waiver only covers its named signal")
+def _(td):
+    code, out = run(td, art({"q_a": 4.0, "q_b": 4.0}),
+                    art({"q_a": 2.0, "q_b": 2.0}),
+                    "--waive", "q_a:wall=isolated re-measure clean")
+    assert code == 1 and "q_b [wall]" in out and "q_a [wall]: " not in out
+
+
+@case("a stale waiver (nothing flagged) fails the run")
+def _(td):
+    code, out = run(td, art({"q_a": 1.0}), art({"q_a": 1.0}),
+                    "--waive", "q_a:wall=old excuse")
+    assert code == 1 and "no longer match" in out, (code, out)
+
+
+@case("a reason-less waiver is rejected")
+def _(td):
+    code, out = run(td, art({"q_a": 4.0}), art({"q_a": 2.0}),
+                    "--waive", "q_a:wall=")
+    assert code == 2 and "no reason" in out
+
+
 def main():
     bad = 0
     for name, fn in CASES:
