@@ -2415,6 +2415,15 @@ object QueryCatalog {
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
+    // NOTE deliberately NOT a catalog row this round:
+    // VectorOps.ivfPqIndexSearchSql (the serving path as pure SQL text,
+    // IvfPqSearchRowSpec pins it hash-equal to q_ann_index_search with
+    // DPP intact, and it was driver-oracle-green in a targeted run) is
+    // spec-only until the next bench cycle — adding a row AFTER the
+    // round's three archives were cut would desync the bench/correctness
+    // row sets, the exact defect bench_gate --correctness now hard-fails
+    // on. First catalog addition next round, archived in the same cycle.
+
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,
       Some(s"""

@@ -1749,6 +1749,18 @@ object VectorOps {
     * search-path regression (e.g. DPP silently lost), not build noise.
     */
   def ivfPqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureSearchIndex(spark, dir)
+    val r = annIvfPqFromIndex(spark, dir, base)
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** Build-at-most-once gate shared by the serving rows: returns the
+    * digest-keyed index location, building it only when any of the
+    * three tables is uncommitted or the corpus stamp mismatches.
+    */
+  private def ensureSearchIndex(spark: SparkSession, dir: String): String = {
     val base = indexBase(dir, "search")
     val stamp = corpusStamp(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(base)
@@ -1769,10 +1781,73 @@ object VectorOps {
       val out = fs.create(stampPath(base), true)
       try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
     }
-    val r = annIvfPqFromIndex(spark, dir, base)
-      .filter(col("rank") <= TopKPq)
-      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
-    Out.sorted(r)(col("q_id"), col("rank"))
+    base
+  }
+
+  /** [[ivfPqIndexSearch]] restated as PURE SQL TEXT over the STORED
+    * index tables (q_ann_index_search_sql) — the dual-surface proof for
+    * the serving path: a `spark.sql` user points three views at the
+    * persisted centroids/codebooks/lists parquet and composes the whole
+    * probe → LUT → pruned-scan → ADC-sum pipeline with nothing but SQL
+    * and the injected `vector_dot` ([[graft.GraftExtensions]]). The
+    * text compiles to the SAME plan shape as the DataFrame form —
+    * broadcast probe join against the hive-partitioned lists view, so
+    * dynamic partition pruning fires at the scan exactly as in
+    * [[searchStored]] (IvfPqSearchRowSpec asserts it on THIS plan) —
+    * and the row is pinned hash-equal to q_ann_index_search by the
+    * same oracle SQL. Shares [[ensureSearchIndex]]'s build-at-most-once
+    * gate (same single-writer assumption as [[indexBase]]).
+    */
+  def ivfPqIndexSearchSql(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureSearchIndex(spark, dir)
+    graft.functions.VectorDot.register(spark)
+    Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("graft_ann_embeddings")
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ann_centroids")
+    spark.read.parquet(s"$base/codebooks")
+      .createOrReplaceTempView("graft_ann_codebooks")
+    spark.read.parquet(s"$base/lists")
+      .createOrReplaceTempView("graft_ann_lists")
+    val r6 = (x: String) => s"CAST(floor(($x) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6"
+    val d = PqSubDim
+    spark.sql(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM graft_ann_embeddings WHERE vec_id < $NQueries),
+      cells AS (
+        SELECT q_id, q_emb, cluster, cell_sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cell_sim DESC, cluster ASC) AS rn
+        FROM (SELECT /*+ BROADCAST(c) */ q.q_id, q.q_emb, c.cluster,
+                     ${r6("vector_dot(q.q_emb, c.centroid)")} AS cell_sim
+              FROM q CROSS JOIN graft_ann_centroids c)),
+      probed AS (
+        SELECT q_id, q_emb, cluster AS cell, cell_sim FROM cells WHERE rn <= 1),
+      lut AS (
+        SELECT /*+ BROADCAST(cb) */ p.q_id, cb.sub, cb.code,
+               ${r6(s"vector_dot(slice(p.q_emb, cb.sub * $d + 1, $d), cb.centroid)")} AS part
+        FROM probed p CROSS JOIN graft_ann_codebooks cb),
+      cand AS (
+        SELECT /*+ BROADCAST(p) */ l.vec_id, l.sub, l.code,
+               p.q_id, p.cell, p.cell_sim
+        FROM graft_ann_lists l
+        JOIN probed p ON CAST(l.cell AS INT) = p.cell
+        WHERE l.vec_id <> p.q_id),
+      scored AS (
+        SELECT /*+ BROADCAST(lut) */ c.q_id, c.cell, c.cell_sim,
+               c.vec_id AS neighbor_id,
+               CAST(sum(CAST(lut.part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
+        FROM cand c
+        JOIN lut ON lut.q_id = c.q_id AND lut.sub = c.sub AND lut.code = c.code
+        GROUP BY c.q_id, c.cell, c.cell_sim, c.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim
+      FROM ranked WHERE rank <= $TopKPq
+      ORDER BY q_id, rank""")
   }
 
   /** Recall@k of the IVF approximation against the exact brute-force

@@ -32,6 +32,21 @@ class IvfPqSearchRowSpec extends AnyFunSuite {
     assert(second === roundtrip)
   }
 
+  test("the SQL-surface twin hash-equals the DataFrame row and keeps DPP at the scan") {
+    val df = VectorOps.ivfPqIndexSearch(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val sqlRow = VectorOps.ivfPqIndexSearchSql(spark, dir)
+    VectorOps.LloydMeter.reset()
+    val viaSql = sqlRow.collect().map(_.toSeq).toSet
+    assert(VectorOps.LloydMeter.iterations.get() === 0L,
+      "the SQL twin rebuilt the index instead of sharing the build gate")
+    assert(viaSql === df)
+    val plan = VectorOps.ivfPqIndexSearchSql(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"SQL-surface lists scan lost dynamic partition pruning:\n$plan")
+  }
+
   test("a corpus-stamp mismatch forces a rebuild instead of serving a stale index") {
     VectorOps.ivfPqIndexSearch(spark, dir).collect()
     val stamp = java.nio.file.Paths.get(
