@@ -2415,14 +2415,36 @@ object QueryCatalog {
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
-    // NOTE deliberately NOT a catalog row this round:
-    // VectorOps.ivfPqIndexSearchSql (the serving path as pure SQL text,
-    // IvfPqSearchRowSpec pins it hash-equal to q_ann_index_search with
-    // DPP intact, and it was driver-oracle-green in a targeted run) is
-    // spec-only until the next bench cycle — adding a row AFTER the
-    // round's three archives were cut would desync the bench/correctness
-    // row sets, the exact defect bench_gate --correctness now hard-fails
-    // on. First catalog addition next round, archived in the same cycle.
+    // The serving path restated as PURE SQL TEXT over the stored index
+    // tables — the dual-surface proof for the steady-state search: three
+    // views + the injected vector_dot compose probe → LUT → DPP-pruned
+    // scan → ADC-sum with nothing but spark.sql. Same stored artifacts
+    // and same plan shape as q_ann_index_search (IvfPqSearchRowSpec pins
+    // hash-equality and DPP on THIS plan), so the same oracle SQL.
+    // Held out of the r11 catalog purely for bench/correctness row-set
+    // parity; promoted r12 in the same cycle as the bench archives.
+    "q_ann_index_search_sql" -> Spec(
+      VectorOps.ivfPqIndexSearchSql,
+      Some(s"""
+        WITH $ivfPqRankedCtes
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // Add-only steady state: the nightly-ingest verb measured against a
+    // PREBUILT index (built at most once behind the committed-tables +
+    // corpus-stamp gate), so the timed repeats price one batch's
+    // broadcast assign + encode (zero Lloyd) + the two-scan DPP search —
+    // the serving ladder's rung beside search-only. Row-identical to
+    // q_ann_index_add (same training set, same arriving batch), so the
+    // same oracle SQL, from_delta law included.
+    "q_ann_index_add_batch" -> Spec(
+      VectorOps.ivfPqIndexAddBatchRow,
+      Some(s"""
+        WITH $ivfPqAddRankedCtes
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+               neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} AS from_delta
+        FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
     "q_ann_sq8" -> Spec(
       VectorOps.annSq8,

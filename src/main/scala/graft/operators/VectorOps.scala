@@ -1509,6 +1509,99 @@ object VectorOps {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The compaction manifest — the COMMIT POINT of [[ivfPqCompact]]'s
+    * swap. Written (temp file + atomic rename) only after the merged
+    * table at `lists_compacting` is fully committed, naming exactly the
+    * delta tables it folded. Its presence means "the merged table is
+    * authoritative"; its absence means the old `lists` + committed
+    * deltas are. Completion is idempotent, so any reader
+    * ([[searchStored]], the build-skip gates) or a re-run compact can
+    * finish an interrupted swap via [[healCompaction]] — no manual
+    * rename step anywhere in the lifecycle.
+    */
+  private def manifestPath(base: String) =
+    new org.apache.hadoop.fs.Path(base, "_compaction_manifest.json")
+
+  /** Finish a committed compaction swap: retire each folded delta's
+    * `_SUCCESS` FIRST — from that point the deltas read as absent via
+    * [[committed]], so no crash inside the swap can leave a delta both
+    * folded into the merged table AND still searchable (the
+    * double-count window) — then replace `lists` with the merged table,
+    * then drop the retired delta directories and the manifest. Every
+    * filesystem mutation checks its boolean return: Hadoop reports
+    * rename/delete failure by returning false, not throwing, and a
+    * failed swap must surface HERE, not as a missing-lists crash in the
+    * next search.
+    */
+  private def completeCompaction(
+      spark: SparkSession, base: String, folded: Seq[String]): Unit = {
+    val fs = fsOf(spark, base)
+    def del(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
+      if (fs.exists(p))
+        require(fs.delete(p, recursive), s"delete failed: $p")
+    folded.foreach(s =>
+      del(new org.apache.hadoop.fs.Path(s"$base/$s/_SUCCESS"), false))
+    val lists = new org.apache.hadoop.fs.Path(s"$base/lists")
+    val compacting = new org.apache.hadoop.fs.Path(s"$base/lists_compacting")
+    del(lists, true)
+    require(fs.rename(compacting, lists),
+      s"compaction swap rename failed: $compacting -> $lists")
+    folded.foreach(s => del(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
+    del(manifestPath(base), false)
+  }
+
+  /** Self-heal an interrupted compaction before reading or compacting.
+    * Manifest present + merged table committed = the swap reached its
+    * commit point: complete it (idempotent — every step of
+    * [[completeCompaction]] tolerates having already run). Manifest
+    * present WITHOUT a committed merged table = a torn manifest/merge
+    * write: roll back — the old `lists` + still-committed deltas are
+    * intact and authoritative; retired (marker-less) delta leftovers
+    * from an already-swapped run are dropped, committed ones are never
+    * touched. An unparseable manifest rolls back too: completing with a
+    * guessed fold set could leave a folded delta committed beside the
+    * merged rows and double-count it in [[searchStored]]'s ADC sum.
+    */
+  private[graft] def healCompaction(spark: SparkSession, base: String): Unit = {
+    val fs = fsOf(spark, base)
+    val mp = manifestPath(base)
+    if (!fs.exists(mp)) return
+    val folded: Option[Seq[String]] =
+      try {
+        val in = fs.open(mp)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        // manifest bodies are written by this module only: a flat
+        // {"folded":["lists_delta_b1",...]} of sub-directory tags
+        """"folded"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty))
+      } catch { case _: java.io.IOException => None }
+    folded match {
+      case Some(f) if committed(spark, s"$base/lists_compacting") =>
+        completeCompaction(spark, base, f)
+      case _ =>
+        val compacting =
+          new org.apache.hadoop.fs.Path(s"$base/lists_compacting")
+        if (fs.exists(compacting))
+          require(fs.delete(compacting, true), s"delete failed: $compacting")
+        // a retired delta (marker already gone) only exists here if the
+        // swap completed and cleanup crashed — its rows live in `lists`
+        folded.getOrElse(Nil).foreach { s =>
+          val p = new org.apache.hadoop.fs.Path(s"$base/$s")
+          if (fs.exists(p) && !committed(spark, s"$base/$s"))
+            require(fs.delete(p, true), s"delete failed: $p")
+        }
+        require(fs.delete(mp, false), s"delete failed: $mp")
+    }
+  }
+
   /** Fold every committed delta lists table back into the base lists —
     * the faiss merge verb completing the train/add lifecycle. Pure
     * partition rewrite against the SAME stored quantizers: the codes
@@ -1521,17 +1614,22 @@ object VectorOps {
     * compacting restores the single-scan plan without touching a
     * single embedding.
     *
-    * Swap protocol: the merged table lands at `lists_compacting`, then
-    * replaces `lists` by delete + rename, then the deltas are removed.
-    * The window between delete and rename is NOT atomic — same
-    * single-writer assumption as [[indexBase]] (the index has one
-    * maintenance job; a crash inside the window leaves the committed
-    * merged table at `lists_compacting` for manual rename). Missing
-    * deltas are skipped, so re-running compaction after a partial
-    * delete — or with nothing to fold — is a no-op, not a rewrite.
+    * Swap protocol (crash-safe at every step, IvfPqCompactSpec drives
+    * the windows): (1) the merged table lands at `lists_compacting`;
+    * (2) the manifest naming the folded deltas lands by atomic rename —
+    * the COMMIT POINT; (3) [[completeCompaction]] retires the folded
+    * deltas' `_SUCCESS` markers, swaps `lists`, and drops the leftovers.
+    * A crash before (2) leaves the old state authoritative (re-compact
+    * simply redoes the merge); a crash after (2) is finished by
+    * [[healCompaction]] on the next read or compact — a scheduled
+    * maintenance job can retry this verb blindly. Missing deltas are
+    * skipped, so re-running compaction after recovery — or with nothing
+    * to fold — is a no-op, not a rewrite. Still single-writer, as
+    * [[indexBase]] documents.
     */
   private[graft] def ivfPqCompact(
       spark: SparkSession, base: String, deltas: Seq[String]): Unit = {
+    healCompaction(spark, base)
     val present = deltas.filter(s => committed(spark, s"$base/$s"))
     if (present.isEmpty) return
     def listsAt(path: String) = spark.read.parquet(path)
@@ -1542,13 +1640,18 @@ object VectorOps {
       .reduce(_ unionByName _)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/lists_compacting")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(s"$base/lists"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$base/lists_compacting"),
-      new org.apache.hadoop.fs.Path(s"$base/lists"))
-    present.foreach(s =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
+    val fs = fsOf(spark, base)
+    val mp = manifestPath(base)
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      "_compaction_manifest.json.tmp")
+    val body =
+      s"""{"folded":[${present.map(graft.Json.quote).mkString(",")}]}\n"""
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(mp))
+      require(fs.delete(mp, false), s"delete failed: $mp")
+    require(fs.rename(tmp, mp), s"manifest commit rename failed: $tmp -> $mp")
+    completeCompaction(spark, base, present)
   }
 
   /** IVF-PQ search against a PERSISTED index (no training, no encode):
@@ -1575,6 +1678,10 @@ object VectorOps {
   private[graft] def searchStored(
       spark: SparkSession, dir: String, base: String,
       deltas: Seq[String]): DataFrame = {
+    // finish (or roll back) an interrupted compaction swap before
+    // trusting the table layout: a crashed maintenance job must never
+    // make the serving path 404 on `lists`
+    healCompaction(spark, base)
     // a named delta that was never written (empty admission), already
     // compacted away, or torn mid-write is ABSENT, not an error — the
     // committed-table filter is what makes add/compact/search verbs
@@ -1648,6 +1755,35 @@ object VectorOps {
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 
+  /** Add-only steady-state row (q_ann_index_add_batch) — the
+    * nightly-ingest cost measured against a PREBUILT index, the serving
+    * ladder's rung beside [[ivfPqIndexSearch]]'s search-only wall. The
+    * base-corpus index builds AT MOST ONCE per corpus (the same
+    * committed-tables + corpus-stamp gate as the search row), so every
+    * timed repeat measures the add verb + the base∪delta search alone:
+    * one broadcast assign + one broadcast encode over just the arriving
+    * 10% batch — zero Lloyd iterations, zero codebook retrain
+    * (IvfPqAddBatchRowSpec meters the steady state) — plus the
+    * DPP-pruned two-scan search. Re-admitting the same batch each
+    * repeat IS [[ivfPqAddBatch]]'s idempotent-overwrite contract; an
+    * add-path regression (a lost zero-Lloyd, a re-encode creeping in)
+    * shows up in THIS wall instead of hiding inside the build
+    * composites. Result is row-identical to [[ivfPqIndexAdd]] (same
+    * quantizer training set, same arriving batch), so the row rides the
+    * same oracle SQL; add-cost ≈ this wall minus the search-only wall.
+    */
+  def ivfPqIndexAddBatchRow(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIndex(spark, dir, "addbatch", embBase(spark, dir))
+    ivfPqAdd(spark, dir, base)
+    val r = annIvfPqFromIndexWithDelta(spark, dir, base)
+      .filter(col("rank") <= TopKPq)
+      .withColumn("from_delta",
+        col("neighbor_id") % AddModulus === AddResidue)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim", "from_delta")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
   /** CHAINED adds (q_ann_index_add_chain) — the full continuous-ingest
     * lifecycle: build once over the base (vec_id ≢ {[[AddResidue]],
     * [[AddResidue2]]} mod [[AddModulus]]), then absorb TWO successive
@@ -1660,13 +1796,18 @@ object VectorOps {
     * on the two-batch-held-out base and encodes everything —
     * add-add-then-search ≡ encode-all-then-search, the associativity
     * that makes batch-at-a-time maintenance safe indefinitely.
+    *
+    * The base build runs AT MOST ONCE per corpus (the [[ensureIndex]]
+    * committed-tables + corpus-stamp gate — safe here because nothing
+    * in this row mutates `lists`): the benched repeats measure the
+    * lifecycle's RECURRING cost — two adds + the three-scan search —
+    * not the nightly train the roundtrip row already prices.
     */
   def ivfPqIndexAddChain(spark: SparkSession, dir: String): DataFrame = {
-    val base = indexBase(dir, "addchain")
-    val baseCorpus = embDistributed(spark, dir)
-      .filter(col("vec_id") % AddModulus =!= AddResidue &&
-        col("vec_id") % AddModulus =!= AddResidue2)
-    ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    val base = ensureIndex(spark, dir, "addchain",
+      embDistributed(spark, dir)
+        .filter(col("vec_id") % AddModulus =!= AddResidue &&
+          col("vec_id") % AddModulus =!= AddResidue2))
     def batch(residue: Long) = embDistributed(spark, dir)
       .filter(col("vec_id") % AddModulus === residue)
     ivfPqAddBatch(spark, dir, base, batch(AddResidue), "lists_delta_b1")
@@ -1719,16 +1860,30 @@ object VectorOps {
   }
 
   /** Provenance stamp of the corpus an index was built from: path +
-    * mtime + length of the embeddings table, written beside the stored
-    * quantizers at build time. [[ivfPqIndexSearch]]'s build-skip
-    * compares it so a corpus swapped under the digest-keyed location
-    * forces a rebuild instead of serving a stale index.
+    * file count + total length + newest mtime of the embeddings table,
+    * written beside the stored quantizers at build time. The build-skip
+    * gates compare it so a corpus swapped under the digest-keyed
+    * location forces a rebuild instead of serving a stale index.
+    *
+    * When the table is a DIRECTORY (the normal multi-file Spark
+    * layout), the stamp folds over the data files' statuses rather
+    * than the directory's own: a directory's len is 0 and its mtime
+    * only moves on child create/delete, so a corpus rewritten in place
+    * with preserved names (rsync -a, snapshot restore) would otherwise
+    * serve a stale index.
     */
   private def corpusStamp(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val st = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(p)
-    s"""{"path":${graft.Json.quote(p.toString)},"mtime":${st.getModificationTime},"len":${st.getLen}}"""
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    val (n, len, mtime) =
+      if (st.isDirectory) {
+        val kids = fs.listStatus(p).filter(_.isFile)
+        (kids.length,
+          kids.map(_.getLen).sum,
+          (st.getModificationTime +: kids.map(_.getModificationTime).toSeq).max)
+      } else (1, st.getLen, st.getModificationTime)
+    s"""{"path":${graft.Json.quote(p.toString)},"n":$n,"mtime":$mtime,"len":$len}"""
   }
 
   private def stampPath(base: String) =
@@ -1756,15 +1911,20 @@ object VectorOps {
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 
-  /** Build-at-most-once gate shared by the serving rows: returns the
-    * digest-keyed index location, building it only when any of the
-    * three tables is uncommitted or the corpus stamp mismatches.
+  /** Build-at-most-once gate shared by the steady-state rows: returns
+    * the digest-keyed index location for `tag`, building from `corpus`
+    * (training AND encoding it) only when any of the three tables is
+    * uncommitted or the corpus stamp mismatches. Heals an interrupted
+    * compaction first — the committed-tables check must see the final
+    * layout, not a mid-swap one.
     */
-  private def ensureSearchIndex(spark: SparkSession, dir: String): String = {
-    val base = indexBase(dir, "search")
+  private def ensureIndex(
+      spark: SparkSession, dir: String, tag: String,
+      corpus: => DataFrame): String = {
+    val base = indexBase(dir, tag)
+    healCompaction(spark, base)
     val stamp = corpusStamp(spark, dir)
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, base)
     val built = Seq("centroids", "codebooks", "lists")
       .forall(t => committed(spark, s"$base/$t")) && {
       val sp = stampPath(base)
@@ -1777,12 +1937,16 @@ object VectorOps {
       } catch { case _: java.io.IOException => false }
     }
     if (!built) {
-      ivfPqPersist(spark, dir, base)
+      val c = corpus
+      ivfPqPersistFrames(spark, c, c, base)
       val out = fs.create(stampPath(base), true)
       try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
     }
     base
   }
+
+  private def ensureSearchIndex(spark: SparkSession, dir: String): String =
+    ensureIndex(spark, dir, "search", emb(spark, dir))
 
   /** [[ivfPqIndexSearch]] restated as PURE SQL TEXT over the STORED
     * index tables (q_ann_index_search_sql) — the dual-surface proof for

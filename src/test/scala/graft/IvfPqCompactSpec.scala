@@ -114,6 +114,105 @@ class IvfPqCompactSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  // --- crash-window self-healing (the manifest swap protocol) ---
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Fresh base index + two committed delta batches under `tag`;
+    * returns (base, the reference search rows over base ∪ deltas) —
+    * what every healed state must still answer.
+    */
+  private def buildWithDeltas(tag: String): (String, Set[Seq[Any]]) = {
+    val base = VectorOps.indexBase(dir, tag)
+    rm(new java.io.File(base))
+    val corpus = VectorOps.embDistributed(spark, dir)
+    val baseCorpus = corpus.filter(
+      !(col("vec_id") % VectorOps.AddModulus)
+        .isin(VectorOps.AddResidue, VectorOps.AddResidue2))
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    def batch(r: Long) =
+      corpus.filter(col("vec_id") % VectorOps.AddModulus === r)
+    VectorOps.ivfPqAddBatch(spark, dir, base,
+      batch(VectorOps.AddResidue), "lists_delta_b1")
+    VectorOps.ivfPqAddBatch(spark, dir, base,
+      batch(VectorOps.AddResidue2), "lists_delta_b2")
+    val ref = VectorOps.searchStored(spark, dir, base,
+        Seq("lists_delta_b1", "lists_delta_b2"))
+      .collect().map(_.toSeq).toSet
+    (base, ref)
+  }
+
+  /** The merge write of ivfPqCompact, stopped at the chosen point —
+    * the tests drive the protocol's crash windows from outside.
+    */
+  private def mergeOnly(base: String): Unit = {
+    def listsAt(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("cell").cast("int").as("cell"))
+    Seq("lists", "lists_delta_b1", "lists_delta_b2")
+      .map(s => listsAt(s"$base/$s"))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$base/lists_compacting")
+  }
+
+  private def writeManifest(base: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "_compaction_manifest.json"),
+      """{"folded":["lists_delta_b1","lists_delta_b2"]}"""
+        .getBytes("UTF-8"))
+
+  test("crash right after the commit point: the next SEARCH completes the swap") {
+    val (base, ref) = buildWithDeltas("healcommit")
+    mergeOnly(base)
+    writeManifest(base)
+    // "crash" — deltas still committed, lists still present; a search
+    // must heal to the merged table, never double-count the deltas
+    val healed = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    assert(healed === ref)
+    for (d <- Seq("lists_delta_b1", "lists_delta_b2", "lists_compacting",
+        "_compaction_manifest.json"))
+      assert(!new java.io.File(s"$base/$d").exists(), s"$d survived the heal")
+  }
+
+  test("crash mid-swap (markers retired, lists deleted): search completes the rename") {
+    val (base, ref) = buildWithDeltas("healswap")
+    mergeOnly(base)
+    writeManifest(base)
+    for (d <- Seq("lists_delta_b1", "lists_delta_b2"))
+      assert(new java.io.File(s"$base/$d/_SUCCESS").delete())
+    rm(new java.io.File(s"$base/lists"))
+    val healed = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    assert(healed === ref)
+    assert(!new java.io.File(s"$base/_compaction_manifest.json").exists())
+  }
+
+  test("torn merge (uncommitted lists_compacting) rolls back; re-compact converges") {
+    val (base, ref) = buildWithDeltas("healtorn")
+    mergeOnly(base)
+    // tear the merged table: its _SUCCESS never landed
+    assert(new java.io.File(s"$base/lists_compacting/_SUCCESS").delete())
+    writeManifest(base)
+    // old state must answer unchanged through the rollback...
+    val rolledBack = VectorOps.searchStored(spark, dir, base,
+        Seq("lists_delta_b1", "lists_delta_b2"))
+      .collect().map(_.toSeq).toSet
+    assert(rolledBack === ref)
+    assert(!new java.io.File(s"$base/lists_compacting").exists(),
+      "torn merge not rolled back")
+    // ...and a retried compaction completes the verb
+    VectorOps.ivfPqCompact(spark, base,
+      Seq("lists_delta_b1", "lists_delta_b2"))
+    val compacted = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    assert(compacted === ref)
+  }
+
   test("an EMPTY add batch is an absent table, and search treats it as a no-op") {
     val base = VectorOps.indexBase(dir, "emptyadd")
     val corpus = VectorOps.embDistributed(spark, dir)
