@@ -49,12 +49,46 @@ adjudication. A waiver only suppresses the named signal — anything else
 still fails — and an unused waiver is itself an error (stale waivers
 must not outlive the drift they excused).
 
+Gate manifest (--manifest GATES.json): the per-round adjudication as
+version-controlled DATA instead of waiver strings quoted from SCALE.md
+prose — the round-11 lesson that reproducing an exit-0 gate run must
+not require copying arguments out of docs. The manifest records the
+archive pair, the correctness file and the round's waivers:
+    {"round": "r12", "new": "BENCH_wall_r12.json",
+     "old": "BENCH_wall_r11.json", "correctness": "CORRECTNESS_r12.json",
+     "waivers": ["q_x:sec/batch=isolated 0.69 s/batch ≈ baseline, docs/SCALE.md:520"],
+     "notes": "optional free text"}
+Relative paths resolve against the manifest's own directory. Positional
+NEW/OLD override the manifest's (so a fresh BENCH.json can be gated
+against the recorded pair); CLI --waive/--correctness merge with (and
+win over) the manifest's. Manifest waivers obey every waiver rule —
+reason required, single-signal, stale ⇒ fail.
+
 Usage: python3 tools/bench_gate.py NEW.json OLD.json [ratio=1.5] [floor=1.0]
        [stream_floor=2.5] [batch_floor=0.25] [--correctness FILE]
-       [--waive "query:kind=reason"]...
+       [--manifest GATES.json] [--waive "query:kind=reason"]...
 """
 import json
+import os
 import sys
+
+
+def parse_waiver(spec, source):
+    if "=" not in spec or ":" not in spec.split("=", 1)[0]:
+        print(f"FAIL: malformed {source} {spec!r} "
+              "(want query:kind=reason, kind in wall|sec/batch)")
+        sys.exit(2)
+    key, reason = spec.split("=", 1)
+    if not reason.strip():
+        print(f"FAIL: {source} {key} carries no reason — a waiver "
+              "must cite its isolated re-measure")
+        sys.exit(2)
+    name, kind = key.rsplit(":", 1)
+    if kind not in ("wall", "sec/batch"):
+        print(f"FAIL: malformed {source} {spec!r} — kind {kind!r} "
+              "not in wall|sec/batch")
+        sys.exit(2)
+    return (name, kind), reason
 
 
 def main():
@@ -65,21 +99,33 @@ def main():
         correctness = argv[i + 1]
         del argv[i:i + 2]
     waivers = {}
+    manifest_waivers = {}
+    if "--manifest" in argv:
+        i = argv.index("--manifest")
+        mpath = argv[i + 1]
+        del argv[i:i + 2]
+        mdir = os.path.dirname(os.path.abspath(mpath))
+        manifest = json.load(open(mpath))
+
+        def mp(p):
+            return p if os.path.isabs(p) else os.path.join(mdir, p)
+        for spec in manifest.get("waivers", []):
+            key, reason = parse_waiver(spec, f"manifest waiver ({mpath})")
+            manifest_waivers[key] = reason
+        if correctness is None and manifest.get("correctness"):
+            correctness = mp(manifest["correctness"])
+        # positionals win; the manifest fills in whatever is missing
+        if len(argv) == 0 and manifest.get("new"):
+            argv.insert(0, mp(manifest["new"]))
+        if len(argv) == 1 and manifest.get("old"):
+            argv.insert(1, mp(manifest["old"]))
     while "--waive" in argv:
         i = argv.index("--waive")
         spec = argv[i + 1]
         del argv[i:i + 2]
-        if "=" not in spec or ":" not in spec.split("=", 1)[0]:
-            print(f"FAIL: malformed --waive {spec!r} "
-                  "(want query:kind=reason, kind in wall|sec/batch)")
-            sys.exit(2)
-        key, reason = spec.split("=", 1)
-        if not reason.strip():
-            print(f"FAIL: --waive {key} carries no reason — a waiver "
-                  "must cite its isolated re-measure")
-            sys.exit(2)
-        name, kind = key.rsplit(":", 1)
-        waivers[(name, kind)] = reason
+        key, reason = parse_waiver(spec, "--waive")
+        waivers[key] = reason
+    waivers = {**manifest_waivers, **waivers}
     if len(argv) < 2:
         print(__doc__)
         sys.exit(2)

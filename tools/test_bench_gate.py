@@ -165,6 +165,59 @@ def _(td):
     assert code == 2 and "no reason" in out
 
 
+@case("a waiver kind outside wall|sec/batch is rejected at parse time")
+def _(td):
+    code, out = run(td, art({"q_a": 4.0}), art({"q_a": 2.0}),
+                    "--waive", "q_a:secbatch=typo'd kind")
+    assert code == 2 and "not in wall|sec/batch" in out, (code, out)
+
+
+def manifest(td, **kw):
+    mp = os.path.join(td, "GATES.json")
+    json.dump(kw, open(mp, "w"))
+    return mp
+
+
+@case("--manifest supplies old, correctness and waivers (relative paths)")
+def _(td):
+    cp = os.path.join(td, "corr.json")
+    json.dump({"q_a": {}}, open(cp, "w"))
+    mp = manifest(td, old="old.json", correctness="corr.json",
+                  waivers=["q_a:wall=isolated min-of-5 at baseline, SCALE.md"])
+    code, out = run(td, art({"q_a": 4.0}), art({"q_a": 2.0}),
+                    "--manifest", mp)
+    assert code == 0 and "WAIVED: q_a [wall]" in out \
+        and "row-set parity" in out, (code, out)
+
+
+@case("a stale manifest waiver fails the run")
+def _(td):
+    mp = manifest(td, waivers=["q_a:wall=an excuse that outlived its drift"])
+    code, out = run(td, art({"q_a": 1.0}), art({"q_a": 1.0}),
+                    "--manifest", mp)
+    assert code == 1 and "no longer match" in out, (code, out)
+
+
+@case("a reason-less manifest waiver is rejected at parse time")
+def _(td):
+    mp = manifest(td, waivers=["q_a:wall="])
+    code, out = run(td, art({"q_a": 4.0}), art({"q_a": 2.0}),
+                    "--manifest", mp)
+    assert code == 2 and "no reason" in out, (code, out)
+
+
+@case("manifest new/old fill missing positionals")
+def _(td):
+    np_, op = os.path.join(td, "mnew.json"), os.path.join(td, "mold.json")
+    json.dump(art({"q_a": 4.0}), open(np_, "w"))
+    json.dump(art({"q_a": 2.0}), open(op, "w"))
+    mp = manifest(td, new="mnew.json", old="mold.json")
+    r = subprocess.run([sys.executable, GATE, "--manifest", mp],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "q_a [wall]" in r.stdout, \
+        (r.returncode, r.stdout)
+
+
 def main():
     bad = 0
     for name, fn in CASES:
