@@ -145,18 +145,41 @@ object Bench {
       System.err.println(f"[bench] $tag $name ${sec}%.1fs")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Warmup doubles as stream detection: per-query micro-batch deltas
+    // tell us which rows are streaming drains before the timed phase.
+    val warmupBatches = scala.collection.mutable.Map[String, Long]()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       names.foreach { n =>
         hygiene()
+        val (b0, _) = batchesNow()
         val t0 = System.nanoTime()
         run(n).foreach(e => errors(n) = s"warmup: $e")
+        val (b1, _) = batchesNow()
+        warmupBatches(n) = b1 - b0
         progress("warmup", n, (System.nanoTime() - t0) / 1e9)
       }
 
+    // Stream rows run FIRST in the timed phase: their walls are
+    // dominated by fixed RocksDB/checkpoint overhead that degrades with
+    // accumulated JVM/tmp/page-cache state, and three rounds of sweeps
+    // flagged stream rows that isolated re-measures then retired
+    // (r9/r10/r11 adjudications). Timing them on the freshest state
+    // removes the drag at the source instead of waiving it per round.
+    // (With warmup disabled there is no detection signal — plain sorted
+    // order applies, as before.)
+    val timedOrder = names.sortBy(n =>
+      (if (warmupBatches.getOrElse(n, 0L) > 0L) 0 else 1, n))
+
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    // Per-QUERY host load at the moment its timed repeats began: sweep
+    // drag shows up as load ramping across the run, and a flagged row's
+    // own load-at-start is the provenance a per-sweep number can't give.
+    val loadAt = scala.collection.mutable.LinkedHashMap[String, Double]()
     // per run: (wall sec, cpu sec, micro-batches, summed batch sec)
     case class Run(sec: Double, cpu: Double, batches: Long, batchSec: Double)
-    val timed = names.map { name =>
+    val timed = timedOrder.map { name =>
+      loadAt(name) = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       val runs = (1 to repeats).map { _ =>
         hygiene()
         val (b0, bm0) = batchesNow()
@@ -195,6 +218,51 @@ object Bench {
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, (v, _, _, _)) if v >= 0 => v }.sum
+
+    // Warm re-measure pass for cross-decade adjudication (the sf10
+    // methodology): a cold single-pass sweep swings 2-4x on identical
+    // plans, so every round a hand-built isolated-re-measure table in
+    // SCALE.md adjudicated the >10x/decade rows. With
+    // SPARK_GRAFT_WARM_BASELINE pointing at the lower-decade artifact,
+    // any row whose wall exceeds SPARK_GRAFT_WARM_RATIO (default 10) x
+    // its baseline wall is re-run min-of-2 WARM right here, and the
+    // number lands in the artifact itself ("warm_rerun") — the
+    // adjudication becomes data instead of prose.
+    val warmRerun: Seq[(String, Double)] =
+      sys.env.get("SPARK_GRAFT_WARM_BASELINE").toSeq.flatMap { path =>
+        val baseWalls =
+          try {
+            val txt = scala.io.Source.fromFile(path, "UTF-8").mkString
+            """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+              .map(_.group(1)).toSeq.flatMap { body =>
+                """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+                  .map(m => m.group(1) -> m.group(2).toDouble)
+              }.toMap
+          } catch { case _: Throwable => Map.empty[String, Double] }
+        val ratio =
+          sys.env.getOrElse("SPARK_GRAFT_WARM_RATIO", "10").toDouble
+        val flagged = timed.collect {
+          case (n, (sec, _, _, _))
+              if sec > 0 && baseWalls.get(n).exists(b => b > 0 && sec > ratio * b) => n
+        }
+        flagged.map { n =>
+          val walls = (1 to 2).flatMap { _ =>
+            hygiene()
+            val t0 = System.nanoTime()
+            val err = run(n)
+            val sec = (System.nanoTime() - t0) / 1e9
+            progress("warm_rerun", n, sec)
+            if (err.isEmpty) Some(sec) else None
+          }
+          n -> (if (walls.nonEmpty) walls.min else -1.0)
+        }
+      }
+    val warmJson = warmRerun
+      .map { case (k, v) => Json.quote(k) + ":" + (math.round(v * 1e4) / 1e4) }
+      .mkString("{", ",", "}")
+    val loadJson = loadAt
+      .map { case (k, v) => Json.quote(k) + ":" + (math.round(v * 100) / 100.0) }
+      .mkString("{", ",", "}")
     // Audit fields: engine version + the configs that shape every plan,
     // so a bench JSON is self-describing without the harness script —
     // plus a HOST FINGERPRINT (cpu model, core count, anonymized host
@@ -228,7 +296,7 @@ object Bench {
       "host_load_start" -> f"$loadStart%.2f"
     ).map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"batches":$batchesJson,"sec_per_batch":$secPerBatchJson,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"batches":$batchesJson,"sec_per_batch":$secPerBatchJson,"warm_rerun":$warmJson,"load_at_start":$loadJson,"sf":${Json.quote(sfDir)},"errors":$errJson,"env":$audit}"""
     // The driver captures only the log TAIL; a verbose shutdown once
     // truncated the r3 totals. The file in cwd is the truncation-proof
     // artifact; the printed line stays for the log-scraping path.
