@@ -3468,11 +3468,13 @@ object QueryCatalog {
         ORDER BY sku""")),
 
     // MULTI-BATCH streaming repricer (A12 + T5 cadence): three offer
-    // batches at staged trigger times t0 / t0+30s / t0+120s with a
+    // batches at staged trigger times t0 / t0+30s / t0+60s with a
     // 1-minute per-SKU interval — the oracle replays the fold: batch 0
     // acts on every changed price, batch 1 only on SKUs batch 0 did not
-    // act on (inside the interval), batch 2 on every changed price
-    // again; batch_id and action_ts stamps are part of the hash.
+    // act on (inside the interval), batch 2 on SKUs not acted on in
+    // batch 1 (30 s elapsed — still gated) INCLUDING those acted on in
+    // batch 0 (EXACTLY interval_min elapsed — eligible per the >=
+    // equality); batch_id and action_ts stamps are part of the hash.
     "q_repricer_stream" -> Spec(
       streaming.Repricer.repricerStream,
       Some {
@@ -3513,7 +3515,8 @@ object QueryCatalog {
         f2 AS (SELECT sku, CAST(2 AS BIGINT) AS batch_id,
                       CAST(${ts(2)} AS BIGINT) AS action_ts,
                       current_price, lowest_comp, target_price
-               FROM a2 WHERE target_price <> current_price)
+               FROM a2 WHERE target_price <> current_price
+                 AND sku NOT IN (SELECT sku FROM f1))
         SELECT sku, batch_id, action_ts, current_price, lowest_comp,
                target_price
         FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1

@@ -122,11 +122,15 @@ object Repricer {
   /** Millisecond batch times of [[repricerStream]]'s three triggers and
     * the per-SKU cadence: batch 1 fires 30 s after batch 0 (INSIDE the
     * 1-minute interval — its repeat actions are gated), batch 2 fires
-    * 120 s after batch 0 (past the interval from both earlier batches —
-    * fully eligible again).
+    * EXACTLY interval_min after batch 0 — the `elapsed >= interval`
+    * EQUALITY (PRICEBOT_SPEC_V2.md:93's cadence rule): a SKU acted on
+    * at t0 is eligible again at precisely t0 + 60 000 ms, while a SKU
+    * whose last action was batch 1 (30 s ago) is still gated. Both
+    * sides of the boundary are inside the driver hash, and the
+    * adversarial corpus plants a family on each side.
     */
   val StreamT0 = 1700000000000L
-  val StreamTimes: Seq[Long] = Seq(StreamT0, StreamT0 + 30000L, StreamT0 + 120000L)
+  val StreamTimes: Seq[Long] = Seq(StreamT0, StreamT0 + 30000L, StreamT0 + 60000L)
   val StreamIntervalMin = 1
 
   /** The oracle-checked MULTI-BATCH streaming repricer

@@ -15,7 +15,7 @@ class ParsingSpec extends AnyFunSuite {
 
   test("parseSellers extracts name / numeric price / delivery (parseSellers.test.ts port)") {
     val rows = Parsing.parseSellers(spark, SparkT.Sf0001).collect()
-    assert(rows.length === 4) // 5 seller rows, one dropped by price > 0
+    assert(rows.length === 5) // 6 seller rows, one dropped by price > 0
     val first = rows.head
     assert(first.getAs[String]("seller") === "Магазин Один")
     assert(first.getAs[Long]("price") === 12990L)
@@ -24,8 +24,13 @@ class ParsingSpec extends AnyFunSuite {
     val third = rows.find(_.getAs[String]("seller") === "ТОО Три").get
     assert(third.getAs[Long]("price") === 13500L)
     assert(third.getAs[String]("delivery_date") == null)
-    // out-of-stock zero-price row is filtered (F5/F7)
-    assert(!rows.exists(_.getAs[String]("seller") == "Out of stock"))
+    // F7's drop keys on the EXACT pair (name == 'Out of stock' AND
+    // price == 0, app/page.tsx:151-161): the zero-price placeholder is
+    // filtered, while a real seller that happens to CARRY that name but
+    // quotes a positive price survives — name-based filtering would be
+    // the wrong rule
+    val oos = rows.filter(_.getAs[String]("seller") == "Out of stock")
+    assert(oos.length === 1 && oos.head.getAs[Long]("price") === 7500L)
   }
 
   test("extractConfig pulls the balanced payload + typed probes") {

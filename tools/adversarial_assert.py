@@ -158,6 +158,64 @@ def _(out):
     assert 9303 not in skus, "anchor - 31 days leaked into the window"
 
 
+@check("price floor: floors drop at EXACTLY 2 bots (>= rule) and clamp at 0")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_price_floor").set_index("sku")
+    assert df.n_bots[9201] == 2, df.n_bots[9201]
+    assert df.predicted_min_24h[9201] == 9800.0 \
+        and df.predicted_min_7d[9201] == 9600.0, \
+        "exactly-2-bots sku did not drop its floors (>= rule)"
+    assert df.n_bots[9202] == 1 and df.predicted_min_24h[9202] == 10000.0 \
+        and df.predicted_min_7d[9202] == 10000.0, \
+        "one-bot sku's floor moved"
+    assert df.n_bots[9207] == 2 and df.predicted_min_24h[9207] == 0.0 \
+        and df.predicted_min_7d[9207] == 0.0, \
+        "predicted floor did not clamp at max(0, min - drop)"
+
+
+@check("stability: stddev/min EXACTLY 1 scores 0; ratio 2 clamps to 0, not -100")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_seller_stats").set_index("sku")
+    # the ratio is exactly 1 by construction — assert the inputs too, so
+    # a fixture drift cannot turn this check vacuous
+    assert df.stddev_price[9401] == 1000.0 == df.min_price[9401]
+    assert df.stability[9401] == 0, "ratio exactly 1 must score 0 (>= rule)"
+    assert df.stability[9402] == 0, "ratio 2 must clamp to 0 (min() rule)"
+    assert df.stability[9403] == 50, df.stability[9403]
+
+
+@check("reorder point: ceil at EXACTLY integral 0.0 demand is 0 (not floor+1)")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_inventory_reorder").set_index("sku")
+    assert df.daily_demand[9501] == 0.0 and df.reorder_point[9501] == 0, \
+        (df.daily_demand[9501], df.reorder_point[9501])
+    assert bool(df.need_reorder[9501]), "qty == reorder_point must flag (<=)"
+    assert df.daily_demand[9502] == 0.0001 and df.reorder_point[9502] == 1, \
+        "just-past-integral ceil argument did not round up"
+    assert bool(df.need_reorder[9502])
+
+
+@check("export filter drops the EXACT out-of-stock pair, not the name alone")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_parse_sellers")
+    oos = df[df.seller == "Out of stock"]
+    assert len(oos) == 1 and oos.price.iloc[0] == 7500, \
+        "positively-priced seller named 'Out of stock' was dropped (or the zero-price pair leaked)"
+    assert (df.price > 0).all()
+
+
+@check("repricer cadence: eligible at EXACTLY interval elapsed; gated at 30s")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_repricer_stream")
+    a = df[df.sku == 9601].sort_values("batch_id")
+    assert a.batch_id.tolist() == [0, 2], a.batch_id.tolist()
+    assert a.action_ts.iloc[1] - a.action_ts.iloc[0] == 60000, \
+        "re-eligibility was not at exactly interval_min elapsed (>= rule)"
+    b = df[df.sku == 9602]
+    assert b.batch_id.tolist() == [1], \
+        f"cohort-1/2 sku not gated at 30s elapsed: {b.batch_id.tolist()}"
+
+
 def main(out):
     failed = 0
     for name, fn in CHECKS:

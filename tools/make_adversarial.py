@@ -12,7 +12,9 @@ normal verify + oracle pipeline:
     SPARK_GRAFT_ONLY=q_event_sessions,q_event_sessions_stream,\
 q_embed_neardup,q_embed_stream,q_embed_stream_capped,q_doc_exact_dedup,\
 q_doc_minhash_neardup,q_dedup_stream,q_neardup_stream,q_target_prices,\
-q_bot_flags,q_margin_by_sku,q_sliding_undercut,q_daily_demand \
+q_bot_flags,q_margin_by_sku,q_sliding_undercut,q_daily_demand,\
+q_price_floor,q_seller_stats,q_inventory_reorder,q_parse_sellers,\
+q_repricer_stream \
       sbt -batch "runMain graft.Verify fixtures/adversarial /tmp/adv_out"
     python3 tools/oracle_check.py fixtures/adversarial /tmp/adv_out <same list>
     python3 tools/adversarial_assert.py /tmp/adv_out
@@ -53,6 +55,21 @@ cannot silently stop exercising them):
   events (+)  — W6 sliding undercut: value EXACTLY min+50 counts (<=),
                 and a 5-window with EXACTLY 3 hits trips is_bot (>= 3)
                 beside a 2-hit control.
+  round-12 additions (the last unpinned `>=`-vs-`>` class):
+  lineitem (+)— X20 price floor: skus at EXACTLY 2 bots (floors drop per
+                >= 2) and EXACTLY 1 (no drop), plus a 2-bot family whose
+                predicted floors clamp at max(0, ...); X21 stability:
+                stddev_pop/min EXACTLY 1 (score 0), 2 (the min() clamp)
+                and 0.5 (50); X2 reorder: zero-demand part composes
+                ceil(0.0) == 0 — the integral-argument ceil — beside a
+                tiny-demand neighbor that lands at 1; T5 cadence: sku in
+                all three mod-3 cohorts re-acts at EXACTLY interval_min
+                elapsed (>=) while a cohort-1/2-only sku stays gated at
+                30 s (Repricer.StreamTimes' batch 2 = t0 + 60 000 ms).
+  page fixture— F7 export drop keys on the EXACT pair name == 'Out of
+                stock' AND price == 0: a positively-priced seller
+                CARRYING that name survives (fixtures/product_page.html,
+                pinned via q_parse_sellers).
 
 Constants replicated from the engine (kept in lockstep by the build-time
 asserts, which fail loudly if the Scala side changes):
@@ -400,8 +417,9 @@ def build_lineitem_part():
     parts = {}  # sku -> (size, retail)
     okey = [1]
 
-    def row(sku, seller, price, ship=FILL_DATE, size=1, retail=10000.0):
-        li.append((okey[0], sku, seller, float(price), ship))
+    def row(sku, seller, price, ship=FILL_DATE, size=1, retail=10000.0,
+            qty=30.0):
+        li.append((okey[0], sku, seller, float(price), ship, float(qty)))
         okey[0] += 1
         parts.setdefault(sku, (size, retail))
 
@@ -446,6 +464,76 @@ def build_lineitem_part():
     row(9302, 93, 10000, ship=ANCHOR_US - 30 * DAY_US)  # == bound: in
     row(9303, 93, 10000, ship=ANCHOR_US - 31 * DAY_US)  # out
     row(9304, 93, 10000, ship=ANCHOR_US - 29 * DAY_US)  # in
+
+    # X20 price floor (scrape.ts:735-747): predicted floors drop by
+    # 200/400 only at n_bots >= 2. The X19 families above already sit at
+    # EXACTLY 2 bots (9201) and EXACTLY 1 (9202) — the >= boundary's two
+    # sides; 9207 adds the max(0, min - drop) clamp: 2 bots at min 100
+    # clamp both predicted floors to 0.
+    for s, price in enumerate([100, 200, 5000], start=1):
+        row(9207, s, price)
+
+    def bots(prices):
+        mn, md = min(prices), sorted(prices)[len(prices) // 2]
+
+        def is_bot(p):
+            d = p - mn
+            near = (0 <= d <= 100) or \
+                (d >= 0 and (d / mn <= 0.0025 if mn > 0 else True))
+            return near and md - mn <= 3000
+        return sum(is_bot(p) for p in prices)
+    assert bots([10000, 10100, 10200]) == 2   # 9201: AT the >= 2 bound
+    assert bots([10000, 10101, 10200]) == 1   # 9202: one below
+    assert bots([100, 200, 5000]) == 2        # 9207: clamp family
+
+    # X21 stability (scrape.ts:749-754): score = (1 - min(1,
+    # stddev/min)) * 100, half-up. Two-offer groups make stddev_pop =
+    # (max - min)/2 IEEE-exact: ratio EXACTLY 1 (score 0 per the >= 1
+    # rule), ratio 2 (the min() clamp: 0, not -100), ratio 0.5 (50).
+    for sku, prices in [(9401, [1000, 3000]),   # stddev 1000 == min
+                        (9402, [1000, 5000]),   # ratio 2: clamp side
+                        (9403, [1000, 2000])]:  # ratio 0.5 -> 50
+        for s, price in enumerate(prices, start=1):
+            row(sku, s, price)
+
+    def stddev_pop(ps):
+        n = len(ps)
+        sp, sp2 = sum(ps), sum(p * p for p in ps)
+        return math.sqrt(sp2 / n - (sp / n) ** 2)
+    assert stddev_pop([1000, 3000]) == 1000.0   # ratio exactly 1 in IEEE
+    assert stddev_pop([1000, 5000]) == 2000.0
+    assert stddev_pop([1000, 2000]) == 500.0
+
+    # X2 reorder point (dashboard.py:8-10): ceil at an EXACTLY integral
+    # argument. A part with zero in-window demand composes ceil(0.0) ->
+    # 0 (a floor+1 slip yields 1); the tiny-demand neighbor lands just
+    # past the integer -> 1. Both parts hold zero stock (p_size 0), so
+    # need_reorder also sits at its <= equality.
+    parts[9501] = (0, 10000.0)                # part-only: dd = 0.0
+    row(9502, 95, 10000, size=0, qty=0.003)   # dd = round6(0.0001)
+    assert math.ceil(0.0) == 0
+    dd = math.floor(0.003 / 30.0 * 1e6 + 0.5) / 1e6
+    assert dd == 0.0001
+    assert math.ceil(dd * 14 + 1.65 * (dd * 0.2) * math.sqrt(14)) == 1
+
+    # T5 cadence (PRICEBOT_SPEC_V2.md:93): q_repricer_stream's batch 2
+    # fires EXACTLY interval_min after batch 0 (Repricer.StreamTimes).
+    # sku 9601 has an offer in every mod-3 cohort: acts at t0, gated at
+    # t0+30s, eligible again at EXACTLY t0+60s — the elapsed >= interval
+    # equality. sku 9602 exists only in cohorts 1 and 2: first acts at
+    # t0+30s, then 30s elapsed at batch 2 -> still gated. Prices far
+    # above retail keep target != current at every batch; the cohort
+    # split is l_orderkey % 3, residues pinned below.
+    for _ in range(3):
+        row(9601, 96, 20000)
+    while okey[0] % 3 != 1:
+        row(9601, 96, 20000)
+    row(9602, 96, 20000)
+    row(9602, 96, 20000)
+    res1 = {r[0] % 3 for r in li if r[1] == 9601}
+    res2 = {r[0] % 3 for r in li if r[1] == 9602}
+    assert res1 == {0, 1, 2} and res2 == {1, 2}, (res1, res2)
+
     assert max(r[4] for r in li) == ANCHOR_US
 
     t = pa.table({
@@ -453,7 +541,7 @@ def build_lineitem_part():
         "l_partkey": pa.array([r[1] for r in li], pa.int64()),
         "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
         "l_linenumber": pa.array([1] * len(li), pa.int32()),
-        "l_quantity": pa.array([30.0] * len(li), pa.float64()),
+        "l_quantity": pa.array([r[5] for r in li], pa.float64()),
         "l_extendedprice": pa.array([r[3] for r in li], pa.float64()),
         "l_discount": pa.array([0.0] * len(li), pa.float64()),
         "l_tax": pa.array([0.0] * len(li), pa.float64()),
