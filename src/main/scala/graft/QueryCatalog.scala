@@ -2403,6 +2403,25 @@ object QueryCatalog {
         FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
+    // The lifecycle run THROUGH Structured Streaming: the two held-out
+    // batches arrive as micro-batches of the AnnIngest maintenance
+    // stream (per-batch delta admission against the stored quantizers,
+    // threshold-triggered compaction), then one search. The stream only
+    // changes who SCHEDULES the verbs, never the codes — so the row
+    // rides the chain oracle verbatim: stream-ingest-then-search ≡
+    // add-add-then-search ≡ encode-all-then-search.
+    "q_ann_ingest_stream" -> Spec(
+      streaming.AnnIngest.annIngestStream,
+      Some(s"""
+        WITH ${ivfPqAddRankedCtesFor(
+          s"vec_id % ${VectorOps.AddModulus} IN (${VectorOps.AddResidue}, ${VectorOps.AddResidue2})")}
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+               CASE WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} THEN 1
+                    WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue2} THEN 2
+                    ELSE 0 END AS from_batch
+        FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
     // Read-only search against the persisted index: builds at most once
     // per corpus (committed tables + matching corpus stamp skip the
     // build entirely), so the benched repeats measure the steady-state
@@ -2429,6 +2448,25 @@ object QueryCatalog {
         WITH $ivfPqRankedCtes
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // Index observability: per-cell occupancy + the faiss imbalance
+    // factor nlist*sum(n_i^2)/n^2, read from the STORED lists behind
+    // the serving rows' build-at-most-once gate. The oracle replays the
+    // coarse assignment from scratch (the lloydCtes a2 sweep), so a
+    // drifted stored layout fails the hash even when searches still
+    // look plausible.
+    "q_ann_index_stats" -> Spec(
+      VectorOps.ivfPqIndexStats,
+      Some(s"""
+        WITH $lloydCtes,
+        occ AS (SELECT cluster AS cell, count(*) AS n_vectors
+                FROM a2 GROUP BY cluster),
+        tot AS (SELECT sum(n_vectors) AS n, count(*) AS n_cells,
+                       sum(n_vectors * n_vectors) AS sq FROM occ)
+        SELECT cell, n_vectors,
+               ${rnd("CAST(n_vectors AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS share,
+               ${rnd("CAST(sq AS DOUBLE) * CAST(n_cells AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 6)} AS imbalance
+        FROM occ, tot ORDER BY cell""")),
 
     // Add-only steady state: the nightly-ingest verb measured against a
     // PREBUILT index (built at most once behind the committed-tables +

@@ -1513,6 +1513,28 @@ object VectorOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Committed delta lists tables under `base` whose directory name
+    * starts with `prefix`, in name order — the discovery verb a
+    * maintenance job uses to decide when the per-search scan count has
+    * crossed its compaction threshold and exactly which tables to fold
+    * ([[graft.streaming.AnnIngest]] calls it after every admitted
+    * batch). Only COMMITTED tables are returned, so a torn batch write
+    * or a delta retired by a concurrent heal reads as absent here the
+    * same way it does in [[searchStored]].
+    */
+  private[graft] def committedDeltas(
+      spark: SparkSession, base: String, prefix: String): Seq[String] = {
+    val fs = fsOf(spark, base)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(bp)) Nil
+    else fs.listStatus(bp).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .filter(s => committed(spark, s"$base/$s"))
+      .sorted
+  }
+
   /** The compaction manifest — the COMMIT POINT of [[ivfPqCompact]]'s
     * swap. Written (temp file + atomic rename) only after the merged
     * table at `lists_compacting` is fully committed, naming exactly the
@@ -1947,6 +1969,43 @@ object VectorOps {
 
   private def ensureSearchIndex(spark: SparkSession, dir: String): String =
     ensureIndex(spark, dir, "search", emb(spark, dir))
+
+  /** Index OBSERVABILITY row (q_ann_index_stats) — faiss's
+    * imbalance-factor stats promoted to an oracle-checked query: per
+    * probed cell, how many vectors the stored inverted lists hold, the
+    * cell's share of the corpus, and the global imbalance factor
+    * nlist·Σnᵢ²/n² (1.0 = perfectly balanced lists; the number that
+    * says whether probed-cell pruning actually bounds search work, or
+    * one hot cell is carrying the corpus). Reads ONLY the stored lists
+    * table behind the same build-at-most-once gate as the serving rows
+    * — the scan groups (vec_id, sub) rows by partition value, so at
+    * 100 TB this is a metadata-cheap aggregation over the index
+    * layout, never a touch of the embeddings. The oracle replays the
+    * coarse assignment from scratch, so a drifted stored layout (cells
+    * written under the wrong assignment, rows lost in a compaction)
+    * fails the hash even when searches still return plausible
+    * neighbors.
+    */
+  def ivfPqIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureSearchIndex(spark, dir)
+    val occ = spark.read.parquet(s"$base/lists")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(countDistinct(col("vec_id")).as("n_vectors"))
+    val tot = occ.agg(
+      sum(col("n_vectors")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(col("n_vectors") * col("n_vectors")).as("sq"))
+    val r = occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        F.roundHalfUp(
+          col("n_vectors").cast("double") / col("n").cast("double"), 6)
+          .as("share"),
+        F.roundHalfUp(
+          col("sq").cast("double") * col("n_cells").cast("double") /
+            (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("imbalance"))
+    Out.sorted(r)(col("cell"))
+  }
 
   /** [[ivfPqIndexSearch]] restated as PURE SQL TEXT over the STORED
     * index tables (q_ann_index_search_sql) — the dual-surface proof for

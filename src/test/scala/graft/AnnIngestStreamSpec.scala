@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+import graft.streaming.AnnIngest
+
+/** The STREAMING scheduler contract for persisted-index maintenance
+  * (AnnIngest): driving the add/compact verbs from Structured
+  * Streaming must (a) change nothing about the rows — streamed
+  * ingest-then-search is row-identical to the chained batch adds —
+  * (b) stay a pure stored-quantizer path (zero Lloyd iterations
+  * across every admission and fold), (c) actually trip compaction at
+  * the threshold so the scan count stays bounded, and (d) survive a
+  * mid-stream restart: the checkpoint admits only unseen batches, so
+  * no vector is ever encoded into the index twice.
+  */
+class AnnIngestStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkT.spark
+  private val dir = SparkT.Sf0001
+
+  private def residueOf(c: org.apache.spark.sql.Column) =
+    c % VectorOps.AddModulus
+
+  private def corpus = VectorOps.embDistributed(spark, dir)
+
+  private def baseCorpus = corpus.filter(
+    !residueOf(col("vec_id"))
+      .isin(VectorOps.AddResidue, VectorOps.AddResidue2))
+
+  private def landBatch(residue: Long, landing: String): Unit =
+    corpus.filter(residueOf(col("vec_id")) === residue)
+      .coalesce(1).write.mode("append").parquet(landing)
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    assert(q.awaitTermination(300000L), "ingest stream did not finish")
+
+  test("streamed ingest == chained batch adds (the chain law under the streaming scheduler)") {
+    val streamed = AnnIngest.annIngestStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val viaChain = VectorOps.ivfPqIndexAddChain(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === viaChain)
+  }
+
+  test("admissions + fold compose ZERO Lloyd iterations; the threshold trips compaction") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annin_meter").toString
+    val base = s"$tmp/index"
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    landBatch(VectorOps.AddResidue, s"$tmp/landing")
+    landBatch(VectorOps.AddResidue2, s"$tmp/landing")
+    VectorOps.LloydMeter.reset()
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt"))
+    assert(VectorOps.LloydMeter.iterations.get() === 0L,
+      "a streamed admission or fold re-trained a quantizer")
+    assert(VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+      .isEmpty, "compaction did not trip at the delta threshold")
+    val n = corpus.count()
+    val listed = spark.read.parquet(s"$base/lists").count()
+    assert(listed === n * VectorOps.PqSubspaces,
+      s"folded lists carry $listed code rows for $n vectors")
+  }
+
+  test("mid-stream restart admits only unseen batches — nothing is encoded twice") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annin_restart").toString
+    val base = s"$tmp/index"
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    // threshold 3 never trips here: the deltas stay visible, so the
+    // union search path and the per-batch tables are themselves pinned
+    landBatch(VectorOps.AddResidue, s"$tmp/landing")
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt",
+      compactEvery = 3))
+    val afterFirst =
+      VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+    assert(afterFirst.size === 1, s"expected one delta, got $afterFirst")
+    landBatch(VectorOps.AddResidue2, s"$tmp/landing")
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt",
+      compactEvery = 3))
+    val deltas =
+      VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+    assert(deltas.size === 2,
+      s"restart re-admitted or dropped a batch: $deltas")
+    // every (vec_id, sub) code row exists EXACTLY once across the layout
+    val all = ("lists" +: deltas)
+      .map(t => spark.read.parquet(s"$base/$t").select("vec_id", "sub"))
+      .reduce(_ unionByName _)
+    assert(all.count() === all.distinct().count(),
+      "a replayed batch duplicated code rows")
+    assert(all.count() === corpus.count() * VectorOps.PqSubspaces)
+    val got = VectorOps.searchStored(spark, dir, base, deltas)
+      .filter(col("rank") <= VectorOps.TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim")
+      .collect().map(_.toSeq).toSet
+    val viaChain = VectorOps.ivfPqIndexAddChain(spark, dir)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim")
+      .collect().map(_.toSeq).toSet
+    assert(got === viaChain)
+  }
+}
