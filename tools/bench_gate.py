@@ -167,8 +167,12 @@ def main():
     cross_host = False
     ne, oe = new.get("env", {}), old.get("env", {})
     if ne.get("host_id") and oe.get("host_id"):
-        if (ne["host_id"], ne.get("host_cpu")) != (oe["host_id"],
-                                                   oe.get("host_cpu")):
+        # host_id is the stable fingerprint; the cpu MODEL NAME string is
+        # informational only — hypervisors restate the advertised base
+        # frequency inside an identical box across reboots (observed
+        # r12: same host_id, '@ 2.70GHz' -> '@ 2.10GHz'), and warning on
+        # it would mark genuinely same-host pairs as unprovenanced.
+        if ne["host_id"] != oe["host_id"]:
             cross_host = True
             print(f"WARN: cross-host comparison — new host_id={ne['host_id']}"
                   f" cpu={ne.get('host_cpu')!r} vs old host_id={oe['host_id']}"
@@ -176,6 +180,10 @@ def main():
                   " comparable across hosts (docs/SCALE.md: re-measure any"
                   " flagged query in isolation with SPARK_GRAFT_ONLY +"
                   " SPARK_GRAFT_REPEATS=5 before believing a regression).")
+        elif ne.get("host_cpu") != oe.get("host_cpu"):
+            print(f"  info: same host_id={ne['host_id']}, cpu model string"
+                  f" drifted ({oe.get('host_cpu')!r} -> {ne.get('host_cpu')!r})"
+                  " — hypervisor restatement, not a host change.")
     elif ne.get("host_id") or oe.get("host_id"):
         print("WARN: only one artifact carries a host fingerprint —"
               " provenance unknown; treat flagged drift as possibly"

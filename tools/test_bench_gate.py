@@ -136,6 +136,18 @@ def _(td):
     assert code == 0 and "cross-host comparison" in out
 
 
+@case("same host_id with a drifted cpu model string is NOT cross-host")
+def _(td):
+    # hypervisors restate the advertised frequency across reboots
+    # (r12: '@ 2.70GHz' -> '@ 2.10GHz' on one box) — the WARN keys on
+    # host_id; the cpu string drift prints as info only
+    e1 = {"host_id": "aaaa", "host_cpu": "Xeon @ 2.10GHz"}
+    e2 = {"host_id": "aaaa", "host_cpu": "Xeon @ 2.70GHz"}
+    code, out = run(td, art({"q_a": 1.0}, env=e1), art({"q_a": 1.0}, env=e2))
+    assert code == 0 and "cross-host comparison" not in out
+    assert "cpu model string drifted" in out
+
+
 @case("waived signal passes with a loud WAIVED line")
 def _(td):
     code, out = run(td, art({"q_a": 4.0}), art({"q_a": 2.0}),
