@@ -251,7 +251,14 @@ object QueryCatalog {
   // rank). q_ann_ivfpq cuts it at TopKPq; q_ann_ivfpq_rerank cuts at
   // RerankDepth and re-scores the nominees exactly. Also exposes `q`
   // (q_id, q_emb) for the rerank tail.
-  private lazy val ivfPqRankedCtes: String = {
+  private lazy val ivfPqRankedCtes: String = ivfPqRankedCtesExcluding("FALSE")
+
+  // Same chain with candidates additionally EXCLUDED by a predicate
+  // over a2's vec_id — the tombstone-delete oracle: every quantizer
+  // trains on (and every sub-vector encodes) the FULL corpus exactly
+  // as the engine's stored artifacts do, but retracted ids never enter
+  // `cand` — delete-then-search ≡ encode-all-except-deleted.
+  private def ivfPqRankedCtesExcluding(deadPred: String): String = {
     val m = VectorOps.PqSubspaces
     val d = VectorOps.PqSubDim
     val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
@@ -287,7 +294,7 @@ object QueryCatalog {
         cand AS (
           SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
           FROM best b JOIN a2 a ON a.cluster = b.cluster
-          WHERE a.vec_id <> b.q_id),
+          WHERE a.vec_id <> b.q_id AND NOT ($deadPred)),
         s AS (
           SELECT c.q_id, c.cell, c.cell_sim, c.vec_id AS neighbor_id,
                  CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
@@ -2455,6 +2462,20 @@ object QueryCatalog {
     // coarse assignment from scratch (the lloydCtes a2 sweep), so a
     // drifted stored layout fails the hash even when searches still
     // look plausible.
+    // Tombstone DELETE (faiss remove_ids, LSM-style): the retracted
+    // tenth of the ids never reaches the scorer — the search carries a
+    // broadcast anti-join mask until the next compaction makes the
+    // delete physical. The oracle trains and encodes the FULL corpus
+    // (the stored artifacts' exact state) and filters candidates on
+    // the residue: delete-then-search ≡ encode-all-except-deleted.
+    "q_ann_index_delete" -> Spec(
+      VectorOps.ivfPqIndexDelete,
+      Some(s"""
+        WITH ${ivfPqRankedCtesExcluding(
+          s"a.vec_id % ${VectorOps.AddModulus} = ${VectorOps.DeleteResidue}")}
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
     "q_ann_index_stats" -> Spec(
       VectorOps.ivfPqIndexStats,
       Some(s"""

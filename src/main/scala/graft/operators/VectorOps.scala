@@ -1498,6 +1498,51 @@ object VectorOps {
       .parquet(s"$base/$sub")
   }
 
+  /** Deterministic "deleted" split for the tombstone-delete row: after
+    * the index is built over the FULL corpus, vectors with vec_id ≡
+    * [[DeleteResidue]] (mod [[AddModulus]]) are retracted — 10% of the
+    * corpus at every SF, id-interleaved so every cell loses members.
+    * Disjoint from the add residues so the verbs compose in specs.
+    */
+  val DeleteResidue = 1L
+
+  /** The tombstone table of the persisted index. APPEND-ONLY: each
+    * [[ivfPqDelete]] batch appends its ids and readers dedup, so no
+    * read-then-overwrite swap protocol is needed; the physical purge
+    * (and the table's reset) happens at the next [[ivfPqCompact]].
+    */
+  private[graft] val DeletesTable = "deletes"
+
+  /** Tombstone DELETE — the faiss remove_ids verb, LSM-style: the ids
+    * land in an append-only [[DeletesTable]] beside the lists (one tiny
+    * partitioned-nothing write, the corpus is never touched), every
+    * [[searchStored]] masks candidates with a broadcast anti-join, and
+    * the next [[ivfPqCompact]] makes the delete PHYSICAL by dropping
+    * tombstoned rows from the merged rewrite and resetting the table.
+    * This is the 100-TB retraction story: a delete costs one id-list
+    * append now and rides the compaction the ingest cadence already
+    * pays — never a synchronous corpus rewrite. Idempotent by content:
+    * re-admitting any delete batch appends duplicate ids that the
+    * read-side distinct collapses. A torn append (crash mid-write)
+    * half-applies at worst and is healed by re-running the same batch
+    * — the documented retry, same as every append sink here.
+    */
+  private[graft] def ivfPqDelete(
+      spark: SparkSession, base: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$base/$DeletesTable")
+
+  /** The committed tombstone id set, deduped — None when no delete has
+    * ever been admitted (or the table was reset by a compaction).
+    */
+  private def tombstones(
+      spark: SparkSession, base: String): Option[DataFrame] =
+    if (committed(spark, s"$base/$DeletesTable"))
+      Some(spark.read.parquet(s"$base/$DeletesTable")
+        .select(col("vec_id")).distinct())
+    else None
+
   /** True iff a committed table sits at `path`: the `_SUCCESS` marker
     * the parquet committer writes last. A missing OR uncommitted
     * (crashed-mid-write) table reads as absent — searches and
@@ -1560,13 +1605,22 @@ object VectorOps {
     * next search.
     */
   private def completeCompaction(
-      spark: SparkSession, base: String, folded: Seq[String]): Unit = {
+      spark: SparkSession, base: String, folded: Seq[String],
+      purged: Boolean): Unit = {
     val fs = fsOf(spark, base)
     def del(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
       if (fs.exists(p))
         require(fs.delete(p, recursive), s"delete failed: $p")
     folded.foreach(s =>
       del(new org.apache.hadoop.fs.Path(s"$base/$s/_SUCCESS"), false))
+    // tombstones retire FIRST, like the delta markers: once the merged
+    // table (which already lacks the purged rows) is authoritative,
+    // the tombstone list's job is done — dropping it before the swap
+    // means no window serves the merged table with a stale mask (the
+    // mask is a no-op on it anyway), and a crash here re-heals to the
+    // same end state
+    if (purged)
+      del(new org.apache.hadoop.fs.Path(s"$base/$DeletesTable"), true)
     val lists = new org.apache.hadoop.fs.Path(s"$base/lists")
     val compacting = new org.apache.hadoop.fs.Path(s"$base/lists_compacting")
     del(lists, true)
@@ -1592,22 +1646,27 @@ object VectorOps {
     val fs = fsOf(spark, base)
     val mp = manifestPath(base)
     if (!fs.exists(mp)) return
-    val folded: Option[Seq[String]] =
+    val parsed: Option[(Seq[String], Boolean)] =
       try {
         val in = fs.open(mp)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         // manifest bodies are written by this module only: a flat
-        // {"folded":["lists_delta_b1",...]} of sub-directory tags
+        // {"folded":["lists_delta_b1",...],"purged":bool}; manifests
+        // from before the delete verb carry no purged field = false
         """"folded"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-          .map(_.group(1).split(",").toSeq
-            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty))
+          .map { m =>
+            (m.group(1).split(",").toSeq
+              .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty),
+              """"purged"\s*:\s*true""".r.findFirstIn(txt).isDefined)
+          }
       } catch { case _: java.io.IOException => None }
-    folded match {
-      case Some(f) if committed(spark, s"$base/lists_compacting") =>
-        completeCompaction(spark, base, f)
+    val folded = parsed.map(_._1)
+    parsed match {
+      case Some((f, purged)) if committed(spark, s"$base/lists_compacting") =>
+        completeCompaction(spark, base, f, purged)
       case _ =>
         val compacting =
           new org.apache.hadoop.fs.Path(s"$base/lists_compacting")
@@ -1653,13 +1712,21 @@ object VectorOps {
       spark: SparkSession, base: String, deltas: Seq[String]): Unit = {
     healCompaction(spark, base)
     val present = deltas.filter(s => committed(spark, s"$base/$s"))
-    if (present.isEmpty) return
+    // the merge is ALSO the physical-delete pass: tombstoned rows are
+    // dropped from the rewrite and the tombstone table retires with
+    // the swap — so a compaction with nothing to fold but pending
+    // deletes still rewrites (that rewrite IS the purge); with neither,
+    // it is a no-op that never touches the lists
+    val dead = tombstones(spark, base)
+    if (present.isEmpty && dead.isEmpty) return
     def listsAt(path: String) = spark.read.parquet(path)
       .select(col("vec_id"), col("sub"), col("code"),
         col("cell").cast("int").as("cell"))
-    ("lists" +: present)
+    val merged = ("lists" +: present)
       .map(s => listsAt(s"$base/$s"))
       .reduce(_ unionByName _)
+    dead.map(t => merged.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(merged)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/lists_compacting")
     val fs = fsOf(spark, base)
@@ -1667,13 +1734,14 @@ object VectorOps {
     val tmp = new org.apache.hadoop.fs.Path(base,
       "_compaction_manifest.json.tmp")
     val body =
-      s"""{"folded":[${present.map(graft.Json.quote).mkString(",")}]}\n"""
+      s"""{"folded":[${present.map(graft.Json.quote).mkString(",")}],""" +
+        s""""purged":${dead.nonEmpty}}\n"""
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (fs.exists(mp))
       require(fs.delete(mp, false), s"delete failed: $mp")
     require(fs.rename(tmp, mp), s"manifest commit rename failed: $tmp -> $mp")
-    completeCompaction(spark, base, present)
+    completeCompaction(spark, base, present, dead.nonEmpty)
   }
 
   /** IVF-PQ search against a PERSISTED index (no training, no encode):
@@ -1732,9 +1800,16 @@ object VectorOps {
     def candOf(lists: DataFrame) = lists
       .join(broadcast(probeKeys), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-    val cand = ("lists" +: presentDeltas)
+    val unmasked = ("lists" +: presentDeltas)
       .map(s => candOf(listsAt(s"$base/$s")))
       .reduce(_ unionByName _)
+    // tombstoned ids never reach the scorer: one broadcast anti-join
+    // above the union (the DPP cell joins live below it, per scan).
+    // The tombstone set is bounded by the compaction cadence — the
+    // next merge makes these deletes physical and resets the table.
+    val cand = tombstones(spark, base)
+      .map(t => unmasked.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(unmasked)
     cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("cell"), col("cell_sim"),
         col("vec_id").as("neighbor_id"))
@@ -1969,6 +2044,39 @@ object VectorOps {
 
   private def ensureSearchIndex(spark: SparkSession, dir: String): String =
     ensureIndex(spark, dir, "search", emb(spark, dir))
+
+  /** Tombstone DELETE row (q_ann_index_delete) — the faiss remove_ids
+    * verb under the driver gate: the index is built over the FULL
+    * corpus (at most once — the same committed-tables + corpus-stamp
+    * gate as the serving rows), the [[DeleteResidue]] tenth of the ids
+    * is retracted through [[ivfPqDelete]] (one id-list append, the
+    * corpus untouched), and the search runs with the tombstone mask in
+    * the plan — the steady-state "serve while deletes are pending"
+    * cost, the rung between search-only and add-only in the ladder.
+    * Timed repeats re-append the same delete batch (idempotent by
+    * content: the read-side distinct collapses duplicates) and re-run
+    * the masked search.
+    *
+    * Equality law (IvfPqDeleteSpec): delete-then-search ≡
+    * encode-all-EXCEPT-deleted against the same quantizers — the add
+    * law mirrored — and the oracle replays exactly that (full-corpus
+    * training, candidates filtered on the residue), so a tombstone
+    * leak (mask lost, purge dropping the wrong rows) fails the hash.
+    * The physical half — the next compact purges the rows and retires
+    * the table, after which the same search runs maskless and
+    * hash-equal — is spec-pinned.
+    */
+  def ivfPqIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIndex(spark, dir, "delete", emb(spark, dir))
+    ivfPqDelete(spark, base, embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus === DeleteResidue)
+      .select(col("vec_id")))
+    val r = searchStored(spark, dir, base, Nil)
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
 
   /** Index OBSERVABILITY row (q_ann_index_stats) — faiss's
     * imbalance-factor stats promoted to an oracle-checked query: per
