@@ -321,7 +321,11 @@ object QueryCatalog {
 
   // Same chain with the held-out (post-build) rows given by any
   // predicate — the chained two-batch row holds out both residues.
-  private def ivfPqAddRankedCtesFor(deltaPred: String): String = {
+  // `deadPred` (over a2's vec_id, alias `a`) additionally excludes
+  // tombstoned ids from the candidates — the masked delta-union read:
+  // train on base, encode everything, serve all except the deleted.
+  private def ivfPqAddRankedCtesFor(
+      deltaPred: String, deadPred: String = "FALSE"): String = {
     val m = VectorOps.PqSubspaces
     val d = VectorOps.PqSubDim
     val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
@@ -360,7 +364,7 @@ object QueryCatalog {
         cand AS (
           SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
           FROM best b JOIN a2 a ON a.cluster = b.cluster
-          WHERE a.vec_id <> b.q_id),
+          WHERE a.vec_id <> b.q_id AND NOT ($deadPred)),
         s AS (
           SELECT c.q_id, c.cell, c.cell_sim, c.vec_id AS neighbor_id,
                  CAST(sum(CAST(part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
@@ -2458,10 +2462,13 @@ object QueryCatalog {
 
     // Index observability: per-cell occupancy + the faiss imbalance
     // factor nlist*sum(n_i^2)/n^2, read from the STORED lists behind
-    // the serving rows' build-at-most-once gate. The oracle replays the
-    // coarse assignment from scratch (the lloydCtes a2 sweep), so a
-    // drifted stored layout fails the hash even when searches still
-    // look plausible.
+    // the serving rows' build-at-most-once gate. n_cells = the trained
+    // nlist (count of centroids, cent1 here / the stored centroids
+    // table in the engine), NOT the count of non-empty lists — faiss's
+    // factor counts empty cells. The oracle replays the coarse
+    // assignment from scratch (the lloydCtes a2 sweep), so a drifted
+    // stored layout fails the hash even when searches still look
+    // plausible.
     // Tombstone DELETE (faiss remove_ids, LSM-style): the retracted
     // tenth of the ids never reaches the scorer — the search carries a
     // broadcast anti-join mask until the next compaction makes the
@@ -2476,13 +2483,64 @@ object QueryCatalog {
         SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
+    // The masked DELTA-UNION read as pure SQL text: base lists + a
+    // pending add delta + pending tombstones composed with nothing but
+    // spark.sql (per-scan broadcast probe joins below the UNION ALL for
+    // DPP, one LEFT ANTI JOIN mask above it). The oracle trains on the
+    // base corpus, encodes everything, excludes the deleted residue —
+    // the add and delete laws composed in one statement.
+    "q_ann_index_masked_sql" -> Spec(
+      VectorOps.ivfPqIndexMaskedSql,
+      Some(s"""
+        WITH ${ivfPqAddRankedCtesFor(
+          s"vec_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue}",
+          s"a.vec_id % ${VectorOps.AddModulus} = ${VectorOps.DeleteResidue}")}
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+               neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue} AS from_delta
+        FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // Recall@k of the PERSISTED index's masked serving path vs exact
+    // brute force over the LIVE (post-tombstone) corpus — the stored
+    // index's QUALITY gate, beside the hash-equality laws that gate its
+    // layout. Rides the delete row's lifecycle (same gated index); the
+    // oracle replays both sides: the excluded-candidate IVF-PQ chain
+    // and a live-corpus brute-force top-k.
+    "q_ann_index_recall" -> Spec(
+      VectorOps.ivfPqIndexRecall,
+      Some {
+        val k = VectorOps.TopKPq
+        val dead = s"% ${VectorOps.AddModulus} = ${VectorOps.DeleteResidue}"
+        s"""
+        WITH ${ivfPqRankedCtesExcluding(s"a.vec_id $dead")},
+        ak AS (SELECT q_id, neighbor_id FROM r WHERE rank <= $k),
+        qb AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < ${VectorOps.NQueries}),
+        sb AS (SELECT q_id, e.vec_id AS neighbor_id,
+                      ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM qb, embeddings e
+               WHERE e.vec_id <> q_id AND NOT (e.vec_id $dead)),
+        rb AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS xrank FROM sb),
+        exk AS (SELECT q_id, neighbor_id FROM rb WHERE xrank <= $k),
+        h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+              FROM exk JOIN ak USING (q_id, neighbor_id) GROUP BY 1),
+        qq AS (SELECT DISTINCT q_id FROM exk)
+        SELECT qq.q_id, CAST($k AS BIGINT) AS n_exact,
+               coalesce(hits, 0) AS hits,
+               ${rnd(s"CAST(coalesce(hits, 0) AS DOUBLE) / CAST($k AS DOUBLE)", 6)} AS recall
+        FROM qq LEFT JOIN h USING (q_id)
+        ORDER BY q_id"""
+      }),
+
     "q_ann_index_stats" -> Spec(
       VectorOps.ivfPqIndexStats,
       Some(s"""
         WITH $lloydCtes,
         occ AS (SELECT cluster AS cell, count(*) AS n_vectors
                 FROM a2 GROUP BY cluster),
-        tot AS (SELECT sum(n_vectors) AS n, count(*) AS n_cells,
+        tot AS (SELECT sum(n_vectors) AS n,
+                       (SELECT count(*) FROM cent1) AS n_cells,
                        sum(n_vectors * n_vectors) AS sq FROM occ)
         SELECT cell, n_vectors,
                ${rnd("CAST(n_vectors AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS share,

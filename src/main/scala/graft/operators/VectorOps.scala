@@ -1593,6 +1593,66 @@ object VectorOps {
   private def manifestPath(base: String) =
     new org.apache.hadoop.fs.Path(base, "_compaction_manifest.json")
 
+  /** Delta tables admitted by the STREAMING scheduler are named by
+    * their micro-batch id ([[graft.streaming.AnnIngest]] appends the id
+    * to this prefix). Compaction recognizes the pattern to maintain the
+    * folded-batch watermark below.
+    */
+  private[graft] val StreamDeltaPrefix = "lists_delta_s"
+  private val StreamDeltaName = s"^$StreamDeltaPrefix(\\d+)$$".r
+
+  private def foldedWatermarkPath(base: String) =
+    new org.apache.hadoop.fs.Path(base, "_folded_watermark.json")
+
+  /** Monotone high-water mark of stream micro-batch ids whose delta
+    * tables a COMPLETED compaction has folded into the base lists; -1
+    * when no stream delta was ever folded. This is what closes the
+    * stream's exactly-once crash window: if the JVM dies after a
+    * compaction commits but before the stream checkpoint records the
+    * batch offset, the restarted stream re-delivers the batch — without
+    * the watermark, re-admission would re-commit the folded delta and
+    * every (vec_id, sub) code row of the batch would exist in BOTH the
+    * merged lists and the delta. [[graft.streaming.AnnIngest.admit]]
+    * skips any batch at or below the watermark. Written atomically
+    * (temp + rename) inside [[completeCompaction]] BEFORE the folded
+    * deltas' markers retire, so [[healCompaction]] finishing an
+    * interrupted swap re-establishes it.
+    */
+  private[graft] def foldedWatermark(
+      spark: SparkSession, base: String): Long = {
+    val fs = fsOf(spark, base)
+    val p = foldedWatermarkPath(base)
+    if (!fs.exists(p)) -1L
+    else try {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"watermark"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    } catch { case _: java.io.IOException => -1L }
+  }
+
+  private def advanceFoldedWatermark(
+      spark: SparkSession, base: String, folded: Seq[String]): Unit = {
+    val streamIds = folded.collect { case StreamDeltaName(id) => id.toLong }
+    if (streamIds.isEmpty) return
+    val cur = foldedWatermark(spark, base)
+    val hw = streamIds.max
+    if (hw <= cur) return
+    val fs = fsOf(spark, base)
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      "_folded_watermark.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"watermark":$hw}\n""".getBytes("UTF-8"))
+    finally out.close()
+    val wp = foldedWatermarkPath(base)
+    if (fs.exists(wp))
+      require(fs.delete(wp, false), s"delete failed: $wp")
+    require(fs.rename(tmp, wp),
+      s"watermark commit rename failed: $tmp -> $wp")
+  }
+
   /** Finish a committed compaction swap: retire each folded delta's
     * `_SUCCESS` FIRST — from that point the deltas read as absent via
     * [[committed]], so no crash inside the swap can leave a delta both
@@ -1611,6 +1671,11 @@ object VectorOps {
     def del(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
       if (fs.exists(p))
         require(fs.delete(p, recursive), s"delete failed: $p")
+    // the stream's folded-batch watermark lands FIRST: once the markers
+    // below retire, a replayed micro-batch could only learn "already
+    // folded" from this file — and heal re-runs this whole method, so a
+    // crash at any point re-establishes it (monotone + atomic rename)
+    advanceFoldedWatermark(spark, base, folded)
     folded.foreach(s =>
       del(new org.apache.hadoop.fs.Path(s"$base/$s/_SUCCESS"), false))
     // tombstones retire FIRST, like the delta markers: once the merged
@@ -2015,7 +2080,7 @@ object VectorOps {
     * compaction first — the committed-tables check must see the final
     * layout, not a mid-swap one.
     */
-  private def ensureIndex(
+  private[graft] def ensureIndex(
       spark: SparkSession, dir: String, tag: String,
       corpus: => DataFrame): String = {
     val base = indexBase(dir, tag)
@@ -2034,6 +2099,20 @@ object VectorOps {
       } catch { case _: java.io.IOException => false }
     }
     if (!built) {
+      // a REBUILD (corpus swapped under the digest-keyed location)
+      // starts from nothing: stale tombstones would silently mask rows
+      // of the rebuilt index, stale deltas would be unioned into its
+      // searches, and a stale stream watermark would skip fresh batches
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fs.exists(bp)) {
+        val stale = fs.listStatus(bp).toSeq.map(_.getPath).filter { p =>
+          val n = p.getName
+          n == DeletesTable || n.startsWith("lists_delta") ||
+            n.startsWith("_folded_watermark")
+        }
+        stale.foreach(p =>
+          require(fs.delete(p, true), s"delete failed: $p"))
+      }
       val c = corpus
       ivfPqPersistFrames(spark, c, c, base)
       val out = fs.create(stampPath(base), true)
@@ -2099,10 +2178,16 @@ object VectorOps {
     val occ = spark.read.parquet(s"$base/lists")
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(countDistinct(col("vec_id")).as("n_vectors"))
+    // n_cells is the TRAINED nlist (the stored centroids table), not the
+    // count of non-empty lists: faiss's imbalance factor nlist·Σnᵢ²/n²
+    // counts empty cells — an index where one centroid captured nothing
+    // is MORE imbalanced, and occupied-cell counting would understate it
+    val nCells = spark.read.parquet(s"$base/centroids")
+      .agg(count(lit(1)).as("n_cells"))
     val tot = occ.agg(
       sum(col("n_vectors")).as("n"),
-      count(lit(1)).as("n_cells"),
       sum(col("n_vectors") * col("n_vectors")).as("sq"))
+      .crossJoin(nCells)
     val r = occ.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vectors"),
         F.roundHalfUp(
@@ -2181,6 +2266,98 @@ object VectorOps {
       ORDER BY q_id, rank""")
   }
 
+  /** The masked DELTA-UNION read restated as PURE SQL TEXT
+    * (q_ann_index_masked_sql) — the serving state a continuously
+    * maintained index actually sits in between compactions: base lists
+    * + a pending add delta + pending tombstones. q_ann_index_search_sql
+    * proves the steady-state read is SQL-expressible; this row proves
+    * the MAINTENANCE-WINDOW read is too — a spark.sql user points views
+    * at the stored tables and composes probe → LUT → per-scan pruned
+    * candidates (each lists table joins the broadcast probe frame
+    * SEPARATELY, below the UNION ALL, so dynamic partition pruning
+    * fires per scan exactly as in [[searchStored]]) → one LEFT ANTI
+    * JOIN tombstone mask above the union → ADC sum. Lifecycle verbs
+    * ride their own gates: the base index builds at most once per
+    * corpus (tag-isolated, so this row's tombstones never leak into the
+    * other serving rows' indices), the delta re-admission is
+    * [[ivfPqAddBatch]]'s idempotent overwrite, the delete re-append
+    * collapses in the read-side DISTINCT. The oracle trains on the
+    * base corpus, encodes everything, and excludes the deleted residue
+    * from candidates — add-then-delete-then-search ≡
+    * encode-all-except-deleted against base-trained quantizers, the add
+    * and delete laws composed in one SQL statement.
+    */
+  def ivfPqIndexMaskedSql(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIndex(spark, dir, "sqlmask", embBase(spark, dir))
+    ivfPqAdd(spark, dir, base)
+    ivfPqDelete(spark, base, embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus === DeleteResidue)
+      .select(col("vec_id")))
+    graft.functions.VectorDot.register(spark)
+    Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("graft_ann_embeddings")
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ann_centroids")
+    spark.read.parquet(s"$base/codebooks")
+      .createOrReplaceTempView("graft_ann_codebooks")
+    spark.read.parquet(s"$base/lists")
+      .createOrReplaceTempView("graft_ann_lists")
+    spark.read.parquet(s"$base/lists_delta")
+      .createOrReplaceTempView("graft_ann_delta")
+    spark.read.parquet(s"$base/$DeletesTable")
+      .createOrReplaceTempView("graft_ann_deletes")
+    val r6 = (x: String) => s"CAST(floor(($x) * 1.0E6 + 0.5) AS DOUBLE) / 1.0E6"
+    val d = PqSubDim
+    spark.sql(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM graft_ann_embeddings WHERE vec_id < $NQueries),
+      cells AS (
+        SELECT q_id, q_emb, cluster, cell_sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cell_sim DESC, cluster ASC) AS rn
+        FROM (SELECT /*+ BROADCAST(c) */ q.q_id, q.q_emb, c.cluster,
+                     ${r6("vector_dot(q.q_emb, c.centroid)")} AS cell_sim
+              FROM q CROSS JOIN graft_ann_centroids c)),
+      probed AS (
+        SELECT q_id, q_emb, cluster AS cell, cell_sim FROM cells WHERE rn <= 1),
+      lut AS (
+        SELECT /*+ BROADCAST(cb) */ p.q_id, cb.sub, cb.code,
+               ${r6(s"vector_dot(slice(p.q_emb, cb.sub * $d + 1, $d), cb.centroid)")} AS part
+        FROM probed p CROSS JOIN graft_ann_codebooks cb),
+      cand AS (
+        SELECT /*+ BROADCAST(p) */ l.vec_id, l.sub, l.code,
+               p.q_id, p.cell, p.cell_sim
+        FROM graft_ann_lists l
+        JOIN probed p ON CAST(l.cell AS INT) = p.cell
+        WHERE l.vec_id <> p.q_id
+        UNION ALL
+        SELECT /*+ BROADCAST(p) */ l.vec_id, l.sub, l.code,
+               p.q_id, p.cell, p.cell_sim
+        FROM graft_ann_delta l
+        JOIN probed p ON CAST(l.cell AS INT) = p.cell
+        WHERE l.vec_id <> p.q_id),
+      live AS (
+        SELECT c.* FROM cand c
+        LEFT ANTI JOIN (SELECT DISTINCT vec_id FROM graft_ann_deletes) dd
+          ON c.vec_id = dd.vec_id),
+      scored AS (
+        SELECT /*+ BROADCAST(lut) */ c.q_id, c.cell, c.cell_sim,
+               c.vec_id AS neighbor_id,
+               CAST(sum(CAST(lut.part AS DECIMAL(20,10))) AS DOUBLE) AS approx_sim
+        FROM live c
+        JOIN lut ON lut.q_id = c.q_id AND lut.sub = c.sub AND lut.code = c.code
+        GROUP BY c.q_id, c.cell, c.cell_sim, c.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim,
+             neighbor_id % $AddModulus = $AddResidue AS from_delta
+      FROM ranked WHERE rank <= $TopKPq
+      ORDER BY q_id, rank""")
+  }
+
   /** Recall@k of the IVF approximation against the exact brute-force
     * ranking, per query and per probe depth — the index-quality metric
     * (faiss's own acceptance number) promoted to a first-class,
@@ -2218,6 +2395,60 @@ object VectorOps {
         F.roundHalfUp(col("hits_probe2").cast("double") / k.toDouble, 6))
       .withColumn("probe2_improves",
         col("hits_probe2") >= col("hits_probe1"))
+    Out.sorted(r)(col("q_id"))
+  }
+
+  /** Recall@k of the PERSISTED index's serving path against exact brute
+    * force over the LIVE corpus — the quality metric for the index as
+    * it actually exists on disk, post-mutation (q_ann_index_recall).
+    * [[annRecall]] gates the in-memory IVF path; this row rides the
+    * tombstone-delete lifecycle (the same gated "delete" index as
+    * [[ivfPqIndexDelete]]: full-corpus build + [[DeleteResidue]]
+    * retraction), searches through [[searchStored]] — stored
+    * quantizers, DPP-pruned lists scan, broadcast tombstone mask — and
+    * counts how many of the exact top-k (computed over the live,
+    * non-tombstoned corpus) the masked approximate search recovers. The
+    * hash-equality laws (IvfPqDeleteSpec/IvfPqCompactSpec) prove the
+    * index serves exactly what its layout encodes; THIS row catches a
+    * quality regression those laws cannot see — a quantizer drift, a
+    * probe-depth loss, a mutation cycle that degrades the lists — as a
+    * changed recall value under the driver gate.
+    *
+    * Scale shape: the two searches are already scale-shaped (stored
+    * probe + pruned scan; brute = the one quadratic baseline, gated to
+    * [[NQueries]] probes); the recall tail is two tiny queries×k
+    * frames, one semi-join, one left join.
+    */
+  def ivfPqIndexRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = TopKPq
+    val base = ensureIndex(spark, dir, "delete", emb(spark, dir))
+    ivfPqDelete(spark, base, embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus === DeleteResidue)
+      .select(col("vec_id")))
+    val approx = searchStored(spark, dir, base, Nil)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"))
+    val live = embDistributed(spark, dir)
+      .filter(col("vec_id") % AddModulus =!= DeleteResidue)
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = live.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    val r = exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), lit(k.toLong).as("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall",
+        F.roundHalfUp(col("hits").cast("double") / k.toDouble, 6))
     Out.sorted(r)(col("q_id"))
   }
 }

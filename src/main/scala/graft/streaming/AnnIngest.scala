@@ -26,9 +26,14 @@ import graft.operators.VectorOps
   * exactly-once admission per batch; idempotent per-batch overwrite;
   * heal-before-read compaction manifest), so the stream can die and
   * restart at ANY point: re-running admits only batches the
-  * checkpoint has not seen, and an interrupted compaction is finished
-  * or rolled back by the next verb that touches the index
-  * (AnnIngestStreamSpec drives a mid-stream restart end-to-end).
+  * checkpoint has not seen, an interrupted compaction is finished
+  * or rolled back by the next verb that touches the index, and a
+  * batch that a completed compaction already FOLDED before the
+  * checkpoint recorded its offset is skipped via the folded-batch
+  * watermark ([[VectorOps.foldedWatermark]], written at the compaction
+  * commit — so "folded" and "skippable" can never disagree).
+  * AnnIngestStreamSpec drives a mid-stream restart and the
+  * fold-then-replay crash window end-to-end.
   *
   * Single-writer like every mutation verb here (VectorOps.indexBase's
   * contract): one ingest stream per index location.
@@ -44,7 +49,7 @@ object AnnIngest {
     * rows — [[VectorOps.ivfPqAddBatch]]'s idempotent-admission
     * contract keyed by the stream's own progress tracking.
     */
-  val DeltaPrefix = "lists_delta_s"
+  val DeltaPrefix: String = VectorOps.StreamDeltaPrefix
 
   /** Fold committed deltas back into the base lists once this many
     * have accumulated — the search-scan-count bound. Deploy config,
@@ -71,16 +76,36 @@ object AnnIngest {
       .writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        VectorOps.ivfPqAddBatch(s, landingDir, base, batch,
-          s"$DeltaPrefix$batchId")
-        val pending = VectorOps.committedDeltas(s, base, DeltaPrefix)
-        if (pending.size >= compactEvery)
-          VectorOps.ivfPqCompact(s, base, pending)
+        admit(batch.sparkSession, landingDir, base, batch, batchId,
+          compactEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One micro-batch admission — the foreachBatch body, named so the
+    * crash-window spec can replay it with a chosen batch id. The
+    * exactly-once contract across the compaction swap: heal FIRST (a
+    * compaction that reached its commit point before a crash finishes
+    * here, which re-establishes the folded-batch watermark), then skip
+    * any batch the watermark says a completed compaction already
+    * folded. Without the skip, the window "compaction committed, stream
+    * checkpoint offset not yet" would re-admit the folded batch on
+    * restart — [[VectorOps.ivfPqAddBatch]]'s idempotent overwrite
+    * re-commits the delta table, and every (vec_id, sub) code row of
+    * the batch would be served (and later merged) TWICE.
+    */
+  private[graft] def admit(s: SparkSession, landingDir: String,
+      base: String, batch: DataFrame, batchId: Long,
+      compactEvery: Int): Unit = {
+    VectorOps.healCompaction(s, base)
+    if (batchId <= VectorOps.foldedWatermark(s, base)) return
+    VectorOps.ivfPqAddBatch(s, landingDir, base, batch,
+      s"$DeltaPrefix$batchId")
+    val pending = VectorOps.committedDeltas(s, base, DeltaPrefix)
+    if (pending.size >= compactEvery)
+      VectorOps.ivfPqCompact(s, base, pending)
+  }
 
   /** Driver-oracle row q_ann_ingest_stream — the continuous-ingest
     * lifecycle run THROUGH the stream: build the index over the

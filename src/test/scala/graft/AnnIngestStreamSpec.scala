@@ -64,6 +64,44 @@ class AnnIngestStreamSpec extends AnyFunSuite {
       s"folded lists carry $listed code rows for $n vectors")
   }
 
+  test("crash window: a batch FOLDED by compaction before the checkpoint committed is skipped on replay") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annin_fold").toString
+    val base = s"$tmp/index"
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    landBatch(VectorOps.AddResidue, s"$tmp/landing")
+    landBatch(VectorOps.AddResidue2, s"$tmp/landing")
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt"))
+    assert(VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+      .isEmpty, "precondition: the threshold compaction folded both deltas")
+    val lists = spark.read.parquet(s"$base/lists").select("vec_id", "sub")
+    val before = lists.count()
+    // the crash window the checkpoint cannot cover: the JVM died after
+    // the in-batch compaction swap committed but before the stream
+    // checkpoint recorded micro-batch 1's offset — the restarted stream
+    // re-delivers batch 1 (and, with a wiped checkpoint, batch 0 too)
+    def replay(residue: Long, batchId: Long): Unit =
+      AnnIngest.admit(spark, s"$tmp/landing", base,
+        corpus.filter(residueOf(col("vec_id")) === residue),
+        batchId, AnnIngest.CompactEvery)
+    replay(VectorOps.AddResidue2, 1L)
+    replay(VectorOps.AddResidue, 0L)
+    assert(VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+      .isEmpty, "a folded batch was re-admitted as a delta")
+    val after = spark.read.parquet(s"$base/lists").select("vec_id", "sub")
+    assert(after.count() === before,
+      "replaying a folded batch changed the merged lists")
+    assert(after.distinct().count() === before,
+      "a replayed batch duplicated (vec_id, sub) code rows")
+    // a genuinely NEW batch id (above the watermark) still admits
+    AnnIngest.admit(spark, s"$tmp/landing", base,
+      corpus.filter(residueOf(col("vec_id")) === VectorOps.AddResidue)
+        .limit(0),
+      2L, compactEvery = 99)
+    assert(VectorOps.foldedWatermark(spark, base) === 1L,
+      "the watermark moved without a compaction")
+  }
+
   test("mid-stream restart admits only unseen batches — nothing is encoded twice") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_annin_restart").toString

@@ -102,21 +102,67 @@ class IvfPqDeleteSpec extends AnyFunSuite {
     VectorOps.ivfPqAddBatch(spark, dir, base,
       corpus.filter(residueOf(col("vec_id")) === VectorOps.AddResidue),
       "lists_delta")
-    // retract ids from BOTH the base lists and the arriving batch
-    VectorOps.ivfPqDelete(spark, base, deadIds.unionByName(
-      corpus.filter(residueOf(col("vec_id")) === VectorOps.AddResidue)
-        .select(col("vec_id")).limit(0)))
+    // retract ids from BOTH the base lists and the arriving batch: every
+    // other vector of the delta (vec_id ≡ AddResidue mod 2·AddModulus)
+    // is tombstoned too, so the mask over the DELTA scan is exercised,
+    // not just the base-lists one
+    val deadDelta = corpus
+      .filter(residueOf(col("vec_id")) === VectorOps.AddResidue &&
+        col("vec_id") % (VectorOps.AddModulus * 2) === VectorOps.AddResidue)
+      .select(col("vec_id"))
+    val deadDeltaIds = deadDelta.collect().map(_.getLong(0)).toSet
+    assert(deadDeltaIds.nonEmpty, "fixture: no delta ids to tombstone")
+    VectorOps.ivfPqDelete(spark, base, deadIds.unionByName(deadDelta))
     val masked =
       rows(VectorOps.searchStored(spark, dir, base, Seq("lists_delta")))
     assert(!masked.exists(r => r(4).asInstanceOf[Long] %
       VectorOps.AddModulus == VectorOps.DeleteResidue))
+    assert(!masked.exists(r =>
+      deadDeltaIds.contains(r(4).asInstanceOf[Long])),
+      "a tombstoned DELTA id survived the masked delta-union search")
     // the one-shot reference: train on held-out base, encode everything
-    // except the deleted residue
+    // except the deleted ids (both residue classes)
     val oneShot = java.nio.file.Files
       .createTempDirectory("graft_ivfpq_deladdref").toString
     VectorOps.ivfPqPersistFrames(spark, held,
-      corpus.filter(residueOf(col("vec_id")) =!= VectorOps.DeleteResidue),
+      corpus.filter(residueOf(col("vec_id")) =!= VectorOps.DeleteResidue &&
+        col("vec_id") % (VectorOps.AddModulus * 2) =!= VectorOps.AddResidue),
       oneShot)
     assert(masked === rows(VectorOps.searchStored(spark, dir, oneShot, Nil)))
+  }
+
+  test("a corpus-swap REBUILD clears stale tombstones, deltas, and the stream watermark") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rebuild").toString
+    // a private corpus copy whose stamp THIS test can change
+    corpus.write.parquet(s"$tmp/embeddings.parquet")
+    def liveCorpus = VectorOps.embDistributed(spark, tmp)
+    val base = VectorOps.ensureIndex(spark, tmp, "rebuildspec", liveCorpus)
+    VectorOps.ivfPqDelete(spark, base, deadIds)
+    VectorOps.ivfPqAddBatch(spark, tmp, base,
+      liveCorpus.limit(50), s"${VectorOps.StreamDeltaPrefix}0")
+    VectorOps.ivfPqCompact(spark, base,
+      Seq(s"${VectorOps.StreamDeltaPrefix}0"))
+    assert(VectorOps.foldedWatermark(spark, base) === 0L)
+    VectorOps.ivfPqDelete(spark, base, deadIds)
+    VectorOps.ivfPqAddBatch(spark, tmp, base,
+      liveCorpus.limit(10), "lists_delta_stale")
+    // swap the corpus under the digest-keyed location: same rows, new
+    // layout (file count + mtime) — the stamp mismatches
+    corpus.coalesce(2)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    VectorOps.ensureIndex(spark, tmp, "rebuildspec", liveCorpus)
+    assert(!new java.io.File(s"$base/${VectorOps.DeletesTable}").exists(),
+      "stale tombstones survived the rebuild — they would mask live rows")
+    assert(!new java.io.File(s"$base/lists_delta_stale").exists(),
+      "a stale delta table survived the rebuild")
+    assert(VectorOps.foldedWatermark(spark, base) === -1L,
+      "a stale stream watermark survived the rebuild — fresh batches would be skipped")
+    // the rebuilt index serves the FULL corpus: previously tombstoned
+    // ids are neighbors again
+    val got = rows(VectorOps.searchStored(spark, tmp, base, Nil))
+    assert(got.exists(r => r(4).asInstanceOf[Long] %
+      VectorOps.AddModulus == VectorOps.DeleteResidue),
+      "rebuild did not surface previously tombstoned rows")
   }
 }
