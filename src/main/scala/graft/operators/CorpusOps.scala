@@ -152,29 +152,56 @@ object CorpusOps {
     spanRemovalFrom(docsDistributed(spark, dir))
 
   /** Same over any (doc_id, text) frame — lets specs feed constructed
-    * corpora with planted shared runs. */
+    * corpora with planted shared runs.
+    *
+    * Exact-clone pre-collapse (the r9 bander pattern, applied here in
+    * r13): web corpora carry heavy exact-duplicate mass (the sf10
+    * generator plants 4-5 clones per family), and every downstream
+    * frame of this operator — the gram-occurrence explode, the
+    * semi-join fan-in, the per-doc coverage aggregation — would
+    * otherwise carry that multiplicity. Token-identical documents have
+    * identical grams, coverage sets and cleaned text, so the pipeline
+    * runs ONCE per clone class on a representative and the per-doc
+    * rows re-expand through the (class → doc_id) membership at the
+    * end. Cross-document duplication semantics are preserved exactly
+    * by weighting each class's gram presence with its multiplicity: a
+    * gram inside a 2-clone family IS present in ≥ 2 distinct docs
+    * (both copies get excised — the published both-copies policy).
+    */
   private[graft] def spanRemovalFrom(d: DataFrame): DataFrame = {
     val k = SpanGramK
     val base = d.select(col("doc_id"), toks.as("ws"))
+    // clone class key: tokens can't contain the space they were split
+    // on, so the " "-join is injective on token sequences
+    val withCk = base.withColumn("ck", md5(concat_ws(" ", col("ws"))))
+    val members = withCk.select(col("doc_id"), col("ck"))
+    // one representative (ws is identical across the class by
+    // construction of ck) + the class multiplicity
+    val classes = withCk.groupBy(col("ck"))
+      .agg(first(col("ws")).as("ws"), count(lit(1)).as("m"))
     // 60-bit gram keys: conv(md5-prefix) on Spark ≡ CAST('0x'||substr)
     // in the oracle (the minhash shingle-hash convention).
     val gramHashes = transform(
       sequence(lit(1), size(col("ws")) - (k - 1)),
       i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))),
         1, 15), 16, 10).cast(LongType))
-    val occ = base
+    val occ = classes
       .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), posexplode(gramHashes))
-      .select(col("doc_id"), (col("pos") + 1).as("start"),
+      .select(col("ck"), col("m"), posexplode(gramHashes))
+      .select(col("ck"), col("m"), (col("pos") + 1).as("start"),
         col("col").as("gh"))
-    val dup = occ.groupBy("gh")
-      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    // distinct-doc count per gram = Σ multiplicity over the classes
+    // containing it (count_distinct(doc_id) in clone-expanded terms:
+    // every member of a class containing the gram is a distinct doc)
+    val dup = occ.select(col("ck"), col("m"), col("gh")).distinct()
+      .groupBy("gh")
+      .agg(sum(col("m")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("gh")
     val cov = occ.join(dup, Seq("gh"), "left_semi")
-      .select(col("doc_id"),
+      .select(col("ck"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
-      .groupBy("doc_id")
+      .groupBy("ck")
       .agg(array_sort(collect_set(col("p"))).as("cov"))
     // A maximal excised span starts wherever the sorted covered set
     // breaks contiguity; `when` keeps element_at off index 0 (ANSI).
@@ -184,12 +211,16 @@ object CorpusOps {
           element_at(col("cov"), i - 1) + 1)))
     val clean = concat_ws(" ",
       filter(col("ws"), (t, i) => !array_contains(col("cov"), i + 1)))
-    val r = base.join(cov, Seq("doc_id"))
-      .select(col("doc_id"),
+    // coverage computed once per clone class; per-doc output rows
+    // re-expand through the membership join (class-sized → doc-sized)
+    val classRows = classes.join(cov, Seq("ck"))
+      .select(col("ck"),
         size(col("ws")).cast(LongType).as("n_tokens"),
         size(col("cov")).cast(LongType).as("n_removed"),
         nSpans.cast(LongType).as("n_spans"),
         md5(clean).as("clean_hash"))
+    val r = members.join(classRows, Seq("ck"))
+      .select("doc_id", "n_tokens", "n_removed", "n_spans", "clean_hash")
     Out.sorted(r)(col("doc_id"))
   }
 

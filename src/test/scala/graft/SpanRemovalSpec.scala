@@ -59,6 +59,32 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("exact clones are distinct documents: a 2-clone family is fully excised (clone pre-collapse preserves the law)") {
+    // token-identical docs collapse to one representative internally
+    // (the r13 pre-collapse), but each member still counts as a
+    // distinct document for the >= 2-docs criterion: every gram of a
+    // cloned doc is cross-document duplicated, so BOTH copies lose all
+    // covered tokens — and a third doc sharing nothing stays untouched
+    val fam = (1 to 9).map(i => s"c$i").mkString(" ")
+    val out = run(1L -> fam, 2L -> fam, 3L -> "lonely doc with no twin here")
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((9L, 9L, 1L, md5Hex(""))))
+    assert(out(2L) === out(1L))
+  }
+
+  test("a clone family PLUS a partial overlap: members and non-members each get the right coverage") {
+    val shared = (1 to 6).map(i => s"v$i").mkString(" ")
+    val fam = s"f1 f2 $shared f3 f4"   // cloned twice (docs 1, 2)
+    val other = s"o1 o2 o3 o4 $shared" // distinct doc sharing only the run
+    val out = run(1L -> fam, 2L -> fam, 3L -> other)
+    // clones: every token is in a >=2-doc gram (the whole doc is its
+    // own duplicate), so full excision
+    assert(out(1L) === ((10L, 10L, 1L, md5Hex(""))))
+    assert(out(2L) === out(1L))
+    // the non-clone loses exactly the shared run
+    assert(out(3L) === ((10L, 6L, 1L, md5Hex("o1 o2 o3 o4"))))
+  }
+
   test("matches the q_span_removal oracle shape on the sf0.001 corpus") {
     val rows = CorpusOps.spanRemoval(spark, SparkT.Sf0001).collect()
     assert(rows.nonEmpty)
