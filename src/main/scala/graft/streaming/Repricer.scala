@@ -88,6 +88,15 @@ object Repricer {
     * not just the batch helper. The tmp location is digest-keyed and
     * wiped per call, same policy as Sessions.eventSessionsStream.
     */
+  /** Landing-shard count for the oracle rows: the NDJSON landing write
+    * is corpus-sized, and a single-file landing serializes the whole
+    * corpus through one JSON encoder core (measured at sf10: the write,
+    * not the stream, dominated the wall). Batch identity is defined by
+    * the CHECKPOINT (one drain per logical batch), never by file count,
+    * so sharding the landing is free parallelism.
+    */
+  val LandingShards = 16
+
   def repricerActions(spark: SparkSession, dir: String): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
@@ -100,14 +109,16 @@ object Repricer {
       .select(col("l_partkey").as("sku"),
         col("l_suppkey").cast("string").as("merchant"),
         col("l_extendedprice").as("price"))
-      .coalesce(1).write.json(landing)
+      .coalesce(LandingShards).write.json(landing)
     val settings = graft.Tables.load(spark, dir, "part").select(
       col("p_partkey").as("sku"),
       col("p_retailprice").as("current_price"),
       F.roundHalfUp(col("p_retailprice") * 0.8, 2).as("min_price"),
       F.roundHalfUp(col("p_retailprice") * 1.2, 2).as("max_price"),
       lit(50.0).as("step"))
-    val q = start(spark, landing, settings, Seq("7"), actions, ckpt)
+    // no per-trigger file cap: the whole landing is ONE logical batch
+    val q = start(spark, landing, settings, Seq("7"), actions, ckpt,
+      maxFilesPerTrigger = None)
     if (!q.awaitTermination(300000L)) {
       q.stop()
       throw new IllegalStateException("repricer stream did not finish")
@@ -138,10 +149,11 @@ object Repricer {
     * need more than one trigger to exist at all: the per-batch progress
     * stamps (`batch_id`, `action_ts` — A12) and the `interval_min`
     * cadence gate (T5), both inside the driver hash. Three offer
-    * batches land as separate files with staged modification times (the
-    * file source's processing order), the injected clock stamps each
-    * trigger with [[StreamTimes]], and the oracle replays the
-    * batch-by-batch fold: batch 0 acts on every changed price, batch 1
+    * batches land sharded and drain one trigger each (the checkpoint
+    * defines batch identity — a restarted AvailableNow stream admits
+    * exactly the files prior drains have not seen), the injected clock
+    * stamps each trigger with [[StreamTimes]], and the oracle replays
+    * the batch-by-batch fold: batch 0 acts on every changed price, batch 1
     * (30 s later) only on SKUs batch 0 did NOT act on, batch 2 (2 min
     * later) on every changed price again — the JSONL decision log is
     * hashed with its stamps, so the cadence rule itself is inside the
@@ -161,21 +173,6 @@ object Repricer {
         col("l_suppkey").cast("string").as("merchant"),
         col("l_extendedprice").as("price"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-    val now = System.currentTimeMillis()
-    for (k <- 0 until 3) {
-      val staging = s"$tmp/stage$k"
-      offers.filter(pmod(col("l_orderkey"), lit(3)) === k)
-        .drop("l_orderkey")
-        .coalesce(1).write.json(staging)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val dest = new org.apache.hadoop.fs.Path(landing, s"b$k.json")
-      if (!fs.rename(part, dest))
-        throw new java.io.IOException(s"rename $part -> $dest failed")
-      // strictly increasing mtimes = deterministic trigger order
-      fs.setTimes(dest, now - 3000L + k * 1000L, -1L)
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    }
     val settings = graft.Tables.load(spark, dir, "part").select(
       col("p_partkey").as("sku"),
       col("p_retailprice").as("current_price"),
@@ -185,10 +182,32 @@ object Repricer {
       lit(StreamIntervalMin).as("interval_min"))
     val tick = new java.util.concurrent.atomic.AtomicInteger(0)
     val clock = () => StreamTimes(math.min(tick.getAndIncrement(), 2))
-    val q = start(spark, landing, settings, Seq("7"), actions, ckpt, clock)
-    if (!q.awaitTermination(300000L)) {
-      q.stop()
-      throw new IllegalStateException("repricer stream did not finish")
+    // land each offer batch SHARDED (the corpus-sized JSON encode runs
+    // on LandingShards cores, not one) and drain one trigger per batch:
+    // the CHECKPOINT defines batch identity — a restarted AvailableNow
+    // stream admits exactly the files the previous drains have not
+    // seen, so each drain is one logical batch whatever its file count
+    // (this also retires the staged-mtime trick: trigger order is drain
+    // order, not file-listing order)
+    for (k <- 0 until 3) {
+      val staging = s"$tmp/stage$k"
+      offers.filter(pmod(col("l_orderkey"), lit(3)) === k)
+        .drop("l_orderkey")
+        .coalesce(LandingShards).write.json(staging)
+      fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .foreach { part =>
+          val dest = new org.apache.hadoop.fs.Path(landing, s"b${k}_${part.getName}")
+          if (!fs.rename(part, dest))
+            throw new java.io.IOException(s"rename $part -> $dest failed")
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val q = start(spark, landing, settings, Seq("7"), actions, ckpt,
+        clock, maxFilesPerTrigger = None)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(s"repricer stream batch $k did not finish")
+      }
     }
     val r = spark.read
       .schema("sku LONG, current_price DOUBLE, lowest_comp DOUBLE, " +
@@ -206,12 +225,12 @@ object Repricer {
   def start(spark: SparkSession, landingDir: String, settings: DataFrame,
             ignoredMerchants: Seq[String], actionsDir: String,
             checkpointDir: String,
-            clock: () => Long = () => System.currentTimeMillis()): StreamingQuery = {
+            clock: () => Long = () => System.currentTimeMillis(),
+            maxFilesPerTrigger: Option[Int] = Some(1)): StreamingQuery = {
     StateStores.useRocksDb(spark)
-    spark.readStream
-      .schema(offerSchema)
-      .option("maxFilesPerTrigger", 1)
-      .json(landingDir)
+    val reader = spark.readStream.schema(offerSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(landingDir)
       .writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
