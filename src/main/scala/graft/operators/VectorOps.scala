@@ -1647,30 +1647,47 @@ object VectorOps {
     try out.write(s"""{"watermark":$hw}\n""".getBytes("UTF-8"))
     finally out.close()
     val wp = foldedWatermarkPath(base)
-    if (fs.exists(wp))
-      require(fs.delete(wp, false), s"delete failed: $wp")
-    require(fs.rename(tmp, wp),
-      s"watermark commit rename failed: $tmp -> $wp")
+    if (fs.exists(wp)) fs.delete(wp, false)
+    // a racing completer of the SAME committed swap may have landed the
+    // identical watermark between our delete and rename — losing that
+    // race is success as long as the mark is at least ours
+    if (!fs.rename(tmp, wp))
+      require(foldedWatermark(spark, base) >= hw,
+        s"watermark commit rename failed: $tmp -> $wp")
   }
 
   /** Finish a committed compaction swap: retire each folded delta's
     * `_SUCCESS` FIRST — from that point the deltas read as absent via
     * [[committed]], so no crash inside the swap can leave a delta both
     * folded into the merged table AND still searchable (the
-    * double-count window) — then replace `lists` with the merged table,
-    * then drop the retired delta directories and the manifest. Every
-    * filesystem mutation checks its boolean return: Hadoop reports
-    * rename/delete failure by returning false, not throwing, and a
-    * failed swap must surface HERE, not as a missing-lists crash in the
-    * next search.
+    * double-count window) — then swap `lists` to the merged table,
+    * then drop the retired delta directories and the manifest.
+    *
+    * CONCURRENCY-TOLERANT, not just crash-tolerant: once the manifest
+    * (the commit point) exists, ANY reader's heal may run this method
+    * — including while the compactor that committed it is still alive
+    * and completing, or while another reader heals too. Two rules make
+    * racing completers of the same committed swap converge instead of
+    * destroying the index: (1) the lists swap is RENAME-based (retire
+    * the old lists by rename, rename the merged table in — each rename
+    * is atomic, exactly one contender wins it, and the loser verifies
+    * the winner's end state), never delete-then-rename, which would
+    * open a window with no authoritative lists that a racing loser
+    * could be left holding; (2) deletes tolerate "already gone" — a
+    * failed delete is an error only if the path still exists. Hadoop
+    * reports rename/delete failure by returning false, not throwing,
+    * so every mutation checks its boolean against the converged state.
+    * (Single WRITER is still the contract — what races here are
+    * readers' heals, which mutate only toward the committed swap's
+    * unique end state.)
     */
   private def completeCompaction(
       spark: SparkSession, base: String, folded: Seq[String],
       purged: Boolean): Unit = {
     val fs = fsOf(spark, base)
     def del(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
-      if (fs.exists(p))
-        require(fs.delete(p, recursive), s"delete failed: $p")
+      if (fs.exists(p) && !fs.delete(p, recursive))
+        require(!fs.exists(p), s"delete failed: $p")
     // the stream's folded-batch watermark lands FIRST: once the markers
     // below retire, a replayed micro-batch could only learn "already
     // folded" from this file — and heal re-runs this whole method, so a
@@ -1688,12 +1705,39 @@ object VectorOps {
       del(new org.apache.hadoop.fs.Path(s"$base/$DeletesTable"), true)
     val lists = new org.apache.hadoop.fs.Path(s"$base/lists")
     val compacting = new org.apache.hadoop.fs.Path(s"$base/lists_compacting")
-    del(lists, true)
-    require(fs.rename(compacting, lists),
-      s"compaction swap rename failed: $compacting -> $lists")
+    val retired = new org.apache.hadoop.fs.Path(s"$base/lists_retired")
+    del(retired, true)
+    if (fs.exists(lists) && fs.exists(compacting) &&
+        !fs.rename(lists, retired))
+      require(!fs.exists(lists) || !fs.exists(compacting),
+        s"retire rename failed: $lists -> $retired")
+    if (!fs.rename(compacting, lists))
+      require(!fs.exists(compacting) && committed(spark, lists.toString),
+        s"compaction swap rename failed: $compacting -> $lists")
+    del(retired, true)
     folded.foreach(s => del(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
     del(manifestPath(base), false)
   }
+
+  /** Per-index-location monitor serializing heal/complete within this
+    * driver: concurrent READERS (every search heals before trusting the
+    * layout) and the single maintenance writer all pass through here,
+    * so in-process interleavings of the swap protocol are serialized at
+    * statement granularity — the rename-based [[completeCompaction]]
+    * additionally converges benign races, but the lock removes the
+    * remaining TOCTOU window (a late healer observing pre-swap state
+    * and retiring the freshly swapped lists). CROSS-process readers
+    * racing a live writer's completion are outside this engine's
+    * contract (single maintenance process per index location, as
+    * [[indexBase]] documents) — a multi-process deployment puts the
+    * swap behind its table-format catalog (Iceberg-style snapshot
+    * commit), not bare directory renames.
+    */
+  private val healLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def healLock(base: String): Object =
+    healLocks.computeIfAbsent(base, _ => new Object)
 
   /** Self-heal an interrupted compaction before reading or compacting.
     * Manifest present + merged table committed = the swap reached its
@@ -1707,7 +1751,11 @@ object VectorOps {
     * guessed fold set could leave a folded delta committed beside the
     * merged rows and double-count it in [[searchStored]]'s ADC sum.
     */
-  private[graft] def healCompaction(spark: SparkSession, base: String): Unit = {
+  private[graft] def healCompaction(spark: SparkSession, base: String): Unit =
+    healLock(base).synchronized { healCompactionLocked(spark, base) }
+
+  private def healCompactionLocked(
+      spark: SparkSession, base: String): Unit = {
     val fs = fsOf(spark, base)
     val mp = manifestPath(base)
     if (!fs.exists(mp)) return
@@ -1733,18 +1781,21 @@ object VectorOps {
       case Some((f, purged)) if committed(spark, s"$base/lists_compacting") =>
         completeCompaction(spark, base, f, purged)
       case _ =>
-        val compacting =
-          new org.apache.hadoop.fs.Path(s"$base/lists_compacting")
-        if (fs.exists(compacting))
-          require(fs.delete(compacting, true), s"delete failed: $compacting")
+        // tolerant deletes, like completeCompaction's: a concurrent
+        // healer rolling back the same torn manifest may have removed
+        // the path first — "already gone" is the converged state
+        def del(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
+          if (fs.exists(p) && !fs.delete(p, recursive))
+            require(!fs.exists(p), s"delete failed: $p")
+        del(new org.apache.hadoop.fs.Path(s"$base/lists_compacting"), true)
         // a retired delta (marker already gone) only exists here if the
         // swap completed and cleanup crashed — its rows live in `lists`
         folded.getOrElse(Nil).foreach { s =>
           val p = new org.apache.hadoop.fs.Path(s"$base/$s")
           if (fs.exists(p) && !committed(spark, s"$base/$s"))
-            require(fs.delete(p, true), s"delete failed: $p")
+            del(p, true)
         }
-        require(fs.delete(mp, false), s"delete failed: $mp")
+        del(mp, false)
     }
   }
 
@@ -1806,7 +1857,9 @@ object VectorOps {
     if (fs.exists(mp))
       require(fs.delete(mp, false), s"delete failed: $mp")
     require(fs.rename(tmp, mp), s"manifest commit rename failed: $tmp -> $mp")
-    completeCompaction(spark, base, present, dead.nonEmpty)
+    healLock(base).synchronized {
+      completeCompaction(spark, base, present, dead.nonEmpty)
+    }
   }
 
   /** IVF-PQ search against a PERSISTED index (no training, no encode):

@@ -192,6 +192,35 @@ class IvfPqCompactSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$base/_compaction_manifest.json").exists())
   }
 
+  test("readers RACING the swap window: concurrent heals of a committed compaction converge; search stays green") {
+    // the interleaving the crash tests cannot drive: the compaction has
+    // reached its commit point (manifest on disk) and MANY readers
+    // arrive in the commit-to-retire window at once — every search
+    // heals before trusting the layout, so all of them race the same
+    // swap completion. The law: any interleaving converges to the one
+    // committed end state (rename-based swap + tolerant deletes +
+    // the per-index monitor), no contender throws, and the search
+    // answers the chain rows throughout.
+    val (base, ref) = buildWithDeltas("healrace")
+    mergeOnly(base)
+    writeManifest(base)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val racers = (1 to 8).map(_ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = VectorOps.healCompaction(spark, base)
+        }))
+      racers.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    for (d <- Seq("lists_delta_b1", "lists_delta_b2", "lists_compacting",
+        "lists_retired", "_compaction_manifest.json"))
+      assert(!new java.io.File(s"$base/$d").exists(),
+        s"$d survived the concurrent heal race")
+    val got = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    assert(got === ref)
+  }
+
   test("torn merge (uncommitted lists_compacting) rolls back; re-compact converges") {
     val (base, ref) = buildWithDeltas("healtorn")
     mergeOnly(base)
