@@ -304,6 +304,14 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(json)
+    // The full line above outgrew the driver's fixed-size tail window
+    // around 200 queries (BENCH_r11/r12 carry "parsed": null — the tail
+    // starts mid-line, so no parse can succeed). Echo a COMPACT summary
+    // as the final line: it always fits the window whole, so a
+    // tail parser that scans for the last complete JSON object line
+    // recovers the headline numbers; the per-query maps live in the
+    // truncation-proof BENCH.json beside it.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"sf":${Json.quote(sfDir)},"full":"BENCH.json"}""")
     // A hung/failed shutdown must not turn a completed sweep into a
     // non-zero exit or stderr noise after the JSON line.
     try spark.stop() catch { case _: Throwable => () }
