@@ -2063,6 +2063,13 @@ object VectorOps {
     ivfPqAddBatch(spark, dir, base, batch(AddResidue), "lists_delta_b1")
     ivfPqAddBatch(spark, dir, base, batch(AddResidue2), "lists_delta_b2")
     ivfPqCompact(spark, base, Seq("lists_delta_b1", "lists_delta_b2"))
+    // EMPTY-delta re-compact inside the gated row: both deltas are
+    // already folded (absent), no tombstones pend — the verb must be a
+    // no-op that never touches the lists. Riding it here puts the
+    // boundary inside the driver hash at every scale (a rewrite that
+    // drops or duplicates rows would fail the oracle), beside
+    // IvfPqCompactSpec's files-untouched pin.
+    ivfPqCompact(spark, base, Seq("lists_delta_b1", "lists_delta_b2"))
     val r = searchStored(spark, dir, base, Nil)
       .filter(col("rank") <= TopKPq)
       .withColumn("from_batch",
@@ -2200,9 +2207,17 @@ object VectorOps {
     */
   def ivfPqIndexDelete(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureIndex(spark, dir, "delete", emb(spark, dir))
+    import spark.implicits._
+    // the delete batch also carries two NEVER-INDEXED sentinel ids: the
+    // faiss remove_ids contract says unknown ids are no-ops, and riding
+    // them in the gated row proves it against the oracle at every scale
+    // (a mask that over-matches, or a purge that joins on the wrong
+    // key, would change the hash) — not just in IvfPqDeleteSpec
+    val unknown = Seq(Long.MaxValue - 1, Long.MaxValue - 2).toDF("vec_id")
     ivfPqDelete(spark, base, embDistributed(spark, dir)
       .filter(col("vec_id") % AddModulus === DeleteResidue)
-      .select(col("vec_id")))
+      .select(col("vec_id"))
+      .unionByName(unknown))
     val r = searchStored(spark, dir, base, Nil)
       .filter(col("rank") <= TopKPq)
       .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",

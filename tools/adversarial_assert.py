@@ -74,6 +74,49 @@ def _(out):
     assert len(fam_b) == 30 * 29 // 2, len(fam_b)
 
 
+@check("index delete: tombstoned exact twin masked; survivor twin tops q1")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_ann_index_delete")
+    assert not (df.neighbor_id % 10 == 1).any(), \
+        "a tombstoned (residue-1) id surfaced as neighbor"
+    q1 = df[df.q_id == 1].sort_values("rank")
+    # 901 (deleted exact copy of q1) is masked; its twin 900 carries the
+    # top slot — the mask visibly changed the ranking, not vacuous
+    assert q1.neighbor_id.iloc[0] == 900, q1.head().to_dict("records")
+    # unknown-id deletes (the row also tombstones two never-indexed
+    # sentinel ids) were no-ops: the oracle hash already proves it, this
+    # pin is that the output is non-empty at all
+    assert len(df) > 0
+
+
+@check("index rank ties: equal approx_sim broken by neighbor_id ASC (440 before 442)")
+def _(out):
+    for q in ("q_ann_index_delete", "q_ann_index_masked_sql"):
+        df = pd.read_parquet(f"{out}/{q}")
+        q0 = df[df.q_id == 0].sort_values("rank")
+        sub = q0[q0.neighbor_id.isin((440, 442))]
+        assert len(sub) == 2, \
+            f"{q}: tie clones missing from q0 top-k: {q0.to_dict('records')}"
+        a, b = sub.iloc[0], sub.iloc[1]
+        assert a.approx_sim == b.approx_sim, \
+            f"{q}: identical vectors scored differently"
+        assert abs(int(a["rank"]) - int(b["rank"])) == 1, \
+            f"{q}: tie rows not adjacent in rank"
+        assert a.neighbor_id == 440 and b.neighbor_id == 442, \
+            f"{q}: tie not broken by neighbor_id ASC"
+
+
+@check("masked delta-union SQL: delta twin tops q2 with from_delta; mask holds over the union")
+def _(out):
+    df = pd.read_parquet(f"{out}/q_ann_index_masked_sql")
+    assert not (df.neighbor_id % 10 == 1).any(), \
+        "mask lost over the base∪delta union"
+    q2 = df[df.q_id == 2].sort_values("rank")
+    top = q2.iloc[0]
+    assert top.neighbor_id == 447 and bool(top.from_delta), \
+        f"delta twin not ranked through the SQL union: {q2.head().to_dict('records')}"
+
+
 @check("minhash near-dup: Jaccard EXACTLY 0.5 included (>= rule)")
 def _(out):
     df = pd.read_parquet(f"{out}/q_doc_minhash_neardup")

@@ -14,7 +14,7 @@ q_embed_neardup,q_embed_stream,q_embed_stream_capped,q_doc_exact_dedup,\
 q_doc_minhash_neardup,q_dedup_stream,q_neardup_stream,q_target_prices,\
 q_bot_flags,q_margin_by_sku,q_sliding_undercut,q_daily_demand,\
 q_price_floor,q_seller_stats,q_inventory_reorder,q_parse_sellers,\
-q_repricer_stream \
+q_repricer_stream,q_ann_index_delete,q_ann_index_masked_sql \
       sbt -batch "runMain graft.Verify fixtures/adversarial /tmp/adv_out"
     python3 tools/oracle_check.py fixtures/adversarial /tmp/adv_out <same list>
     python3 tools/adversarial_assert.py /tmp/adv_out
@@ -70,6 +70,24 @@ cannot silently stop exercising them):
                 stock' AND price == 0: a positively-priced seller
                 CARRYING that name survives (fixtures/product_page.html,
                 pinned via q_parse_sellers).
+  round-13 additions (the persisted-index boundary class):
+  embeddings(+)— 8 query vectors (ids 0-7: the ANN rows probe
+                vec_id < NQueries, else the index rows are vacuous
+                here); RANK-TIE clones 440/442 = exact copies of q0
+                (identical vectors quantize identically in any trained
+                index -> exactly equal approx_sim, adjacent top ranks,
+                ORDER BY neighbor_id ASC decides); DELETE-MASK twins
+                900/901 = copies of q1 (901 % 10 == 1 is tombstoned,
+                900 must carry the top slot — a lost or over-matching
+                mask flips a visible ranking); DELTA twin 447 = copy of
+                q2 (447 % 10 == 7 arrives through the ADD delta in
+                q_ann_index_masked_sql and must top q2 with
+                from_delta=true). Unknown-id delete and empty-delta
+                compact ride INSIDE the gated rows themselves
+                (ivfPqIndexDelete tombstones two never-indexed
+                sentinels; ivfPqIndexCompact re-compacts the already-
+                folded deltas) so those no-op laws are hash-checked at
+                every scale, not just here.
 
 Constants replicated from the engine (kept in lockstep by the build-time
 asserts, which fail loudly if the Scala side changes):
@@ -299,6 +317,33 @@ def build_embeddings():
     # threshold w.h.p.; they exist so bucket occupancy is not degenerate)
     for i in range(100):
         add(1000 + i, np.asarray(unit(rng), dtype=np.float32))
+
+    # --- r13: ANN/index boundary plants (q_ann_index_delete,
+    # q_ann_index_masked_sql run over this fixture too) ---
+    # query vectors: the ANN rows probe vec_id < NQueries=8; without
+    # them the index rows would be green-but-vacuous here
+    queries = [np.asarray(unit(rng), dtype=np.float32) for _ in range(8)]
+    for i, qv in enumerate(queries):
+        add(i, qv)
+    # RANK-TIE family: two exact copies of query 0's vector (ids chosen
+    # clear of the delete residue 1 and the add residue 7 mod 10).
+    # Identical vectors quantize to identical PQ codes in ANY trained
+    # index -> exactly equal approx_sim for q0, adjacent top ranks, and
+    # the ORDER BY approx_sim DESC, neighbor_id ASC tie-break decides:
+    # 440 must precede 442 on both engines.
+    add(440, queries[0])
+    add(442, queries[0])
+    # DELETE-MASK twins: exact copies of query 1's vector; 901 % 10 == 1
+    # is tombstoned by the delete rows' residue rule, 900 survives — the
+    # mask visibly flips the TOP neighbor, so a lost mask (or an
+    # over-matching one) cannot pass vacuously.
+    add(900, queries[1])
+    add(901, queries[1])
+    # DELTA twin: 447 % 10 == 7 == AddResidue — arrives through the ADD
+    # delta in q_ann_index_masked_sql and, as an exact copy of query 2,
+    # must surface as q2's top neighbor with from_delta=true: the SQL
+    # union's delta scan provably feeds the ranking.
+    add(447, queries[2])
 
     n = len(vids)
     assert n <= 2048, "corpus must keep derivedPlanes at NPlanes=4"
