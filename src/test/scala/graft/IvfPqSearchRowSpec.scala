@@ -47,6 +47,35 @@ class IvfPqSearchRowSpec extends AnyFunSuite {
       s"SQL-surface lists scan lost dynamic partition pruning:\n$plan")
   }
 
+  test("the masked delta-union SQL twin == the DataFrame masked read; DPP on BOTH scans, one anti-join mask") {
+    // the maintenance-window read in pure SQL (q_ann_index_masked_sql)
+    // must equal searchStored over the SAME stored layout: base lists ∪
+    // the pending delta, tombstones masked — the add and delete laws
+    // composed, dual-surface
+    val viaSql = VectorOps.ivfPqIndexMaskedSql(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql.nonEmpty)
+    val base = VectorOps.indexBase(dir, "sqlmask")
+    val df = VectorOps.searchStored(spark, dir, base, Seq("lists_delta"))
+      .filter(org.apache.spark.sql.functions.col("rank") <= VectorOps.TopKPq)
+      .withColumn("from_delta",
+        org.apache.spark.sql.functions.col("neighbor_id") %
+          VectorOps.AddModulus === VectorOps.AddResidue)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim", "from_delta")
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === df,
+      "SQL masked delta-union read diverged from the DataFrame form")
+    val plan = VectorOps.ivfPqIndexMaskedSql(spark, dir)
+      .queryExecution.executedPlan.toString
+    val prunedScans = plan.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+    assert(prunedScans >= 2,
+      s"expected DPP on both the base and delta scans, found $prunedScans:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the tombstone mask is not an anti-join in the SQL plan:\n$plan")
+  }
+
   test("a corpus-stamp mismatch forces a rebuild instead of serving a stale index") {
     VectorOps.ivfPqIndexSearch(spark, dir).collect()
     val stamp = java.nio.file.Paths.get(
