@@ -258,7 +258,10 @@ object QueryCatalog {
   // trains on (and every sub-vector encodes) the FULL corpus exactly
   // as the engine's stored artifacts do, but retracted ids never enter
   // `cand` — delete-then-search ≡ encode-all-except-deleted.
-  private def ivfPqRankedCtesExcluding(deadPred: String): String = {
+  // `nprobe` widens `best` to the top-N coarse cells per query — the
+  // stored-index serve-time dial (q_ann_index_search_probe2).
+  private def ivfPqRankedCtesExcluding(
+      deadPred: String, nprobe: Int = 1): String = {
     val m = VectorOps.PqSubspaces
     val d = VectorOps.PqSubDim
     val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
@@ -286,11 +289,11 @@ object QueryCatalog {
                  row_number() OVER (PARTITION BY q_id
                    ORDER BY $cellSim DESC, cluster) AS rn
           FROM q, cent1),
-        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
+        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= $nprobe),
         lut AS (
           SELECT q_id, sub, code,
                  ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
-          FROM best, cents),
+          FROM q, cents),
         cand AS (
           SELECT b.q_id, a.cluster AS cell, b.cell_sim, a.vec_id
           FROM best b JOIN a2 a ON a.cluster = b.cluster
@@ -2431,6 +2434,18 @@ object QueryCatalog {
                     WHEN neighbor_id % ${VectorOps.AddModulus} = ${VectorOps.AddResidue2} THEN 2
                     ELSE 0 END AS from_batch
         FROM r
+        WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
+
+    // The nprobe dial at its SECOND setting on the STORED index: each
+    // query probes its IvfNProbe best coarse cells, the lists scan
+    // prunes to exactly those partitions — the pure read-side
+    // recall/latency knob (zero index mutation, shared build gate with
+    // the probe-1 row). Own oracle: the probe-2 CTE chain.
+    "q_ann_index_search_probe2" -> Spec(
+      VectorOps.ivfPqIndexSearchProbe2,
+      Some(s"""
+        WITH ${ivfPqRankedCtesExcluding("FALSE", VectorOps.IvfNProbe)}
+        SELECT q_id, cell, cell_sim, rank, neighbor_id, approx_sim FROM r
         WHERE rank <= ${VectorOps.TopKPq} ORDER BY q_id, rank""")),
 
     // Read-only search against the persisted index: builds at most once

@@ -1883,9 +1883,16 @@ object VectorOps {
       spark: SparkSession, dir: String, base: String): DataFrame =
     searchStored(spark, dir, base, Seq("lists_delta"))
 
+  /** `nprobe` is the faiss SERVE-TIME dial: how many coarse cells each
+    * query probes. More probes = more candidate lists scanned (still
+    * DPP-pruned to exactly the probed cells) = higher recall at higher
+    * latency — a pure read-side knob, the index is never touched. The
+    * LUT is built once per query (dropDuplicates on q_id), so the ADC
+    * join stays correct at any probe depth.
+    */
   private[graft] def searchStored(
       spark: SparkSession, dir: String, base: String,
-      deltas: Seq[String]): DataFrame = {
+      deltas: Seq[String], nprobe: Int = 1): DataFrame = {
     // finish (or roll back) an interrupted compaction swap before
     // trusting the table layout: a crashed maintenance job must never
     // make the serving path 404 on `lists`
@@ -1910,10 +1917,12 @@ object VectorOps {
       .select(col("q_id"), col("q_emb"), col("cluster"),
         F.roundHalfUp(dot(col("q_emb"), col("centroid")), 6).as("cell_sim"))
       .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= 1)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cluster").as("cell"),
         col("cell_sim"))
-    val lut = pqLut(probed.select(col("q_id"), col("q_emb")), cents)
+    val lut = pqLut(
+      probed.select(col("q_id"), col("q_emb")).dropDuplicates("q_id"),
+      cents)
     val probeKeys = probed.select(col("q_id"), col("cell"), col("cell_sim"))
     def candOf(lists: DataFrame) = lists
       .join(broadcast(probeKeys), Seq("cell"))
@@ -2130,6 +2139,28 @@ object VectorOps {
     val r = annIvfPqFromIndex(spark, dir, base)
       .filter(col("rank") <= TopKPq)
       .select("q_id", "cell", "cell_sim", "rank", "neighbor_id", "approx_sim")
+    Out.sorted(r)(col("q_id"), col("rank"))
+  }
+
+  /** Probe-2 serving row (q_ann_index_search_probe2) — the faiss nprobe
+    * dial proven at a SECOND setting on the STORED index, completing
+    * the dial story the in-memory ladder already has (q_ann_ivf /
+    * q_ann_ivf_probe2): each query probes its [[IvfNProbe]] best coarse
+    * cells and the lists scan prunes to exactly those partitions — a
+    * pure read-side recall/latency knob, zero index mutation, sharing
+    * [[ensureSearchIndex]]'s build-at-most-once gate with the probe-1
+    * row. The candidate set is a SUPERSET of probe-1's (spec-pinned),
+    * which is what makes the dial safe to turn up under load: serving
+    * quality is monotone in probes while cost stays bounded by the
+    * probed-cell row count. Own oracle (the probe-2 CTE chain), own
+    * hash gate.
+    */
+  def ivfPqIndexSearchProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureSearchIndex(spark, dir)
+    val r = searchStored(spark, dir, base, Nil, nprobe = IvfNProbe)
+      .filter(col("rank") <= TopKPq)
+      .select("q_id", "cell", "cell_sim", "rank", "neighbor_id",
+        "approx_sim")
     Out.sorted(r)(col("q_id"), col("rank"))
   }
 

@@ -76,6 +76,30 @@ class IvfPqSearchRowSpec extends AnyFunSuite {
       s"the tombstone mask is not an anti-join in the SQL plan:\n$plan")
   }
 
+  test("nprobe dial: probe-2 candidates are a SUPERSET of probe-1's, two cells probed, zero Lloyd") {
+    VectorOps.ivfPqIndexSearch(spark, dir).collect() // ensure built
+    val base = VectorOps.indexBase(dir, "search")
+    def neighbors(nprobe: Int) =
+      VectorOps.searchStored(spark, dir, base, Nil, nprobe)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n1 = neighbors(1)
+    val n2 = neighbors(2)
+    assert(n1.subsetOf(n2),
+      "probe-1 candidates are not a subset of probe-2's — the dial is not monotone")
+    assert(n2.size > n1.size,
+      "probe 2 scanned no additional cell — the dial did nothing")
+    val cellsPerQ = VectorOps.searchStored(spark, dir, base, Nil, 2)
+      .select("q_id", "cell").distinct().collect()
+      .groupBy(_.getLong(0)).values.map(_.length)
+    assert(cellsPerQ.forall(_ <= 2) && cellsPerQ.exists(_ == 2),
+      s"expected up to two probed cells per query: $cellsPerQ")
+    VectorOps.LloydMeter.reset()
+    assert(VectorOps.ivfPqIndexSearchProbe2(spark, dir).collect().nonEmpty)
+    assert(VectorOps.LloydMeter.iterations.get() === 0L,
+      "the probe-2 row rebuilt instead of sharing the build gate")
+  }
+
   test("a corpus-stamp mismatch forces a rebuild instead of serving a stale index") {
     VectorOps.ivfPqIndexSearch(spark, dir).collect()
     val stamp = java.nio.file.Paths.get(
