@@ -2540,10 +2540,11 @@ object QueryCatalog {
         exk AS (SELECT q_id, neighbor_id FROM rb WHERE xrank <= $k),
         h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
               FROM exk JOIN ak USING (q_id, neighbor_id) GROUP BY 1),
-        qq AS (SELECT DISTINCT q_id FROM exk)
-        SELECT qq.q_id, CAST($k AS BIGINT) AS n_exact,
+        qq AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+               FROM exk GROUP BY 1)
+        SELECT qq.q_id, qq.n_exact,
                coalesce(hits, 0) AS hits,
-               ${rnd(s"CAST(coalesce(hits, 0) AS DOUBLE) / CAST($k AS DOUBLE)", 6)} AS recall
+               ${rnd("CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall
         FROM qq LEFT JOIN h USING (q_id)
         ORDER BY q_id"""
       }),

@@ -167,18 +167,85 @@ object CorpusOps {
     * by weighting each class's gram presence with its multiplicity: a
     * gram inside a 2-clone family IS present in ≥ 2 distinct docs
     * (both copies get excised — the published both-copies policy).
+    *
+    * Clone-mass gate (r14): the collapse is a plan FORK, not a fixed
+    * prelude. A cheap digest-count aggregate measures the corpus's
+    * clone-excess fraction first; below [[SpanCloneExcessGate]] the
+    * pipeline runs directly per doc (the collapse's class aggregation
+    * and re-expand join would be pure overhead — the r13 sf0.1 waiver),
+    * above it the collapsed path keeps clone-heavy corpora (sf10)
+    * paying per CLASS, not per copy. Both forks emit hash-identical
+    * rows.
     */
+  /** Clone-excess fraction above which the collapse pays for itself:
+    * below it, the collapse's fixed stages (class aggregation + the
+    * final membership re-expand join) cost more than the ≤ 2% of
+    * duplicated gram mass the direct path would carry. The sf10-style
+    * web corpus sits at ~74% excess (collapse), the near-unique small
+    * SFs at ≤ 0.2% (direct) — the fork is decided by one cheap count
+    * aggregate over 16-byte text digests, and both paths produce
+    * hash-identical rows (SpanRemovalSpec pins it).
+    */
+  private val SpanCloneExcessGate = 0.02
+
   private[graft] def spanRemovalFrom(d: DataFrame): DataFrame = {
-    val k = SpanGramK
-    val base = d.select(col("doc_id"), toks.as("ws"))
-    // clone class key: tokens can't contain the space they were split
-    // on, so the " "-join is injective on token sequences
-    val withCk = base.withColumn("ck", md5(concat_ws(" ", col("ws"))))
+    val src = d.select(col("doc_id"), col("text"))
+    // clone class key: md5 of the RAW text. split-on-" " followed by
+    // concat_ws(" ") is the identity on strings (empty tokens survive
+    // the round trip), so text identity ≡ token-sequence identity and
+    // the key costs no tokenization pass
+    val ck = md5(col("text"))
+    // clone-mass probe: total docs + distinct classes from one count
+    // aggregate over the digests (map-side partial agg; the shuffle
+    // carries (digest, count) pairs only)
+    val mass = src.select(ck.as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("m"))
+      .agg(sum(col("m")).as("n"), count(lit(1)).as("c")).head()
+    val (nDocs, nClasses) =
+      if (mass.isNullAt(0)) (0L, 0L) else (mass.getLong(0), mass.getLong(1))
+    val excess =
+      if (nDocs == 0L) 0.0 else (nDocs - nClasses).toDouble / nDocs.toDouble
+    val r = if (excess < SpanCloneExcessGate) spanRemovalDirect(src)
+            else spanRemovalCollapsed(src)
+    Out.sorted(r)(col("doc_id"))
+  }
+
+  /** Clone-light fork: the gram pipeline directly per doc — every doc
+    * is (statistically) its own class, so the collapse's class
+    * aggregation and membership re-expand would be pure fixed-stage
+    * overhead.
+    */
+  private[graft] def spanRemovalDirect(src: DataFrame): DataFrame =
+    spanClassRows(src.select(col("doc_id").as("k_"), toks.as("ws"),
+        lit(1L).as("m")))
+      .select(col("k_").as("doc_id"), col("n_tokens"),
+        col("n_removed"), col("n_spans"), col("clean_hash"))
+
+  /** Clone-heavy fork: coverage computed once per text-identical clone
+    * class; per-doc output rows re-expand through the membership join
+    * (class-sized → doc-sized).
+    */
+  private[graft] def spanRemovalCollapsed(src: DataFrame): DataFrame = {
+    val withCk = src.withColumn("ck", md5(col("text")))
     val members = withCk.select(col("doc_id"), col("ck"))
-    // one representative (ws is identical across the class by
+    // one representative (text is identical across the class by
     // construction of ck) + the class multiplicity
     val classes = withCk.groupBy(col("ck"))
-      .agg(first(col("ws")).as("ws"), count(lit(1)).as("m"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("m"))
+    val classRows = spanClassRows(
+      classes.select(col("ck").as("k_"), toks.as("ws"), col("m")))
+    members.join(classRows, members("ck") === classRows("k_"))
+      .select("doc_id", "n_tokens", "n_removed", "n_spans", "clean_hash")
+  }
+
+  /** The gram→duplication→coverage→reassembly core over any class
+    * frame `(k_, ws, m)` — `k_` the class key (doc_id on the direct
+    * path, the text digest on the collapsed path), `m` the class
+    * multiplicity. Emits one row per class that has something to
+    * excise: `(k_, n_tokens, n_removed, n_spans, clean_hash)`.
+    */
+  private def spanClassRows(classes: DataFrame): DataFrame = {
+    val k = SpanGramK
     // 60-bit gram keys: conv(md5-prefix) on Spark ≡ CAST('0x'||substr)
     // in the oracle (the minhash shingle-hash convention).
     val gramHashes = transform(
@@ -187,21 +254,21 @@ object CorpusOps {
         1, 15), 16, 10).cast(LongType))
     val occ = classes
       .filter(size(col("ws")) >= k)
-      .select(col("ck"), col("m"), posexplode(gramHashes))
-      .select(col("ck"), col("m"), (col("pos") + 1).as("start"),
+      .select(col("k_"), col("m"), posexplode(gramHashes))
+      .select(col("k_"), col("m"), (col("pos") + 1).as("start"),
         col("col").as("gh"))
     // distinct-doc count per gram = Σ multiplicity over the classes
     // containing it (count_distinct(doc_id) in clone-expanded terms:
     // every member of a class containing the gram is a distinct doc)
-    val dup = occ.select(col("ck"), col("m"), col("gh")).distinct()
+    val dup = occ.select(col("k_"), col("m"), col("gh")).distinct()
       .groupBy("gh")
       .agg(sum(col("m")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("gh")
     val cov = occ.join(dup, Seq("gh"), "left_semi")
-      .select(col("ck"),
+      .select(col("k_"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
-      .groupBy("ck")
+      .groupBy("k_")
       .agg(array_sort(collect_set(col("p"))).as("cov"))
     // A maximal excised span starts wherever the sorted covered set
     // breaks contiguity; `when` keeps element_at off index 0 (ANSI).
@@ -211,17 +278,12 @@ object CorpusOps {
           element_at(col("cov"), i - 1) + 1)))
     val clean = concat_ws(" ",
       filter(col("ws"), (t, i) => !array_contains(col("cov"), i + 1)))
-    // coverage computed once per clone class; per-doc output rows
-    // re-expand through the membership join (class-sized → doc-sized)
-    val classRows = classes.join(cov, Seq("ck"))
-      .select(col("ck"),
+    classes.join(cov, Seq("k_"))
+      .select(col("k_"),
         size(col("ws")).cast(LongType).as("n_tokens"),
         size(col("cov")).cast(LongType).as("n_removed"),
         nSpans.cast(LongType).as("n_spans"),
         md5(clean).as("clean_hash"))
-    val r = members.join(classRows, Seq("ck"))
-      .select("doc_id", "n_tokens", "n_removed", "n_spans", "clean_hash")
-    Out.sorted(r)(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- //

@@ -1526,12 +1526,24 @@ object VectorOps {
     * read-side distinct collapses. A torn append (crash mid-write)
     * half-applies at worst and is healed by re-running the same batch
     * — the documented retry, same as every append sink here.
+    *
+    * Content-stable batches append NOTHING: ids the committed table
+    * already covers are anti-joined away before the write (the table
+    * is tombstone-tiny, so the pre-read costs one small scan), and a
+    * fully-covered batch skips the write entirely. Re-admitting the
+    * same delete batch — the driver rows' timed repeats, a retried
+    * stream trigger — therefore leaves the table's file set unchanged
+    * instead of growing it one duplicate file per repeat.
     */
   private[graft] def ivfPqDelete(
-      spark: SparkSession, base: String, ids: DataFrame): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .coalesce(1)
-      .write.mode("append").parquet(s"$base/$DeletesTable")
+      spark: SparkSession, base: String, ids: DataFrame): Unit = {
+    val batch = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val fresh = tombstones(spark, base)
+      .fold(batch)(t => batch.join(t, Seq("vec_id"), "left_anti"))
+    if (!fresh.isEmpty)
+      fresh.coalesce(1)
+        .write.mode("append").parquet(s"$base/$DeletesTable")
+  }
 
   /** The committed tombstone id set, deduped — None when no delete has
     * ever been admitted (or the table was reset by a compaction).
@@ -2199,7 +2211,8 @@ object VectorOps {
         val stale = fs.listStatus(bp).toSeq.map(_.getPath).filter { p =>
           val n = p.getName
           n == DeletesTable || n.startsWith("lists_delta") ||
-            n.startsWith("_folded_watermark")
+            n.startsWith("_folded_watermark") ||
+            n.startsWith("_stream_identity")
         }
         stale.foreach(p =>
           require(fs.delete(p, true), s"delete failed: $p"))
@@ -2542,12 +2555,18 @@ object VectorOps {
       .select(col("q_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
-    val r = exact.select(col("q_id")).distinct()
+    // n_exact is the MEASURED size of the per-query exact set, not the
+    // requested k: a tiny live corpus (< k+1 non-self vectors after the
+    // retraction) yields fewer than k exact neighbors, and dividing by
+    // k there would understate recall with an inflated denominator
+    val r = exact.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), lit(k.toLong).as("n_exact"),
+      .select(col("q_id"), col("n_exact"),
         coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("recall",
-        F.roundHalfUp(col("hits").cast("double") / k.toDouble, 6))
+        F.roundHalfUp(col("hits").cast("double") /
+          col("n_exact").cast("double"), 6))
     Out.sorted(r)(col("q_id"))
   }
 }

@@ -77,7 +77,8 @@ object AnnIngest {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admit(batch.sparkSession, landingDir, base, batch, batchId,
-          compactEvery)
+          compactEvery,
+          streamIdentity(batch.sparkSession, checkpointDir))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -97,14 +98,80 @@ object AnnIngest {
     */
   private[graft] def admit(s: SparkSession, landingDir: String,
       base: String, batch: DataFrame, batchId: Long,
-      compactEvery: Int): Unit = {
+      compactEvery: Int, streamId: Option[String] = None): Unit = {
     VectorOps.healCompaction(s, base)
-    if (batchId <= VectorOps.foldedWatermark(s, base)) return
+    val wm = VectorOps.foldedWatermark(s, base)
+    streamId.foreach(id => assertStreamIdentity(s, base, id, wm))
+    if (batchId <= wm) return
     VectorOps.ivfPqAddBatch(s, landingDir, base, batch,
       s"$DeltaPrefix$batchId")
     val pending = VectorOps.committedDeltas(s, base, DeltaPrefix)
     if (pending.size >= compactEvery)
       VectorOps.ivfPqCompact(s, base, pending)
+  }
+
+  private def identityPath(base: String) =
+    new org.apache.hadoop.fs.Path(base, "_stream_identity.json")
+
+  /** The checkpoint's immutable query id (Spark writes it to
+    * `<checkpoint>/metadata` at the query's FIRST start and re-reads it
+    * on every restart — a wiped or replaced checkpoint gets a fresh
+    * one). None before the first trigger has materialized it.
+    */
+  private[graft] def streamIdentity(
+      s: SparkSession, checkpointDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Closes the WRONG-CHECKPOINT data-loss window of the folded-batch
+    * watermark: the watermark skip keys on raw micro-batch ids, which
+    * are only meaningful relative to the checkpoint that issued them.
+    * If the checkpoint is wiped or replaced while the index (and its
+    * positive watermark) is retained, the fresh stream restarts at
+    * batch 0 and every batch with id ≤ watermark would be SILENTLY
+    * dropped. The index therefore stamps the query id of the
+    * checkpoint that feeds it: a mismatching id against a positive
+    * watermark fails LOUDLY instead of losing data; with nothing
+    * folded yet (watermark −1, the skip can drop nothing) a new
+    * identity simply takes over the stamp.
+    */
+  private[graft] def assertStreamIdentity(
+      s: SparkSession, base: String, id: String, watermark: Long): Unit = {
+    val p = identityPath(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamped: Option[String] =
+      if (!fs.exists(p)) None
+      else try {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      } catch { case _: java.io.IOException => None }
+    if (stamped.contains(id)) return
+    require(watermark < 0L || stamped.isEmpty,
+      s"index at $base was fed by stream ${stamped.get} whose " +
+        s"compactions folded batches up to id $watermark, but the " +
+        s"current checkpoint identifies as $id (wiped or replaced): " +
+        "its restarted batch ids would be silently dropped by the " +
+        "folded-batch watermark. Re-point the stream at the original " +
+        "checkpoint, or wipe the index to re-ingest from scratch.")
+    val tmp = new org.apache.hadoop.fs.Path(base, "_stream_identity.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"id":"$id"}\n""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"identity stamp rename failed: $p")
   }
 
   /** Driver-oracle row q_ann_ingest_stream — the continuous-ingest

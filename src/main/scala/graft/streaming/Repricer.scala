@@ -180,8 +180,6 @@ object Repricer {
       F.roundHalfUp(col("p_retailprice") * 1.2, 2).as("max_price"),
       lit(50.0).as("step"),
       lit(StreamIntervalMin).as("interval_min"))
-    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
-    val clock = () => StreamTimes(math.min(tick.getAndIncrement(), 2))
     // land each offer batch SHARDED (the corpus-sized JSON encode runs
     // on LandingShards cores, not one) and drain one trigger per batch:
     // the CHECKPOINT defines batch identity — a restarted AvailableNow
@@ -190,6 +188,12 @@ object Repricer {
     // (this also retires the staged-mtime trick: trigger order is drain
     // order, not file-listing order)
     for (k <- 0 until 3) {
+      // the clock is keyed to THIS drain's index, captured per start()
+      // call — an extra trigger inside a drain (e.g. a no-data batch on
+      // the AvailableNow tail) re-reads the same stamp instead of
+      // consuming the next drain's, so the cadence gate (T5) always
+      // tests the interval between the drains it names
+      val clock = () => StreamTimes(k)
       val staging = s"$tmp/stage$k"
       offers.filter(pmod(col("l_orderkey"), lit(3)) === k)
         .drop("l_orderkey")

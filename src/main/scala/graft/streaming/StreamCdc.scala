@@ -71,15 +71,21 @@ object StreamCdc {
       }
   }
 
-  /** Streaming job: NDJSON op landing → compaction → append sink. */
+  /** Streaming job: NDJSON op landing → compaction → append sink.
+    * `maxFilesPerTrigger = None` turns batch identity over to the
+    * CHECKPOINT (each AvailableNow drain admits every file prior
+    * drains have not seen, whatever its shard count) — the sharded-
+    * landing mode the late-arrival row drains batch-by-batch.
+    */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            checkpointDir: String): StreamingQuery = {
+            checkpointDir: String,
+            maxFilesPerTrigger: Option[Int] = Some(1)): StreamingQuery = {
     import spark.implicits._
     StateStores.useRocksDb(spark)
+    val reader = spark.readStream.schema(opSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     compacted(
-      spark.readStream
-        .schema(opSchema)
-        .option("maxFilesPerTrigger", 1)
+      reader
         .json(landingDir)
         .filter(col("event_type").isin("signup", "click", "error"))
         .as[Op])

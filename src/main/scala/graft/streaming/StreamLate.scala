@@ -233,26 +233,55 @@ object StreamLate {
   }
 
   /** q_cdc_stream_late: the CDC compaction fed NEWEST-FIRST — the ops
-    * log lands in four quartile files ordered by event_id DESCENDING,
-    * so every key's newest op arrives before its older ones and most
-    * arrivals are "late" relative to the op sequence. The oracle is the
-    * batch compaction SQL verbatim: the newest-sequence-wins fold must
+    * log lands in four event_id-DESCENDING quartile batches, so every
+    * key's newest op arrives before its older ones and most arrivals
+    * are "late" relative to the op sequence. The oracle is the batch
+    * compaction SQL verbatim: the newest-sequence-wins fold must
     * produce the identical hash under the adversarial arrival order
     * (the op-count must still count EVERY op, and late old ops must
-    * never win a key). */
+    * never win a key).
+    *
+    * Landing shape (the r13 repricer fix, applied here in r14): the
+    * quartile assignment is a MAP-SIDE value-range bucket over the op
+    * sequence (one min/max scan), never a global ntile window — ranking
+    * a corpus-sized log on one partition is exactly the
+    * collect-to-one-core shape this suite bans — and each quartile
+    * lands SHARDED so the JSON encode runs on [[Repricer.LandingShards]]
+    * cores. Batch identity moves from file mtimes to the CHECKPOINT:
+    * one AvailableNow drain per quartile admits exactly the unseen
+    * shards (arrival order across drains is the adversarial order; the
+    * fold is split-invariant within a drain). No watermark is involved
+    * — [[landBatches]]' single-file mtime protocol stays with the rows
+    * whose watermark progression depends on batch boundaries. */
   def cdcStreamLate(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOracle.freshTmp(spark, dir, "cdclate")
+    val landing = new Path(s"$tmp/landing")
+    val fs = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(landing)
     val ops = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .withColumn("grp", ntile(StreamOracle.LandingFiles)
-        .over(Window.orderBy(col("event_id").desc)))
-    landBatches(spark,
-      (1 to StreamOracle.LandingFiles).map(i =>
-        ops.filter(col("grp") === i).drop("grp")),
-      s"$tmp/landing")
-    StreamOracle.drain(
-      StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "late cdc")
+    val ext = ops.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (mn, mx) = (ext.getLong(0), ext.getLong(1))
+    val g = StreamOracle.LandingFiles
+    val span = (mx - mn + 1L).toDouble
+    // newest ops → quartile 1: (mx - id) ∈ [0, span) scaled to [0, g)
+    val grp = floor((lit(mx) - col("event_id")) * g / span) + 1L
+    for (k <- 1 to g) {
+      val staging = new Path(s"$tmp/stage$k")
+      ops.filter(grp === k)
+        .repartition(Repricer.LandingShards).write.json(staging.toString)
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).foreach { part =>
+          val dst = new Path(landing, s"b${k}_${part.getName}")
+          if (!fs.rename(part, dst))
+            throw new java.io.IOException(s"rename $part -> $dst failed")
+        }
+      fs.delete(staging, true)
+      StreamOracle.drain(
+        StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
+          maxFilesPerTrigger = None),
+        s"late cdc drain $k")
+    }
     val r = StreamCdc.materialize(spark, s"$tmp/out")
     Out.sorted(r)(col("user_id"))
   }

@@ -140,4 +140,46 @@ class AnnIngestStreamSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got === viaChain)
   }
+
+  test("a WIPED checkpoint against a folded index fails loudly instead of dropping batches") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annin_wiped").toString
+    val base = s"$tmp/index"
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    landBatch(VectorOps.AddResidue, s"$tmp/landing")
+    landBatch(VectorOps.AddResidue2, s"$tmp/landing")
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt"))
+    assert(VectorOps.foldedWatermark(spark, base) >= 0L,
+      "precondition: the threshold compaction advanced the watermark")
+    // the data-loss hazard: checkpoint wiped, index (and its positive
+    // watermark) retained — the fresh stream restarts at batch id 0,
+    // which the watermark skip would silently drop
+    val ckptPath = new org.apache.hadoop.fs.Path(s"$tmp/ckpt")
+    val fs = ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(ckptPath, true))
+    // a genuinely NEW batch (shifted ids — nothing the index holds)
+    corpus.filter(residueOf(col("vec_id")) === VectorOps.AddResidue)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/landing2")
+    val q = AnnIngest.start(spark, s"$tmp/landing2", base, s"$tmp/ckpt")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(300000L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("folded-batch watermark")),
+      s"expected the identity guard, got: ${messages(e).mkString(" | ")}")
+    // nothing was admitted or skipped silently: the index layout is
+    // untouched (both original batches folded, no new delta)
+    assert(VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+      .isEmpty)
+    // restoring ingest is an explicit operator action: wiping the
+    // index's stream markers lets a fresh checkpoint take over
+    Seq("_folded_watermark.json", "_stream_identity.json").foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, n), false))
+    drain(AnnIngest.start(spark, s"$tmp/landing2", base, s"$tmp/ckpt2"))
+    assert(VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+      .size === 1, "the explicitly reset index re-admits fresh batches")
+  }
 }

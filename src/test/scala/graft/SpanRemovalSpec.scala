@@ -85,6 +85,26 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(out(3L) === ((10L, 6L, 1L, md5Hex("o1 o2 o3 o4"))))
   }
 
+  test("clone-mass fork: direct and collapsed paths are row-identical on the same corpus") {
+    import spark.implicits._
+    // a corpus straddling both regimes: a 3-clone family, a partial
+    // overlap, a unique doc, a sub-K doc — whatever the gate picks for
+    // it, BOTH forks must emit the identical row set
+    val shared = (1 to 6).map(i => s"w$i").mkString(" ")
+    val fam = s"p1 p2 $shared p3"
+    val docs = Seq(
+      1L -> fam, 2L -> fam, 3L -> fam,
+      4L -> s"q1 q2 q3 q4 $shared",
+      5L -> "a unique document with plenty of tokens to spare here",
+      6L -> "tiny").toDF("doc_id", "text")
+    val direct = CorpusOps.spanRemovalDirect(docs)
+      .collect().map(_.toSeq).toSet
+    val collapsed = CorpusOps.spanRemovalCollapsed(docs)
+      .collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty)
+    assert(direct === collapsed)
+  }
+
   test("matches the q_span_removal oracle shape on the sf0.001 corpus") {
     val rows = CorpusOps.spanRemoval(spark, SparkT.Sf0001).collect()
     assert(rows.nonEmpty)
