@@ -241,9 +241,18 @@ object Bench {
           } catch { case _: Throwable => Map.empty[String, Double] }
         val ratio =
           sys.env.getOrElse("SPARK_GRAFT_WARM_RATIO", "10").toDouble
+        // SPARK_GRAFT_WARM_EXTRA names rows that get the warm pass
+        // UNCONDITIONALLY (comma list): the streaming family's largest
+        // rows sit below the ratio trigger but carry per-trigger
+        // micro-batch overhead that only a warm number can separate
+        // from real growth — adjudicate them as data every cut.
+        val extra = sys.env.get("SPARK_GRAFT_WARM_EXTRA").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
         val flagged = timed.collect {
           case (n, (sec, _, _, _))
-              if sec > 0 && baseWalls.get(n).exists(b => b > 0 && sec > ratio * b) => n
+              if sec > 0 &&
+                (extra.contains(n) ||
+                  baseWalls.get(n).exists(b => b > 0 && sec > ratio * b)) => n
         }
         flagged.map { n =>
           val walls = (1 to 2).flatMap { _ =>

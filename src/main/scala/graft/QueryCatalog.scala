@@ -327,8 +327,12 @@ object QueryCatalog {
   // `deadPred` (over a2's vec_id, alias `a`) additionally excludes
   // tombstoned ids from the candidates — the masked delta-union read:
   // train on base, encode everything, serve all except the deleted.
+  // `nprobe` widens `best` like ivfPqRankedCtesExcluding's; the
+  // recall-chain row probes at depth 2 and derives the depth-1 ranking
+  // from the candidates' probe rank in its own tail.
   private def ivfPqAddRankedCtesFor(
-      deltaPred: String, deadPred: String = "FALSE"): String = {
+      deltaPred: String, deadPred: String = "FALSE",
+      nprobe: Int = 1): String = {
     val m = VectorOps.PqSubspaces
     val d = VectorOps.PqSubDim
     val cellSim = rnd("list_dot_product(q_emb::DOUBLE[], centroid::DOUBLE[])", 6)
@@ -359,9 +363,9 @@ object QueryCatalog {
                  row_number() OVER (PARTITION BY q_id
                    ORDER BY $cellSim DESC, cluster) AS rn
           FROM q, cent1),
-        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= 1),
+        best AS (SELECT q_id, q_emb, cluster, cell_sim FROM cells WHERE rn <= $nprobe),
         lut AS (
-          SELECT q_id, sub, code,
+          SELECT DISTINCT q_id, sub, code,
                  ${rnd(s"list_dot_product(list_slice(q_emb, sub * $d + 1, (sub + 1) * $d)::DOUBLE[], centroid::DOUBLE[])", 6)} AS part
           FROM best, cents),
         cand AS (
@@ -2547,6 +2551,76 @@ object QueryCatalog {
                ${rnd("CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall
         FROM qq LEFT JOIN h USING (q_id)
         ORDER BY q_id"""
+      }),
+
+    // Recall-under-MUTATION sweep with the nprobe dial: the quality
+    // metric at TWO lifecycle points of the full verb chain (add →
+    // delete masked serving; compact → fresh add), each at probe depths
+    // 1 and 2, with n_exact measured per (stage, query). The oracle
+    // replays ONE encode-all chain at probe depth 2 (compaction never
+    // changes codes or cells, so both stages share the scored frame) and
+    // derives each stage × depth ranking by predicate: stage masks drop
+    // the deleted residue always and the not-yet-arrived second batch in
+    // stage 1; depth-1 rankings keep only candidates whose home cell is
+    // the query's top probe. Exact sides are brute-force top-k over each
+    // stage's live corpus.
+    "q_ann_index_recall_chain" -> Spec(
+      VectorOps.ivfPqIndexRecallChain,
+      Some {
+        val k = VectorOps.TopKPq
+        val mod = VectorOps.AddModulus
+        val del = VectorOps.DeleteResidue
+        val b2 = VectorOps.AddResidue2
+        s"""
+        WITH ${ivfPqAddRankedCtesFor(
+          s"vec_id % $mod IN (${VectorOps.AddResidue}, $b2)",
+          "FALSE", VectorOps.IvfNProbe)},
+        scored AS (
+          SELECT s.q_id, s.neighbor_id, s.approx_sim, c.rn
+          FROM s JOIN cells c ON c.q_id = s.q_id AND c.cluster = s.cell),
+        stg AS (SELECT * FROM (VALUES ('masked'), ('compacted_add')) t(stage)),
+        pr AS (SELECT * FROM (VALUES (1), (${VectorOps.IvfNProbe})) t(np)),
+        ak AS (
+          SELECT stage, np, q_id, neighbor_id FROM (
+            SELECT st.stage, p.np, sc.q_id, sc.neighbor_id,
+                   row_number() OVER (PARTITION BY st.stage, p.np, sc.q_id
+                     ORDER BY sc.approx_sim DESC, sc.neighbor_id) AS rk
+            FROM scored sc, stg st, pr p
+            WHERE sc.rn <= p.np
+              AND sc.neighbor_id % $mod <> $del
+              AND NOT (st.stage = 'masked' AND sc.neighbor_id % $mod = $b2))
+          WHERE rk <= $k),
+        sb AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+                      ${rnd("list_dot_product(q_emb::DOUBLE[], e.embedding::DOUBLE[])", 6)} AS cos_sim
+               FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        exk AS (
+          SELECT stage, q_id, neighbor_id FROM (
+            SELECT st.stage, sb.q_id, sb.neighbor_id,
+                   row_number() OVER (PARTITION BY st.stage, sb.q_id
+                     ORDER BY sb.cos_sim DESC, sb.neighbor_id) AS rk
+            FROM sb, stg st
+            WHERE sb.neighbor_id % $mod <> $del
+              AND NOT (st.stage = 'masked' AND sb.neighbor_id % $mod = $b2))
+          WHERE rk <= $k),
+        h1 AS (SELECT e.stage, e.q_id, CAST(count(*) AS BIGINT) AS hits_probe1
+               FROM exk e JOIN ak a ON a.stage = e.stage AND a.np = 1
+                 AND a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+               GROUP BY 1, 2),
+        h2 AS (SELECT e.stage, e.q_id, CAST(count(*) AS BIGINT) AS hits_probe2
+               FROM exk e JOIN ak a ON a.stage = e.stage
+                 AND a.np = ${VectorOps.IvfNProbe}
+                 AND a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+               GROUP BY 1, 2),
+        nn AS (SELECT stage, q_id, CAST(count(*) AS BIGINT) AS n_exact
+               FROM exk GROUP BY 1, 2)
+        SELECT nn.stage, nn.q_id, nn.n_exact,
+               coalesce(hits_probe1, 0) AS hits_probe1,
+               coalesce(hits_probe2, 0) AS hits_probe2,
+               ${rnd("CAST(coalesce(hits_probe1, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall_probe1,
+               ${rnd("CAST(coalesce(hits_probe2, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall_probe2
+        FROM nn LEFT JOIN h1 USING (stage, q_id)
+        LEFT JOIN h2 USING (stage, q_id)
+        ORDER BY stage, q_id"""
       }),
 
     "q_ann_index_stats" -> Spec(

@@ -1833,10 +1833,34 @@ object VectorOps {
     * [[healCompaction]] on the next read or compact — a scheduled
     * maintenance job can retry this verb blindly. Missing deltas are
     * skipped, so re-running compaction after recovery — or with nothing
-    * to fold — is a no-op, not a rewrite. Still single-writer, as
-    * [[indexBase]] documents.
+    * to fold — is a no-op, not a rewrite.
+    *
+    * Compactor-vs-compactor (the writer-vs-writer law): within one
+    * process, whole compactions serialize on a per-index WRITER lock —
+    * distinct from the heal monitor, so reader heals (every search)
+    * never stall behind a running merge. The second compactor of a
+    * race therefore starts after the first completed its swap, finds
+    * the folded deltas retired ([[committed]] reads them as absent)
+    * and no tombstones, and is the documented NO-OP — the fold happens
+    * exactly once under any in-process interleaving
+    * (IvfPqCompactSpec drives the race). CROSS-process compactors stay
+    * outside the contract, like cross-process readers racing a writer
+    * ([[healCompaction]]'s note): one maintenance process per index
+    * location, or a table-format catalog owns the swap.
     */
+  private val compactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def compactLock(base: String): Object =
+    compactLocks.computeIfAbsent(base, _ => new Object)
+
   private[graft] def ivfPqCompact(
+      spark: SparkSession, base: String, deltas: Seq[String]): Unit =
+    compactLock(base).synchronized {
+      ivfPqCompactLocked(spark, base, deltas)
+    }
+
+  private def ivfPqCompactLocked(
       spark: SparkSession, base: String, deltas: Seq[String]): Unit = {
     healCompaction(spark, base)
     val present = deltas.filter(s => committed(spark, s"$base/$s"))
@@ -2568,5 +2592,86 @@ object VectorOps {
         F.roundHalfUp(col("hits").cast("double") /
           col("n_exact").cast("double"), 6))
     Out.sorted(r)(col("q_id"))
+  }
+
+  /** Recall-under-MUTATION sweep with the nprobe dial
+    * (q_ann_index_recall_chain): [[ivfPqIndexRecall]] gates ONE
+    * lifecycle point; this row walks the full verb chain — add →
+    * delete (the MASKED serving state: base lists ∪ delta, tombstone
+    * anti-join) → compact (physical purge) → add (a fresh delta on the
+    * compacted base) — and measures recall@k against exact brute force
+    * over each stage's LIVE corpus, at BOTH probe depths (nprobe 1 and
+    * [[IvfNProbe]]). A compaction that silently drops or duplicates
+    * list rows, a probe-depth loss, or a mutation cycle that degrades
+    * the lists now fails a QUALITY gate at the exact lifecycle point
+    * that broke, and the probe dial's recall/latency trade is a pair
+    * of measured numbers per stage, not a superset law alone.
+    *
+    * Fresh lifecycle root per call (like the ingest-stream row): the
+    * verbs must RUN, not be found built. Stage-1 rows are materialized
+    * to a sidecar parquet BEFORE the compaction mutates the layout the
+    * lazy search plans would otherwise re-read post-swap.
+    *
+    * n_exact is measured per (stage, query) — stage 1's live corpus
+    * excludes the not-yet-arrived second batch AND the retracted ids,
+    * so its exact sets can be smaller than stage 2's.
+    */
+  def ivfPqIndexRecallChain(spark: SparkSession, dir: String): DataFrame = {
+    val k = TopKPq
+    val base = indexBase(dir, "recallchain")
+    val fs = fsOf(spark, base)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val corpus = embDistributed(spark, dir)
+    val res = col("vec_id") % AddModulus
+    val baseCorpus = corpus.filter(!res.isin(AddResidue, AddResidue2))
+    ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    ivfPqAddBatch(spark, dir, base,
+      corpus.filter(res === AddResidue), "lists_delta_b1")
+    ivfPqDelete(spark, base,
+      corpus.filter(res === DeleteResidue).select(col("vec_id")))
+    val q = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def stageRecall(stage: String, deltas: Seq[String],
+        live: DataFrame): DataFrame = {
+      def approx(nprobe: Int) =
+        searchStored(spark, dir, base, deltas, nprobe)
+          .filter(col("rank") <= k)
+          .select(col("q_id"), col("neighbor_id"))
+      val exact = live.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          F.roundHalfUp(dot(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(desc("cos_sim"), asc("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("neighbor_id"))
+      def hits(a: DataFrame, name: String) =
+        exact.join(a, Seq("q_id", "neighbor_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as(name))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(approx(1), "hits_probe1"), Seq("q_id"), "left")
+        .join(hits(approx(IvfNProbe), "hits_probe2"), Seq("q_id"), "left")
+        .select(lit(stage).as("stage"), col("q_id"), col("n_exact"),
+          coalesce(col("hits_probe1"), lit(0L)).as("hits_probe1"),
+          coalesce(col("hits_probe2"), lit(0L)).as("hits_probe2"))
+        .withColumn("recall_probe1",
+          F.roundHalfUp(col("hits_probe1").cast("double") /
+            col("n_exact").cast("double"), 6))
+        .withColumn("recall_probe2",
+          F.roundHalfUp(col("hits_probe2").cast("double") /
+            col("n_exact").cast("double"), 6))
+    }
+    val stage1 = stageRecall("masked", Seq("lists_delta_b1"),
+      corpus.filter(res =!= AddResidue2 && res =!= DeleteResidue))
+    val sidecar = s"${base}_stage1"
+    stage1.write.mode("overwrite").parquet(sidecar)
+    ivfPqCompact(spark, base, Seq("lists_delta_b1"))
+    ivfPqAddBatch(spark, dir, base,
+      corpus.filter(res === AddResidue2), "lists_delta_b2")
+    val stage2 = stageRecall("compacted_add", Seq("lists_delta_b2"),
+      corpus.filter(res =!= DeleteResidue))
+    val r = spark.read.parquet(sidecar).unionByName(stage2)
+    Out.sorted(r)(col("stage"), col("q_id"))
   }
 }

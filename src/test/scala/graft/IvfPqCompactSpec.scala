@@ -221,6 +221,73 @@ class IvfPqCompactSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("writer-vs-writer: an ADD admitted inside the commit-to-retire window survives the swap") {
+    // the window the reader-race test cannot drive: the compaction has
+    // committed its manifest but not yet retired the folded deltas,
+    // and a NEW add batch lands right then. The law: completion folds
+    // exactly the manifest's named deltas — the in-window batch is
+    // untouched, stays committed, and the post-swap search over
+    // lists ∪ new-delta equals the no-window lifecycle (encode-all)
+    val base = VectorOps.indexBase(dir, "addinswap")
+    rm(new java.io.File(base))
+    val res3 = 5L
+    def residueOf(c: org.apache.spark.sql.Column) = c % VectorOps.AddModulus
+    val corpus = VectorOps.embDistributed(spark, dir)
+    val baseCorpus = corpus.filter(!residueOf(col("vec_id"))
+      .isin(VectorOps.AddResidue, VectorOps.AddResidue2, res3))
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    def batch(r: Long) = corpus.filter(residueOf(col("vec_id")) === r)
+    VectorOps.ivfPqAddBatch(spark, dir, base,
+      batch(VectorOps.AddResidue), "lists_delta_b1")
+    VectorOps.ivfPqAddBatch(spark, dir, base,
+      batch(VectorOps.AddResidue2), "lists_delta_b2")
+    mergeOnly(base)
+    writeManifest(base) // commit point reached, completion NOT yet run
+    VectorOps.ivfPqAddBatch(spark, dir, base, batch(res3), "lists_delta_b3")
+    VectorOps.healCompaction(spark, base) // any reader completes the swap
+    assert(new java.io.File(s"$base/lists_delta_b3/_SUCCESS").exists(),
+      "the in-window add batch was retired by a fold that never named it")
+    for (d <- Seq("lists_delta_b1", "lists_delta_b2",
+        "_compaction_manifest.json"))
+      assert(!new java.io.File(s"$base/$d").exists(), s"$d survived the swap")
+    val got = VectorOps.searchStored(spark, dir, base, Seq("lists_delta_b3"))
+      .collect().map(_.toSeq).toSet
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_addinswap").toString
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, corpus, oneShot)
+    val ref = VectorOps.annIvfPqFromIndex(spark, dir, oneShot)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === ref)
+  }
+
+  test("writer-vs-writer: two compactors racing fold exactly once and converge") {
+    // the per-index writer lock serializes whole compactions: the race
+    // loser starts after the winner's swap, reads the folded deltas as
+    // absent, and is the documented no-op — never a second fold of the
+    // same rows, never a torn layout
+    val (base, ref) = buildWithDeltas("compactrace")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val racers = (1 to 2).map(_ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = VectorOps.ivfPqCompact(spark, base,
+            Seq("lists_delta_b1", "lists_delta_b2"))
+        }))
+      racers.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    for (d <- Seq("lists_delta_b1", "lists_delta_b2", "lists_compacting",
+        "lists_retired", "_compaction_manifest.json"))
+      assert(!new java.io.File(s"$base/$d").exists(),
+        s"$d survived the compactor race")
+    val lists = spark.read.parquet(s"$base/lists").select("vec_id", "sub")
+    assert(lists.count() === lists.distinct().count(),
+      "racing compactors duplicated (vec_id, sub) code rows")
+    val got = VectorOps.searchStored(spark, dir, base, Nil)
+      .collect().map(_.toSeq).toSet
+    assert(got === ref)
+  }
+
   test("torn merge (uncommitted lists_compacting) rolls back; re-compact converges") {
     val (base, ref) = buildWithDeltas("healtorn")
     mergeOnly(base)
