@@ -85,33 +85,56 @@ object StreamLate {
 
   private val JsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-  /** Write each frame as ONE landing file `batch_0i.json` with strictly
-    * increasing mtimes, so the file source's mtime order IS the batch
-    * order. */
-  private def landBatches(spark: SparkSession, frames: Seq[DataFrame],
-      landing: String): Unit = {
+  /** Write a `batch`-column frame as ONE landing file `batch_0i.json`
+    * per batch with strictly increasing mtimes, so the file source's
+    * mtime order IS the batch order.
+    *
+    * ONE distributed job (r14): the batch-keyed repartition puts every
+    * batch value's rows in exactly one task, so `partitionBy` emits
+    * exactly one part file per batch dir — the source frame computes
+    * ONCE instead of once per batch-filter, and the per-batch JSON
+    * encodes run as parallel tasks instead of sequential coalesce(1)
+    * jobs (the r13 repricer landing lesson applied to the watermark
+    * rows WITHOUT touching their batch-boundary contract: same files,
+    * same mtime protocol, only the job that writes them changed).
+    * Within-file row order shifts with the shuffle — irrelevant to
+    * every consumer here (micro-batch semantics are set-based; the
+    * watermark folds a per-batch max).
+    */
+  private def landBatches(spark: SparkSession, all: DataFrame,
+      nBatches: Int, landing: String): Unit = {
     val lp = new Path(landing)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lp)
-    frames.zipWithIndex.foreach { case (df, i) =>
-      val stage = new Path(landing, s"_stage_$i")
-      df.coalesce(1).write.option("timestampFormat", JsonTsFmt)
-        .json(stage.toString)
-      val part = fs.globStatus(new Path(stage, "part-*")).head.getPath
+    val stage = new Path(landing, "_stage")
+    all.withColumn("batch", col("batch").cast("int"))
+      .repartition(nBatches, col("batch"))
+      .write.option("timestampFormat", JsonTsFmt)
+      .partitionBy("batch").json(stage.toString)
+    (0 until nBatches).foreach { i =>
+      val parts = fs.globStatus(new Path(stage, s"batch=$i/part-*"))
+      // an empty batch would silently DROP a trigger and renumber the
+      // watermark progression every downstream oracle replays — fail
+      // loudly instead
+      require(parts.length == 1,
+        s"batch $i landed ${parts.length} part files — every batch " +
+          "must be non-empty and single-file for the one-trigger-per-" +
+          "batch mtime contract")
       val dst = new Path(lp, f"batch_$i%02d.json")
-      if (!fs.rename(part, dst))
-        throw new java.io.IOException(s"rename $part -> $dst failed")
-      fs.delete(stage, true)
+      if (!fs.rename(parts.head.getPath, dst))
+        throw new java.io.IOException(s"rename ${parts.head.getPath} -> $dst failed")
       fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
     }
+    fs.delete(stage, true)
   }
 
   /** The events-table landing shared by the windows and sessions rows:
     * batch = event_id % 4, offset = (event_id % 97) minutes into the
     * slot, out-of-order-kept class event_id % 13 == 7, too-late class
     * event_id % 13 == 5 (both only for b ≥ 1), sentinel appended to the
-    * last batch. */
-  private def eventFrames(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    * last batch. One frame with the `batch` column [[landBatches]]
+    * splits on. */
+  private def eventFrame(spark: SparkSession, dir: String): DataFrame = {
     val b = col("event_id") % 4
     val us = lit(BaseUs) + b * SlotUs + (col("event_id") % 97) * MinuteUs +
       when(col("event_id") % 13 === 5 && b >= 1, -LateShiftUs)
@@ -119,15 +142,12 @@ object StreamLate {
         .otherwise(0L)
     val src = Tables.load(spark, dir, "events")
       .select(col("event_id"), timestamp_micros(us).as("ts"),
-        col("event_type"), col("value"), b.as("b"))
+        col("event_type"), col("value"), b.as("batch"))
     val sentinel = spark.range(1).select(
       lit(-1L).as("event_id"), timestamp_micros(lit(SentinelUs)).as("ts"),
-      lit("heartbeat").as("event_type"), lit(null).cast("double").as("value"))
-    (0 until StreamOracle.LandingFiles).map { i =>
-      val batch = src.filter(col("b") === i).drop("b")
-      if (i == StreamOracle.LandingFiles - 1) batch.unionByName(sentinel)
-      else batch
-    }
+      lit("heartbeat").as("event_type"), lit(null).cast("double").as("value"),
+      lit(StreamOracle.LandingFiles - 1L).as("batch"))
+    src.unionByName(sentinel)
   }
 
   /** q_windows_stream_late: the tumbling-window job over the
@@ -136,7 +156,8 @@ object StreamLate {
     * batches. */
   def windowsStreamLate(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOracle.freshTmp(spark, dir, "winlate")
-    landBatches(spark, eventFrames(spark, dir), s"$tmp/landing")
+    landBatches(spark, eventFrame(spark, dir),
+      StreamOracle.LandingFiles, s"$tmp/landing")
     StreamOracle.drain(
       EventWindows.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
       "late windows")
@@ -153,7 +174,8 @@ object StreamLate {
     * must not found sessions of their own. */
   def sessionsStreamLate(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOracle.freshTmp(spark, dir, "seslate")
-    landBatches(spark, eventFrames(spark, dir), s"$tmp/landing")
+    landBatches(spark, eventFrame(spark, dir),
+      StreamOracle.LandingFiles, s"$tmp/landing")
     StreamOracle.drain(
       Sessions.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
       "late sessions")
@@ -218,9 +240,8 @@ object StreamLate {
         col("text"), (b + 1).as("batch"))
     val all = base.unionByName(dup).unionByName(supp)
     landBatches(spark,
-      (0 until DedupBatches).map(i =>
-        all.filter(col("batch") === i).select("doc_id", "ts", "text")),
-      s"$tmp/landing")
+      all.select(col("doc_id"), col("ts"), col("text"), col("batch")),
+      DedupBatches, s"$tmp/landing")
     StreamOracle.drain(
       StreamDedup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
       "late dedup")
