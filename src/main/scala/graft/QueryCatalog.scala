@@ -1720,12 +1720,13 @@ object QueryCatalog {
                FROM exact JOIN sel_p1 USING (q_id, neighbor_id) GROUP BY 1),
         h2 AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits_probe2
                FROM exact JOIN sel_p2 USING (q_id, neighbor_id) GROUP BY 1),
-        qq AS (SELECT DISTINCT q_id FROM exact)
-        SELECT qq.q_id, CAST($k AS BIGINT) AS n_exact,
+        qq AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+               FROM exact GROUP BY 1)
+        SELECT qq.q_id, n_exact,
                coalesce(hits_probe1, 0) AS hits_probe1,
                coalesce(hits_probe2, 0) AS hits_probe2,
-               ${rnd(s"CAST(coalesce(hits_probe1, 0) AS DOUBLE) / CAST($k AS DOUBLE)", 6)} AS recall_probe1,
-               ${rnd(s"CAST(coalesce(hits_probe2, 0) AS DOUBLE) / CAST($k AS DOUBLE)", 6)} AS recall_probe2,
+               ${rnd(s"CAST(coalesce(hits_probe1, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall_probe1,
+               ${rnd(s"CAST(coalesce(hits_probe2, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall_probe2,
                coalesce(hits_probe2, 0) >= coalesce(hits_probe1, 0) AS probe2_improves
         FROM qq LEFT JOIN h1 USING (q_id) LEFT JOIN h2 USING (q_id)
         ORDER BY q_id"""

@@ -1851,8 +1851,23 @@ object VectorOps {
   private val compactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def compactLock(base: String): Object =
-    compactLocks.computeIfAbsent(base, _ => new Object)
+  /** The lock key is the NORMALIZED location, not the raw string: two
+    * spellings of one index (trailing slash, `./` segments, relative vs
+    * absolute) must take the SAME lock or the writer-vs-writer
+    * serialization above is bypassed. `Path` squashes slashes and dot
+    * segments and `makeQualified` pins scheme + working directory, so
+    * only genuinely distinct locations key distinct locks (symlinked
+    * aliases of one directory remain outside the contract, like
+    * cross-process writers). The map grows one entry per distinct
+    * index location for the JVM's life — unbounded in principle,
+    * irrelevant in practice (an Object per index a process maintains).
+    */
+  private def compactLock(base: String): Object = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val key = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .makeQualified(p).toUri.toString
+    compactLocks.computeIfAbsent(key, _ => new Object)
+  }
 
   private[graft] def ivfPqCompact(
       spark: SparkSession, base: String, deltas: Seq[String]): Unit =
@@ -2519,16 +2534,22 @@ object VectorOps {
         .groupBy("q_id").agg(count(lit(1)).as(name))
     val h1 = hits(annIvfProbed(spark, dir, 1), "hits_probe1")
     val h2 = hits(annIvfProbed(spark, dir, IvfNProbe), "hits_probe2")
-    val r = exact.select(col("q_id")).distinct()
+    // n_exact is MEASURED per query (the size of its exact top-k set,
+    // < k when the corpus has fewer than k+1 non-self vectors), same as
+    // ivfPqIndexRecall — a constant-k denominator understates recall on
+    // small or heavily-retracted corpora.
+    val r = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
       .join(h1, Seq("q_id"), "left")
       .join(h2, Seq("q_id"), "left")
-      .select(col("q_id"), lit(k.toLong).as("n_exact"),
+      .select(col("q_id"), col("n_exact"),
         coalesce(col("hits_probe1"), lit(0L)).as("hits_probe1"),
         coalesce(col("hits_probe2"), lit(0L)).as("hits_probe2"))
       .withColumn("recall_probe1",
-        F.roundHalfUp(col("hits_probe1").cast("double") / k.toDouble, 6))
+        F.roundHalfUp(col("hits_probe1").cast("double") /
+          col("n_exact").cast("double"), 6))
       .withColumn("recall_probe2",
-        F.roundHalfUp(col("hits_probe2").cast("double") / k.toDouble, 6))
+        F.roundHalfUp(col("hits_probe2").cast("double") /
+          col("n_exact").cast("double"), 6))
       .withColumn("probe2_improves",
         col("hits_probe2") >= col("hits_probe1"))
     Out.sorted(r)(col("q_id"))

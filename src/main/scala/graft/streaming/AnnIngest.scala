@@ -158,20 +158,34 @@ object AnnIngest {
         """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
       } catch { case _: java.io.IOException => None }
     if (stamped.contains(id)) return
-    require(watermark < 0L || stamped.isEmpty,
-      s"index at $base was fed by stream ${stamped.get} whose " +
-        s"compactions folded batches up to id $watermark, but the " +
-        s"current checkpoint identifies as $id (wiped or replaced): " +
-        "its restarted batch ids would be silently dropped by the " +
-        "folded-batch watermark. Re-point the stream at the original " +
-        "checkpoint, or wipe the index to re-ingest from scratch.")
+    // Takeover is legal ONLY while nothing has been folded. A missing
+    // stamp does NOT soften that: a pre-stamp legacy index, a manually
+    // cleaned marker, or a crash inside the stamp replacement all look
+    // identical to a wiped checkpoint from here, and admitting the new
+    // identity against a positive watermark reopens the exact
+    // silent-drop window this guard exists to close. Operators of
+    // legacy indexes must explicitly clear _folded_watermark (wiping
+    // the fold history they can no longer attribute) to hand the index
+    // to a new stream.
+    require(watermark < 0L,
+      s"index at $base carries a folded-batch watermark of $watermark " +
+        stamped.fold("but no identity stamp (pre-stamp index, or the " +
+          "marker was removed)")(o => s"stamped by stream $o") +
+        s", and the current checkpoint identifies as $id: its " +
+        "restarted batch ids <= the watermark would be silently " +
+        "dropped. Re-point the stream at the original checkpoint, or " +
+        "wipe the index (including _folded_watermark) to re-ingest " +
+        "from scratch.")
     val tmp = new org.apache.hadoop.fs.Path(base, "_stream_identity.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"id":"$id"}\n""".getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"identity stamp rename failed: $p")
+    // Atomic overwrite via FileContext: no delete-then-rename crash
+    // window in which the stamp is absent (the state the require above
+    // now refuses to adopt against a positive watermark).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Driver-oracle row q_ann_ingest_stream — the continuous-ingest

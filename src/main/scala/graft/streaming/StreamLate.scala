@@ -282,6 +282,8 @@ object StreamLate {
     val ops = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val ext = ops.agg(min(col("event_id")), max(col("event_id"))).head()
+    require(!ext.isNullAt(0),
+      "cdcStreamLate: events table is empty — no ops log to land")
     val (mn, mx) = (ext.getLong(0), ext.getLong(1))
     val g = StreamOracle.LandingFiles
     val span = (mx - mn + 1L).toDouble
@@ -289,8 +291,16 @@ object StreamLate {
     val grp = floor((lit(mx) - col("event_id")) * g / span) + 1L
     for (k <- 1 to g) {
       val staging = new Path(s"$tmp/stage$k")
-      ops.filter(grp === k)
-        .repartition(Repricer.LandingShards).write.json(staging.toString)
+      val bucket = ops.filter(grp === k)
+      // Value-range buckets (unlike ntile) can come up empty under a
+      // skewed event_id distribution — an empty quartile silently
+      // weakens the newest-first arrival adversary to fewer effective
+      // batches. Mirror landBatches' stance: fail loudly instead.
+      require(!bucket.isEmpty,
+        s"cdcStreamLate: value-range quartile $k/$g of event_id " +
+          s"[$mn,$mx] is empty — skewed distribution defeats the " +
+          "newest-first arrival pattern; re-bucket by rank for this corpus")
+      bucket.repartition(Repricer.LandingShards).write.json(staging.toString)
       fs.listStatus(staging).map(_.getPath)
         .filter(_.getName.startsWith("part-")).foreach { part =>
           val dst = new Path(landing, s"b${k}_${part.getName}")

@@ -182,4 +182,69 @@ class AnnIngestStreamSpec extends AnyFunSuite {
     assert(VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
       .size === 1, "the explicitly reset index re-admits fresh batches")
   }
+
+  test("a MISSING identity stamp does not soften the guard: positive watermark + absent stamp fails loudly") {
+    // pre-stamp legacy index, manual marker cleanup, or a crash inside
+    // the stamp replacement: from the guard's view all three are a
+    // positive watermark with no attributable stream — adopting a new
+    // checkpoint there reopens the silent-drop window, so takeover
+    // must require the operator to clear _folded_watermark explicitly
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annin_nostamp").toString
+    val base = s"$tmp/index"
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    landBatch(VectorOps.AddResidue, s"$tmp/landing")
+    landBatch(VectorOps.AddResidue2, s"$tmp/landing")
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt"))
+    assert(VectorOps.foldedWatermark(spark, base) >= 0L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(base, "_stream_identity.json"), false))
+    val q = AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(300000L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+        m.contains("folded-batch") || m.contains("no identity stamp")),
+      s"expected the identity guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("wiped checkpoint BEFORE first compaction (watermark < 0): takeover re-admits via idempotent same-name overwrites, no duplicate codes") {
+    // the watermark can drop nothing, so a fresh checkpoint takes over
+    // the stamp; its restarted batch ids re-commit the SAME delta names
+    // ivfPqAddBatch already wrote — idempotent overwrite, not duplication
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annin_prefold").toString
+    val base = s"$tmp/index"
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    landBatch(VectorOps.AddResidue, s"$tmp/landing")
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt",
+      compactEvery = 99))
+    assert(VectorOps.foldedWatermark(spark, base) === -1L,
+      "precondition: nothing folded before the wipe")
+    val deltas0 =
+      VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+    assert(deltas0.size === 1)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ckpt"), true))
+    // fresh checkpoint over the SAME landing dir: batch 0 re-delivers
+    drain(AnnIngest.start(spark, s"$tmp/landing", base, s"$tmp/ckpt2",
+      compactEvery = 99))
+    val deltas =
+      VectorOps.committedDeltas(spark, base, AnnIngest.DeltaPrefix)
+    assert(deltas === deltas0,
+      s"re-admission changed the delta set: $deltas0 -> $deltas")
+    val codes = spark.read.parquet(s"$base/${deltas.head}")
+      .select("vec_id", "sub")
+    assert(codes.count() === codes.distinct().count(),
+      "re-admission duplicated (vec_id, sub) code rows")
+    assert(codes.count() ===
+      corpus.filter(residueOf(col("vec_id")) === VectorOps.AddResidue)
+        .count() * VectorOps.PqSubspaces)
+  }
 }
