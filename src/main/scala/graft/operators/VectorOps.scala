@@ -1388,7 +1388,7 @@ object VectorOps {
     */
   private[graft] def ivfPqPersistFrames(
       spark: SparkSession, train: DataFrame, encode: DataFrame,
-      base: String): Unit = {
+      base: String): Unit = withWriterLease(spark, base) {
     def dist(f: DataFrame) = f
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -1480,7 +1480,8 @@ object VectorOps {
     */
   private[graft] def ivfPqAddBatch(
       spark: SparkSession, dir: String, base: String,
-      deltaFrame: DataFrame, sub: String): Unit = {
+      deltaFrame: DataFrame, sub: String): Unit =
+      withWriterLease(spark, base) {
     val delta = deltaFrame.select(col("vec_id"), col("embedding"), col("label"))
     if (delta.isEmpty) {
       val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
@@ -1536,7 +1537,8 @@ object VectorOps {
     * instead of growing it one duplicate file per repeat.
     */
   private[graft] def ivfPqDelete(
-      spark: SparkSession, base: String, ids: DataFrame): Unit = {
+      spark: SparkSession, base: String, ids: DataFrame): Unit =
+      withWriterLease(spark, base) {
     val batch = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
     val fresh = tombstones(spark, base)
       .fold(batch)(t => batch.join(t, Seq("vec_id"), "left_anti"))
@@ -1869,10 +1871,106 @@ object VectorOps {
     compactLocks.computeIfAbsent(key, _ => new Object)
   }
 
+  private def leasePath(base: String) =
+    new org.apache.hadoop.fs.Path(base, "_writer_lease.json")
+
+  /** This process's maintenance-writer identity: pid@host plus the JVM
+    * start time (pid reuse across restarts would otherwise alias two
+    * writers). Stable for the JVM's life — every verb this process
+    * runs claims and recognizes the same identity.
+    */
+  private[graft] lazy val writerId: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${rt.getName}/${rt.getStartTime}"
+  }
+
+  // Outermost-verb refcount per normalized index location: the lease
+  // file exists exactly while ≥1 maintenance verb of this process is
+  // inside the index, so composed verbs (admit = add + threshold
+  // compact) hold ONE claim and concurrent same-process verbs (an add
+  // racing a compaction — legal, IvfPqCompactSpec's window case) don't
+  // drop the fence early.
+  private val leaseRefs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+
+  /** CROSS-PROCESS writer fence for the persisted index — the
+    * enforcement of docs/SCALE.md's single-maintenance-writer contract
+    * (previously documented only). Every maintenance verb
+    * ([[ivfPqAddBatch]], [[ivfPqDelete]], [[ivfPqCompact]]) runs inside
+    * this: the outermost verb CREATE-EXCLUSIVEs `_writer_lease.json`
+    * (atomic on HDFS and local FS — the loser of a simultaneous
+    * acquire gets FileAlreadyExists and re-reads) stamped with
+    * [[writerId]]; a lease held by a FOREIGN process fails loudly
+    * instead of letting two writers corrupt the swap; the process's
+    * last in-flight verb deletes it. A crash mid-verb leaves the lease
+    * behind BY DESIGN: the next writer must decide whether the holder
+    * is dead (delete the lease; [[healCompaction]] finishes any
+    * interrupted swap) rather than silently co-writing with a live
+    * one. Reader paths (search, heal-on-read) take no lease — a
+    * cross-process reader racing a writer's completion stays outside
+    * the contract as documented.
+    */
+  private[graft] def withWriterLease[T](
+      spark: SparkSession, base: String)(f: => T): T = {
+    val p = leasePath(base)
+    val fs = fsOf(spark, base)
+    val key = fs.makeQualified(new org.apache.hadoop.fs.Path(base))
+      .toUri.toString
+    def holder(): Option[String] =
+      if (!fs.exists(p)) None
+      else try {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"writer"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      } catch { case _: java.io.IOException => None }
+    def refuse(other: String): Nothing = throw new IllegalStateException(
+      s"index at $base is being maintained by writer $other (this " +
+        s"process is $writerId): a second maintenance writer would " +
+        "corrupt the compaction swap. Stop the other process, or — if " +
+        s"it is dead — delete ${leasePath(base)}; an interrupted swap " +
+        "is finished automatically by the next heal.")
+    val refs = leaseRefs.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    refs.synchronized {
+      if (refs.get() == 0) {
+        holder() match {
+          case Some(id) if id != writerId => refuse(id)
+          case Some(_) => () // ours from a failed delete — keep it
+          case None =>
+            fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+            try {
+              val out = fs.create(p, false) // create-exclusive: atomic claim
+              try out.write(s"""{"writer":"$writerId"}\n""".getBytes("UTF-8"))
+              finally out.close()
+            } catch {
+              case _: java.io.IOException =>
+                holder() match {
+                  case Some(id) if id != writerId => refuse(id)
+                  case Some(_) => ()
+                  case None => throw new java.io.IOException(
+                    s"could not claim writer lease at $p")
+                }
+            }
+        }
+      }
+      refs.incrementAndGet()
+    }
+    try f
+    finally refs.synchronized {
+      if (refs.decrementAndGet() == 0)
+        try { if (holder().contains(writerId)) fs.delete(p, false) }
+        catch { case _: java.io.IOException => () } // stale ours: re-claimed next verb
+    }
+  }
+
   private[graft] def ivfPqCompact(
       spark: SparkSession, base: String, deltas: Seq[String]): Unit =
-    compactLock(base).synchronized {
-      ivfPqCompactLocked(spark, base, deltas)
+    withWriterLease(spark, base) {
+      compactLock(base).synchronized {
+        ivfPqCompactLocked(spark, base, deltas)
+      }
     }
 
   private def ivfPqCompactLocked(

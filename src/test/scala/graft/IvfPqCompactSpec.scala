@@ -329,4 +329,45 @@ class IvfPqCompactSpec extends AnyFunSuite {
     assert(withEmpty === baseline,
       "searching past an empty admission changed the result (or threw)")
   }
+
+  test("cross-process writer fence: a FOREIGN lease fails every maintenance verb loudly; release restores them") {
+    // the enforcement of SCALE.md's single-maintenance-writer contract:
+    // a second PROCESS (simulated by a lease stamped with a foreign
+    // writer id) must be refused by add/delete/compact instead of
+    // co-writing the swap — and our own verbs must leave no lease
+    // behind, so sequential processes hand the index over cleanly
+    val base = VectorOps.indexBase(dir, "lease")
+    rm(new java.io.File(base))
+    val corpus = VectorOps.embDistributed(spark, dir)
+    val baseCorpus = corpus.filter(
+      col("vec_id") % VectorOps.AddModulus =!= VectorOps.AddResidue)
+    VectorOps.ivfPqPersistFrames(spark, baseCorpus, baseCorpus, base)
+    val lease = new java.io.File(s"$base/_writer_lease.json")
+    assert(!lease.exists,
+      "a completed verb left the writer lease behind")
+    def batch = corpus.filter(
+      col("vec_id") % VectorOps.AddModulus === VectorOps.AddResidue)
+    java.nio.file.Files.writeString(lease.toPath,
+      """{"writer":"9999@elsewhere/1"}""" + "\n")
+    def refused(f: => Unit): Unit = {
+      val e = intercept[IllegalStateException](f)
+      assert(e.getMessage.contains("9999@elsewhere/1") &&
+          e.getMessage.contains(VectorOps.writerId),
+        s"refusal names neither holder nor self: ${e.getMessage}")
+    }
+    refused(VectorOps.ivfPqAddBatch(spark, dir, base, batch, "lists_delta_b1"))
+    refused(VectorOps.ivfPqDelete(spark, base,
+      batch.select(col("vec_id"))))
+    refused(VectorOps.ivfPqCompact(spark, base, Seq("lists_delta_b1")))
+    assert(!new java.io.File(s"$base/lists_delta_b1").exists,
+      "a refused add landed rows anyway")
+    // operator recovery: confirm the holder is dead, delete the lease
+    assert(lease.delete())
+    VectorOps.ivfPqAddBatch(spark, dir, base, batch, "lists_delta_b1")
+    VectorOps.ivfPqCompact(spark, base, Seq("lists_delta_b1"))
+    assert(!lease.exists,
+      "the composed add+compact left the writer lease behind")
+    val lists = spark.read.parquet(s"$base/lists").select("vec_id", "sub")
+    assert(lists.count() === corpus.count() * VectorOps.PqSubspaces)
+  }
 }
