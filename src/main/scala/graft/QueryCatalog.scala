@@ -1968,6 +1968,31 @@ object QueryCatalog {
           AND a.t <= o.t + INTERVAL '${streaming.StreamJoin.ResponseWindow}'
         ORDER BY obs_id, action_id""")),
 
+    // The response-window DIAL's second measured setting: the same
+    // stream-stream interval join at 2 minutes instead of 10 — match
+    // volume (the rate² term) scales ~linearly with the width, so the
+    // pair q_interval_join_stream / _narrow prices the dial end-to-end
+    // the way the LSH plane-count pair does (docs/SCALE.md).
+    "q_interval_join_stream_narrow" -> Spec(
+      streaming.StreamOracle.intervalJoinStreamNarrow,
+      Some(s"""
+        WITH obs AS (
+          SELECT event_id AS obs_id, CAST(ts AS TIMESTAMP) AS t,
+                 user_id % 100 AS product_id, event_type AS seller,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS price
+          FROM events WHERE event_id % 5 <> 0),
+        act AS (
+          SELECT event_id AS action_id, CAST(ts AS TIMESTAMP) AS t,
+                 user_id % 100 AS product_id,
+                 CAST(floor(value * 90 + 0.5) AS BIGINT) AS new_price
+          FROM events WHERE event_id % 5 = 0)
+        SELECT obs_id, action_id, o.product_id, seller, price, new_price,
+               epoch_us(a.t) // 1000000 - epoch_us(o.t) // 1000000 AS response_secs
+        FROM obs o JOIN act a ON o.product_id = a.product_id
+          AND a.t >= o.t
+          AND a.t <= o.t + INTERVAL '${streaming.StreamJoin.ResponseWindowNarrow}'
+        ORDER BY obs_id, action_id""")),
+
     // The pre-aggregated interval-join twin: observations collapse to
     // per-(product, 10-min-bin) minima BEFORE the stream-stream join
     // (the repricer only chases the window minimum), so state/output

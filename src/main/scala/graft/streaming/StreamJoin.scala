@@ -39,6 +39,21 @@ object StreamJoin {
   val Watermark = "1 hour"
   val ResponseWindow = "10 minutes"
 
+  /** The NARROW setting of the response-window dial
+    * (q_interval_join_stream_narrow). Match volume — and with it the
+    * rate² growth term — scales ~linearly with the window width, so
+    * the dial a deployment turns when the interval join's output is
+    * the cost is the window itself: 10 → 2 minutes divides emitted
+    * matches and the per-bucket state scan by ~5 while answering the
+    * operational question ("which observation did this reprice answer
+    * within its cadence") with the tighter attribution production
+    * actually wants. Both settings are oracle-checked end-to-end and
+    * measured at sf0.1/sf1/sf10 (docs/SCALE.md carries the pair), the
+    * same two-point treatment as the LSH plane-count and IVF nprobe
+    * dials.
+    */
+  val ResponseWindowNarrow = "2 minutes"
+
   val obsSchema: StructType = StructType(Seq(
     StructField("obs_id", LongType),
     StructField("ts", TimestampType),
@@ -73,14 +88,23 @@ object StreamJoin {
     * byte-identical (StreamJoinSpec / the q_interval_join_stream
     * oracle, unchanged).
     */
-  def joined(obs: DataFrame, actions: DataFrame): DataFrame = {
-    val ob = obs.withColumn("bkt", expr(s"unix_micros(ts) div $WindowUs"))
+  def joined(obs: DataFrame, actions: DataFrame,
+             window: String = ResponseWindow): DataFrame = {
+    val windowUs = {
+      val Array(n, unit) = window.split(" ")
+      n.toLong * (unit match {
+        case "minutes" | "minute" => 60L * 1000000L
+        case "hours" | "hour" => 3600L * 1000000L
+        case u => throw new IllegalArgumentException(s"window unit $u")
+      })
+    }
+    val ob = obs.withColumn("bkt", expr(s"unix_micros(ts) div $windowUs"))
     val ab = actions.withColumn("bkt",
-      explode(array(expr(s"unix_micros(ts) div $WindowUs"),
-        expr(s"unix_micros(ts) div $WindowUs - 1"))))
+      explode(array(expr(s"unix_micros(ts) div $windowUs"),
+        expr(s"unix_micros(ts) div $windowUs - 1"))))
     ob.alias("o").join(ab.alias("a"),
         expr(s"""o.product_id = a.product_id AND o.bkt = a.bkt AND
-                 a.ts >= o.ts AND a.ts <= o.ts + INTERVAL $ResponseWindow"""))
+                 a.ts >= o.ts AND a.ts <= o.ts + INTERVAL $window"""))
       .select(col("o.obs_id"), col("a.action_id"), col("o.product_id"),
         col("o.seller"), col("o.price"), col("a.new_price"),
         (unix_timestamp(col("a.ts")) - unix_timestamp(col("o.ts")))
@@ -89,13 +113,14 @@ object StreamJoin {
 
   /** Streaming job over two NDJSON landing dirs → append sink. */
   def start(spark: SparkSession, obsDir: String, actionsDir: String,
-            outDir: String, checkpointDir: String): StreamingQuery = {
+            outDir: String, checkpointDir: String,
+            window: String = ResponseWindow): StreamingQuery = {
     StateStores.useRocksDb(spark)
     def src(dir: String, schema: StructType) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", LandingFilesPerSide).json(dir)
         .withWatermark("ts", Watermark)
-    joined(src(obsDir, obsSchema), src(actionsDir, actionSchema))
+    joined(src(obsDir, obsSchema), src(actionsDir, actionSchema), window)
       .writeStream
       .outputMode(OutputMode.Append)
       .format("json")

@@ -368,6 +368,29 @@ object StreamOracle {
     Out.sorted(r)(col("obs_id"), col("action_id"))
   }
 
+  /** q_interval_join_stream_narrow: the response-window DIAL's second
+    * end-to-end setting — the same landings and join machinery at
+    * [[StreamJoin.ResponseWindowNarrow]] (2 min vs the default 10).
+    * Match volume scales ~linearly with window width, so this is the
+    * production dial when the interval join's emitted matches are the
+    * cost; both settings share one oracle shape (the batch interval
+    * join at the respective width).
+    */
+  def intervalJoinStreamNarrow(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp(spark, dir, "sjoinn")
+    landJoinSides(spark, dir, tmp)
+    drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
+      s"$tmp/out", s"$tmp/ckpt", StreamJoin.ResponseWindowNarrow),
+      "interval join narrow")
+    val r = spark.read
+      .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
+        "price LONG, new_price LONG, response_secs LONG")
+      .json(s"$tmp/out")
+      .select("obs_id", "action_id", "product_id", "seller", "price",
+        "new_price", "response_secs")
+    Out.sorted(r)(col("obs_id"), col("action_id"))
+  }
+
   /** The interval-join landings: the events table split into an
     * observation stream and an action stream (deterministic residue
     * split, microsecond timestamps preserved). Each side lands as

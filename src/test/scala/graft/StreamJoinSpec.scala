@@ -66,5 +66,25 @@ class StreamJoinSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(streamed == Set((1L, 11L, 300L), (1L, 12L, 600L), (2L, 13L, 0L)))
+
+    // the NARROW dial over the same landings: only pairs within
+    // 2 minutes survive — action 12 (+10 min) drops, action 11
+    // (+5 min) drops too; the same-time pair stays. Streamed == batch
+    // at the second setting as well.
+    val outN = Files.createTempDirectory("graft-sj-outn").toString
+    val ckptN = Files.createTempDirectory("graft-sj-ckptn").toString
+    val qn = StreamJoin.start(spark, obsDir, actDir, outN, ckptN,
+      StreamJoin.ResponseWindowNarrow)
+    qn.awaitTermination(120000L)
+    val streamedN = keyed(spark.read
+      .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
+        "price LONG, new_price LONG, response_secs LONG")
+      .json(outN))
+    val batchN = keyed(StreamJoin.joined(
+      spark.read.schema(StreamJoin.obsSchema).json(obsDir),
+      spark.read.schema(StreamJoin.actionSchema).json(actDir),
+      StreamJoin.ResponseWindowNarrow))
+    assert(streamedN == batchN)
+    assert(streamedN == Set((2L, 13L, 0L)))
   }
 }
