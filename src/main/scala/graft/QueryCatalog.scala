@@ -419,6 +419,73 @@ object QueryCatalog {
                    WHERE cos_sim >= ${VectorOps.NearDupCosine})"""
   }
 
+  // Image dHash near-dup channel (q_image_neardup + the ensemble's
+  // third channel): replay the pixel FORMULA — token md5 → palette →
+  // luminance → sampled-grid dHash bits → 4×16-bit bands → banded
+  // pairs + exact Hamming — entirely in SQL, no codec anywhere. The
+  // engine's PNG encode→decode roundtrip therefore sits inside the
+  // hash gate: a lossy or misindexed decode breaks the match. Ends in
+  // `ipairs(media_a, media_b, hamming, n_shared_bands)`.
+  private lazy val imagePairCtes: String = {
+    import graft.operators.Multimodal._
+    val wh = ImgW * ImgH
+    s"""imgd AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0),
+        icell AS (
+          SELECT doc_id, cy, cx,
+                 299*g + 587*((g*7)%256) + 114*((g*13)%256) AS gray
+          FROM (
+            SELECT d.doc_id, cy.range AS cy, cx.range AS cx,
+                   CAST('0x' || substr(md5(toks[
+                     (((cy.range * $ImgH // $DHashRows) * $ImgW
+                       + cx.range * $ImgW // $DHashCols) * len(toks)) // $wh + 1
+                   ]), 1, 2) AS INT) AS g
+            FROM imgd d, range(0, $DHashRows) cy, range(0, $DHashCols) cx)),
+        ibits AS (
+          SELECT a.doc_id, a.cy * ${DHashCols - 1} + a.cx AS idx,
+                 CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+          FROM icell a JOIN icell b
+            ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+          WHERE a.cx < ${DHashCols - 1}),
+        ibands AS (
+          SELECT doc_id, idx // $ImgBandBits AS band_idx,
+                 CAST(sum(bit << (idx % $ImgBandBits)) AS INT) AS band_val
+          FROM ibits GROUP BY 1, 2),
+        ient AS (
+          SELECT doc_id, CAST(count(DISTINCT gray) AS INT) AS n_gray
+          FROM icell GROUP BY 1),
+        ihs AS (
+          SELECT doc_id,
+                 max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+                 max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+                 max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+                 max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+          FROM ibands GROUP BY 1),
+        ikept AS (
+          SELECT doc_id FROM ient WHERE n_gray >= $ImgMinEntropy),
+        icand AS (
+          SELECT x.doc_id AS media_a, y.doc_id AS media_b,
+                 CAST(count(*) AS BIGINT) AS n_shared_bands
+          FROM (SELECT b.* FROM ibands b JOIN ikept USING (doc_id)) x
+          JOIN (SELECT b.* FROM ibands b JOIN ikept USING (doc_id)) y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+               AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        ipairs AS (
+          SELECT media_a, media_b,
+                 CAST(bit_count(xor(ax.b0, ay.b0)) + bit_count(xor(ax.b1, ay.b1))
+                    + bit_count(xor(ax.b2, ay.b2)) + bit_count(xor(ax.b3, ay.b3))
+                   AS INT) AS hamming,
+                 n_shared_bands
+          FROM icand c JOIN ihs ax ON c.media_a = ax.doc_id
+                       JOIN ihs ay ON c.media_b = ay.doc_id
+          WHERE bit_count(xor(ax.b0, ay.b0)) + bit_count(xor(ax.b1, ay.b1))
+              + bit_count(xor(ax.b2, ay.b2)) + bit_count(xor(ax.b3, ay.b3))
+              <= $ImgMaxHamming)"""
+  }
+
   // Same chain at any plane count (the q_embed_neardup_8p dial row
   // regenerates the hyperplane literals from the same md5 family).
   private def embedPairCtesAt(nPlanes: Int): String = {
@@ -2797,19 +2864,48 @@ object QueryCatalog {
         SELECT vec_a, vec_b, cos_sim FROM epairs
         ORDER BY vec_a, vec_b""")),
 
+    // Per-image dHash table: value-gates render -> PNG encode -> real
+    // decode -> sampled-grid hash for EVERY image at every scale.
+    "q_image_dhash" -> Spec(
+      operators.Multimodal.imageDHashTable,
+      Some(s"""
+        WITH $imagePairCtes
+        SELECT h.doc_id AS media_id, b0, b1, b2, b3, n_gray,
+               n_gray >= ${operators.Multimodal.ImgMinEntropy} AS kept
+        FROM ihs h JOIN ient USING (doc_id)
+        ORDER BY media_id""")),
+
+    // The image channel standalone: rendered PNG -> real decode ->
+    // dHash -> Hamming banding (entropy-guarded); oracle replays the
+    // formulas codec-free.
+    "q_image_neardup" -> Spec(
+      operators.Multimodal.imageNearDup,
+      Some(s"""
+        WITH $imagePairCtes
+        SELECT media_a, media_b, hamming, n_shared_bands FROM ipairs
+        ORDER BY media_a, media_b""")),
+
     "q_dedup_ensemble" -> Spec(
       TextOps.dedupEnsemble,
       Some(s"""
         WITH ${minhashPairCtes()},
-        $embedPairCtes
-        SELECT coalesce(p.doc_a, e.vec_a) AS doc_a,
-               coalesce(p.doc_b, e.vec_b) AS doc_b,
-               p.jaccard, e.cos_sim,
-               CASE WHEN p.jaccard IS NOT NULL AND e.cos_sim IS NOT NULL THEN 'both'
-                    WHEN p.jaccard IS NOT NULL THEN 'text'
-                    ELSE 'embed' END AS method
-        FROM pairs p
-        FULL JOIN epairs e ON p.doc_a = e.vec_a AND p.doc_b = e.vec_b
+        $embedPairCtes,
+        $imagePairCtes,
+        te AS (
+          SELECT coalesce(p.doc_a, e.vec_a) AS doc_a,
+                 coalesce(p.doc_b, e.vec_b) AS doc_b,
+                 p.jaccard, e.cos_sim
+          FROM pairs p
+          FULL JOIN epairs e ON p.doc_a = e.vec_a AND p.doc_b = e.vec_b)
+        SELECT coalesce(t.doc_a, i.media_a) AS doc_a,
+               coalesce(t.doc_b, i.media_b) AS doc_b,
+               t.jaccard, t.cos_sim, i.hamming AS img_hamming,
+               concat_ws('+',
+                 CASE WHEN t.jaccard IS NOT NULL THEN 'text' END,
+                 CASE WHEN t.cos_sim IS NOT NULL THEN 'embed' END,
+                 CASE WHEN i.hamming IS NOT NULL THEN 'image' END) AS method
+        FROM te t
+        FULL JOIN ipairs i ON t.doc_a = i.media_a AND t.doc_b = i.media_b
         ORDER BY doc_a, doc_b""")),
 
     "q_ann_lsh" -> Spec(

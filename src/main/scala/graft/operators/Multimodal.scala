@@ -470,6 +470,222 @@ object Multimodal {
     Out.sorted(r)(col("media_id"), col("frame_idx"))
   }
 
+  // -------------------------------------------------------------------
+  // Image perceptual-hash near-dup channel: dHash + Hamming banding.
+
+  /** Rendered image dimensions of the per-document image corpus. */
+  val ImgW = 16
+  val ImgH = 12
+
+  /** dHash sampling grid: [[DHashCols]]×[[DHashRows]] sampled pixels →
+    * ([[DHashCols]]−1)·[[DHashRows]] = 64 adjacent-brightness bits.
+    */
+  val DHashCols = 9
+  val DHashRows = 8
+
+  /** The 64-bit dHash is carried as [[ImgBands]] × [[ImgBandBits]]-bit
+    * band values — the banding IS the storage, so the LSH bucket join
+    * needs no bit-slicing and no engine ever shifts into bit 63.
+    */
+  val ImgBands = 4
+  val ImgBandBits = 16
+
+  /** Near-dup acceptance: Hamming ≤ 3 over the 64 dHash bits. With 4
+    * bands, ≤ 3 flipped bits pigeonhole into at most 3 bands, so every
+    * true pair shares ≥ 1 clean band — banding recall is EXACT at the
+    * threshold, the same law as the SimHash channel
+    * (TextOps.simhashNearDup).
+    */
+  val ImgMaxHamming = 3
+
+  /** LOW-ENTROPY GUARD — the standard practice of every production
+    * perceptual-hash dedup pipeline: flat and near-flat images (solid
+    * thumbnails, letterboxed blanks; here, renders of very short
+    * documents whose few tokens repeat across the grid) have
+    * near-degenerate dHashes that match EVERYTHING, turning the banded
+    * join's buckets into corpus-sized cliques. An image enters the
+    * near-dup channel only if its sampled grid shows at least this
+    * many distinct luminance values; excluded images are still hashed
+    * and reported (q_image_dhash carries the `kept` flag), and their
+    * exact duplicates remain the exact-dedup channel's job.
+    */
+  val ImgMinEntropy = 12
+
+  /** Pixel-byte plan of the synthetic per-document image: pixel k (of
+    * [[ImgW]]·[[ImgH]], row-major) takes its base byte g from the first
+    * two md5 hex digits of the token at index k·n_tokens div (W·H) —
+    * the deterministic "thumbnail of the document" the corpus attaches
+    * to its image-kind rows. Computed as a SQL column (not Scala) so
+    * the DuckDB oracle replays the identical md5/conv idiom.
+    */
+  private def pixelBytes: org.apache.spark.sql.Column = expr(
+    s"""transform(sequence(0, ${ImgW * ImgH - 1}), k ->
+          cast(conv(substr(md5(element_at(toks,
+            cast((k * size(toks)) div ${ImgW * ImgH} as int) + 1)), 1, 2),
+          16, 10) as int))""")
+
+  /** Palette of the rendered image: base byte g → RGB
+    * (g, g·7 mod 256, g·13 mod 256), the same fixed-palette style as
+    * the GIF video fixtures.
+    */
+  private[graft] def imgPalette(g: Int): (Int, Int, Int) =
+    (g, (g * 7) % 256, (g * 13) % 256)
+
+  /** Integer luminance used by the dHash comparisons — 299·R + 587·G +
+    * 114·B WITHOUT the usual /1000 (monotone, exact in both engines).
+    */
+  private[graft] def imgGray(r: Int, g: Int, b: Int): Long =
+    299L * r + 587L * g + 114L * b
+
+  /** Typed rows of the image channel. `n_gray` is the count of
+    * distinct sampled luminance values — the [[ImgMinEntropy]] guard's
+    * measured quantity.
+    */
+  case class ImgSrc(media_id: Long, g: Seq[Int])
+  case class ImgHash(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int,
+                     n_gray: Int)
+
+  /** RENDER stage: the image-kind third of the documents corpus (the
+    * same source-shard modality split as [[media]]) rendered to REAL
+    * compressed PNG payloads in a mapPartitions batch — encoder state
+    * amortizes per partition, payload bytes never touch the driver.
+    */
+  def imageCorpus(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    Tables.load(spark, dir, "documents")
+      .filter(srcNum % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id").as("media_id"), pixelBytes.as("g"))
+      .as[ImgSrc]
+      .mapPartitions { it =>
+        it.map { s =>
+          val img = new java.awt.image.BufferedImage(
+            ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var k = 0
+          while (k < ImgW * ImgH) {
+            val (r, gg, b) = imgPalette(s.g(k))
+            img.setRGB(k % ImgW, k / ImgW, (r << 16) | (gg << 8) | b)
+            k += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(s.media_id, "image", bos.toByteArray)
+        }
+      }
+  }
+
+  /** DECODE + HASH stage: an honest javax.imageio parse of the PNG
+    * payload (the codec roundtrip is inside the hash gate — a lossy or
+    * wrong decode breaks the oracle match), then the dHash over the
+    * [[DHashCols]]×[[DHashRows]] sampled grid: sampled pixel (cx, cy)
+    * is source pixel (cx·W div 9, cy·H div 8), bit (cy·8 + cx) is
+    * "right neighbor brighter". Emitted directly as the 4 band values.
+    */
+  def imageDHash(images: Dataset[MediaRow]): Dataset[ImgHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"undecodable image payload (media ${m.media_id})")
+        val gray = Array.ofDim[Long](DHashRows, DHashCols)
+        var cy = 0
+        while (cy < DHashRows) {
+          var cx = 0
+          while (cx < DHashCols) {
+            val p = img.getRGB(cx * ImgW / DHashCols, cy * ImgH / DHashRows)
+            gray(cy)(cx) = imgGray((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            cx += 1
+          }
+          cy += 1
+        }
+        val bands = new Array[Int](ImgBands)
+        var idx = 0
+        cy = 0
+        while (cy < DHashRows) {
+          var cx = 0
+          while (cx < DHashCols - 1) {
+            if (gray(cy)(cx + 1) > gray(cy)(cx))
+              bands(idx / ImgBandBits) |= 1 << (idx % ImgBandBits)
+            idx += 1
+            cx += 1
+          }
+          cy += 1
+        }
+        val nGray = gray.iterator.flatten.toSet.size
+        ImgHash(m.media_id, bands(0), bands(1), bands(2), bands(3), nGray)
+      }
+    }
+  }
+
+  /** q_image_dhash — the per-image hash table as an oracle-checked
+    * query: media id, the 4 dHash band values, the sampled-grid
+    * entropy, and the [[ImgMinEntropy]] keep flag. This row
+    * value-gates the render→encode→decode→sample→hash pipeline for
+    * EVERY image at every scale (the pair row's population can be
+    * legitimately sparse at small corpora).
+    */
+  def imageDHashTable(spark: SparkSession, dir: String): DataFrame = {
+    val r = imageDHash(imageCorpus(spark, dir)).toDF()
+      .withColumn("kept", col("n_gray") >= ImgMinEntropy)
+    Out.sorted(r)(col("media_id"))
+  }
+
+  /** Banded near-dup pairs over the dHash corpus — the SimHash pair
+    * machinery re-expressed for the image channel: explode each hash
+    * into its [[ImgBands]] (band_idx, band_val) rows, equi-join on the
+    * band (never all-pairs), then confirm with the exact 64-bit
+    * Hamming distance computed from the band values both sides already
+    * carry. Output is every pair at Hamming ≤ [[ImgMaxHamming]] with
+    * its shared-band count.
+    *
+    * Scale shape: render and hash are per-row map stages; the only
+    * shuffle is the band self-join, whose key space (band_val) is
+    * 2^16 per band — clone-heavy corpora concentrate identical hashes
+    * into shared buckets exactly like the SimHash row, and the emitted
+    * clone-group pairs are the query's OUTPUT, not overhead.
+    */
+  def imageNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageDHash(imageCorpus(spark, dir)).toDF()
+      .filter(col("n_gray") >= ImgMinEntropy)
+    val bands = h.select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"),
+        col("x.b0").as("xb0"), col("x.b1").as("xb1"),
+        col("x.b2").as("xb2"), col("x.b3").as("xb3"),
+        col("y.b0").as("yb0"), col("y.b1").as("yb1"),
+        col("y.b2").as("yb2"), col("y.b3").as("yb3"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .withColumn("hamming", expr(
+        """cast(bit_count(xb0 ^ yb0) + bit_count(xb1 ^ yb1) +
+                bit_count(xb2 ^ yb2) + bit_count(xb3 ^ yb3) as int)"""))
+      .filter(col("hamming") <= ImgMaxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"),
+        col("n_shared_bands"))
+  }
+
+  /** q_image_neardup — the image near-dup channel as an oracle-checked
+    * query: per-document PNGs rendered, decoded, dHashed and
+    * band-joined; the DuckDB oracle replays the pixel FORMULA (token
+    * md5 → palette → luminance → dHash bits → bands → pairs) without
+    * ever touching a codec, so the engine's encode→decode roundtrip
+    * sits inside the hash gate.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    Out.sorted(imageNearDupPairs(spark, dir))(
+      col("media_a"), col("media_b"))
+
   /** Oracle-checked corpus stats over the binary column: per modality,
     * item/byte/frame counts and content-hash distinct — the byte-level
     * bookkeeping every media pipeline needs before any decode runs.

@@ -2013,16 +2013,20 @@ object TextOps {
 
   /** Multi-channel dedup ensemble — the cross-modal report a curation
     * run uses to decide scrub lists: every near-duplicate pair found by
-    * EITHER the text channel (banded MinHash + exact-Jaccard confirm,
-    * [[minhashNearDup]]) or the embedding channel (multi-probe LSH
-    * cosine, [[VectorOps.embedNearDupPairs]]), full-outer-joined on the
-    * pair key with per-channel scores and a method tag (text / embed /
-    * both). Documents and embeddings share the id space; a doc without
-    * an embedding row simply cannot fire the embed channel.
+    * the text channel (banded MinHash + exact-Jaccard confirm,
+    * [[minhashNearDup]]), the embedding channel (multi-probe LSH
+    * cosine, [[VectorOps.embedNearDupPairs]]), or the IMAGE channel
+    * (per-document PNG → dHash → Hamming banding,
+    * [[Multimodal.imageNearDupPairs]] — r15), full-outer-joined on the
+    * pair key with per-channel scores and a `+`-joined method tag
+    * (e.g. "text+image"). Documents, embeddings and media share the id
+    * space; a doc without an embedding row cannot fire the embed
+    * channel, and only image-kind docs (the modality split of
+    * [[Multimodal.media]]) carry an image to hash.
     *
-    * Scale shape: both channels are the already-bounded candidate
-    * pipelines (never all-pairs); the ensemble join adds one shuffle of
-    * two near-dup-pair-sized frames — negligible next to either channel.
+    * Scale shape: all three channels are the already-bounded candidate
+    * pipelines (never all-pairs); the ensemble joins add shuffles of
+    * near-dup-pair-sized frames — negligible next to any channel.
     * The embed channel derives its LSH plane count from the corpus size
     * ([[VectorOps.derivedPlanes]]), so the ensemble inherits the
     * constant-occupancy bucket space — no fixed-capacity stage anywhere
@@ -2033,11 +2037,17 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val embed = VectorOps.embedNearDupPairs(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos_sim"))
+    val image = Multimodal.imageNearDupPairs(spark, dir)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
+        col("hamming").as("img_hamming"))
     val r = text.join(embed, Seq("doc_a", "doc_b"), "full_outer")
+      .join(image, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("cos_sim"),
-        when(col("jaccard").isNotNull && col("cos_sim").isNotNull, "both")
-          .when(col("jaccard").isNotNull, "text")
-          .otherwise("embed").as("method"))
+        col("img_hamming"),
+        concat_ws("+",
+          when(col("jaccard").isNotNull, "text"),
+          when(col("cos_sim").isNotNull, "embed"),
+          when(col("img_hamming").isNotNull, "image")).as("method"))
     Out.sorted(r)(col("doc_a"), col("doc_b"))
   }
 
