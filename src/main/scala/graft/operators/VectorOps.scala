@@ -2752,10 +2752,35 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     def stageRecall(stage: String, deltas: Seq[String],
         live: DataFrame): DataFrame = {
+      // ONE stored search per stage, at the deeper probe: the
+      // nprobe=1 result is derived EXACTLY from the nprobe=2 candidate
+      // set (searchStored ranks without truncating) by restricting to
+      // each query's top-ranked cell and re-ranking — candidates and
+      // LUT scores are probe-count-independent, so the restriction IS
+      // the shallow search. Halves the chain's search cost; the
+      // derivation's tie-breaks (cell_sim desc, cell asc; approx_sim
+      // desc, neighbor asc) mirror searchStored's probed/rank windows.
+      val scored = searchStored(spark, dir, base, deltas, IvfNProbe)
+        .select(col("q_id"), col("cell"), col("cell_sim"),
+          col("neighbor_id"), col("approx_sim"), col("rank"))
+        .persist()
+      val topCell = scored.select(col("q_id"), col("cell"), col("cell_sim"))
+        .distinct()
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(desc("cell_sim"), asc("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("cell"))
       def approx(nprobe: Int) =
-        searchStored(spark, dir, base, deltas, nprobe)
-          .filter(col("rank") <= k)
-          .select(col("q_id"), col("neighbor_id"))
+        if (nprobe >= IvfNProbe)
+          scored.filter(col("rank") <= k)
+            .select(col("q_id"), col("neighbor_id"))
+        else
+          scored.join(topCell, Seq("q_id", "cell"))
+            .withColumn("r1", row_number().over(
+              Window.partitionBy(col("q_id"))
+                .orderBy(desc("approx_sim"), asc("neighbor_id"))))
+            .filter(col("r1") <= k)
+            .select(col("q_id"), col("neighbor_id"))
       val exact = live.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
