@@ -468,16 +468,27 @@ object VectorOps {
   /** One Lloyd assignment step: every vector to its highest-similarity
     * centroid (ties to the smaller cluster id), via a broadcast of the
     * tiny k×dim centroid table — the corpus never shuffles.
+    *
+    * The argmax is a hash aggregate over max(struct(sim, -cluster)) —
+    * lexicographic struct comparison gives highest sim, ties to the
+    * smaller cluster id, exactly the rank-1 window it replaces — so the
+    * k-fanned candidate rows partial-aggregate map-side instead of
+    * feeding a per-group sort (guide §2.3/§2.4: aggregate before the
+    * exchange, no corpus-sized Sort). embedding/label are constant per
+    * vec_id, so first() over the group is deterministic.
     */
-  private def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cluster"))
+  private def assignTo(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("label"), col("cluster"),
         F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "label", "cluster", "sim")
-  }
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"),
+        max(struct(col("sim"), (-col("cluster")).as("negc"),
+          col("cluster"))).as("best"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("best").getField("cluster").as("cluster"),
+        col("best").getField("sim").as("sim"))
 
   /** The trained IVF index after [[KmeansIters]] Lloyd iterations:
     * (final centroids, final assignment). The returned centroids are
@@ -1085,14 +1096,22 @@ object VectorOps {
         .groupBy("sub", "cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           x => x.getField("c")).as("centroid"))
-      val w = Window.partitionBy("vec_id", "sub").orderBy(desc("sim"), asc("cluster"))
+      // argmax as a hash aggregate (max of (sim, -cluster) structs) —
+      // the same highest-sim/ties-to-smaller-code pick as the rank-1
+      // window it replaced, but the codebook-fanned rows (k per
+      // sub-vector row) partial-aggregate map-side instead of feeding a
+      // corpus×k-row per-group Sort (guide §2.3: aggregate before the
+      // exchange). embedding is constant per (vec_id, sub).
       assigned = (if (i == KmeansIters) encodeSubs else train)
         .join(broadcast(cents), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("embedding"), col("cluster"),
           F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "embedding", "cluster")
+        .groupBy("vec_id", "sub")
+        .agg(first(col("embedding")).as("embedding"),
+          max(struct(col("sim"), (-col("cluster")).as("negc"),
+            col("cluster"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("embedding"),
+          col("best").getField("cluster").as("cluster"))
     }
     (cents.select(col("sub"), col("cluster").as("code"), col("centroid")),
       assigned.select(col("vec_id"), col("sub"), col("cluster").as("code")))
@@ -1430,15 +1449,18 @@ object VectorOps {
     * (sub, code, centroid) — the final [[pqIndexSplit]] assignment step
     * with zero training: argmax rounded dot, ties to the smaller code.
     */
-  private def encodeAgainst(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(desc("sim"), asc("code"))
+  private def encodeAgainst(subs: DataFrame, codebooks: DataFrame): DataFrame =
+    // argmax as a hash aggregate (max of (sim, -code) structs): highest
+    // sim, ties to the smaller code — identical to the rank-1 window it
+    // replaced, minus the per-group Sort of the k-fanned rows (§2.3).
     subs.join(broadcast(codebooks), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),
         F.roundHalfUp(dot(col("embedding"), col("centroid")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "sub", "code")
-  }
+      .groupBy("vec_id", "sub")
+      .agg(max(struct(col("sim"), (-col("code")).as("negc"),
+        col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best").getField("code").as("code"))
 
   /** Incremental ADD to a persisted IVF-PQ index — the faiss
     * add-after-train half of the write_index lifecycle: a new-vector
