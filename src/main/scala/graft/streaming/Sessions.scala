@@ -86,10 +86,12 @@ object Sessions {
       .write
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(landing)
-    val q = start(spark, landing, out, ckpt)
-    if (!q.awaitTermination(300000L)) {
-      q.stop()
-      throw new IllegalStateException("sessions stream did not finish")
+    StreamOracle.withLandedPartitions(spark, landing) {
+      val q = start(spark, landing, out, ckpt)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("sessions stream did not finish")
+      }
     }
     val r = spark.read
       .schema("session_start STRING, event_type STRING, n_events LONG")

@@ -158,9 +158,11 @@ object StreamLate {
     val tmp = StreamOracle.freshTmp(spark, dir, "winlate")
     landBatches(spark, eventFrame(spark, dir),
       StreamOracle.LandingFiles, s"$tmp/landing")
-    StreamOracle.drain(
-      EventWindows.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "late windows")
+    StreamOracle.withLandedPartitions(spark, s"$tmp/landing") {
+      StreamOracle.drain(
+        EventWindows.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "late windows")
+    }
     val r = spark.read
       .schema("window_start STRING, event_type STRING, n_events LONG")
       .json(s"$tmp/out")
@@ -176,9 +178,11 @@ object StreamLate {
     val tmp = StreamOracle.freshTmp(spark, dir, "seslate")
     landBatches(spark, eventFrame(spark, dir),
       StreamOracle.LandingFiles, s"$tmp/landing")
-    StreamOracle.drain(
-      Sessions.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "late sessions")
+    StreamOracle.withLandedPartitions(spark, s"$tmp/landing") {
+      StreamOracle.drain(
+        Sessions.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "late sessions")
+    }
     val r = spark.read
       .schema("session_start STRING, event_type STRING, n_events LONG")
       .json(s"$tmp/out")
@@ -242,9 +246,11 @@ object StreamLate {
     landBatches(spark,
       all.select(col("doc_id"), col("ts"), col("text"), col("batch")),
       DedupBatches, s"$tmp/landing")
-    StreamOracle.drain(
-      StreamDedup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "late dedup")
+    StreamOracle.withLandedPartitions(spark, s"$tmp/landing") {
+      StreamOracle.drain(
+        StreamDedup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "late dedup")
+    }
     val r = spark.read
       .schema("bow_hash STRING, doc_id LONG, ts TIMESTAMP")
       .json(s"$tmp/out")
@@ -308,10 +314,12 @@ object StreamLate {
             throw new java.io.IOException(s"rename $part -> $dst failed")
         }
       fs.delete(staging, true)
-      StreamOracle.drain(
-        StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
-          maxFilesPerTrigger = None),
-        s"late cdc drain $k")
+      StreamOracle.withLandedPartitions(spark, s"$tmp/landing") {
+        StreamOracle.drain(
+          StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
+            maxFilesPerTrigger = None),
+          s"late cdc drain $k")
+      }
     }
     val r = StreamCdc.materialize(spark, s"$tmp/out")
     Out.sorted(r)(col("user_id"))

@@ -71,6 +71,23 @@ object StreamOracle {
       throw new IllegalStateException(s"$what stream did not finish")
     }
 
+  /** Run a stream start+drain at the scale-adaptive state partition
+    * count derived from the landed input under `paths` — see
+    * [[StateStores.withStatePartitions]].
+    *
+    * Use for STATEFUL drains whose per-batch work is dominated by
+    * state-store machinery. Two measured exceptions keep the session
+    * default: foreachBatch sketch maintenance (no state stores at all —
+    * narrowing only cuts the per-batch merge jobs' reduce parallelism;
+    * kmv regressed 1.5×) and the watch pipeline (its per-key state
+    * machine is the CPU; one landing file would derive 1 partition and
+    * serialize it — measured 9.5 → 26.5 s).
+    */
+  private[streaming] def withLandedPartitions[T](
+      spark: SparkSession, paths: String*)(body: => T): T =
+    StateStores.withStatePartitions(
+      spark, StateStores.landedBytes(spark, paths: _*))(body)
+
   /** Land a single-column long frame as [[LandingFiles]] NDJSON files. */
   private def landKeys(df: DataFrame, landing: String): Unit =
     df.repartition(LandingFiles).write.json(landing)
@@ -146,8 +163,10 @@ object StreamOracle {
     Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .repartition(LandingFiles).write.json(s"$tmp/landing")
-    drain(StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "cdc")
+    withLandedPartitions(spark, s"$tmp/landing") {
+      drain(StreamCdc.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "cdc")
+    }
     val r = StreamCdc.materialize(spark, s"$tmp/out")
     Out.sorted(r)(col("user_id"))
   }
@@ -162,8 +181,10 @@ object StreamOracle {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), constTs, col("text"))
       .repartition(LandingFiles).write.json(s"$tmp/landing")
-    drain(StreamDedup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "dedup")
+    withLandedPartitions(spark, s"$tmp/landing") {
+      drain(StreamDedup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "dedup")
+    }
     val r = spark.read.schema("bow_hash STRING").json(s"$tmp/out")
       .select("bow_hash")
     Out.sorted(r)(col("bow_hash"))
@@ -180,8 +201,10 @@ object StreamOracle {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), constTs, col("text"))
       .repartition(LandingFiles).write.json(s"$tmp/landing")
-    drain(StreamNearDup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "neardup")
+    withLandedPartitions(spark, s"$tmp/landing") {
+      drain(StreamNearDup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "neardup")
+    }
     val r = spark.read
       .schema("doc_a LONG, doc_b LONG, jaccard DOUBLE, band_idx INT")
       .json(s"$tmp/out")
@@ -271,8 +294,10 @@ object StreamOracle {
       math.max(cap, 4L * occ).min(Int.MaxValue).toInt
     }
     vecs.repartition(files).write.json(s"$tmp/landing")
-    drain(StreamEmbed.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
-      nPlanes, effCap), tag)
+    withLandedPartitions(spark, s"$tmp/landing") {
+      drain(StreamEmbed.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt",
+        nPlanes, effCap), tag)
+    }
     val r = spark.read
       .schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE")
       .json(s"$tmp/out")
@@ -296,8 +321,10 @@ object StreamOracle {
       .coalesce(1).write
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(s"$tmp/landing")
-    drain(StreamFunnel.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "funnel")
+    withLandedPartitions(spark, s"$tmp/landing") {
+      drain(StreamFunnel.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "funnel")
+    }
     val r = spark.read
       .schema("user_id LONG, stage LONG, view_us LONG, click_us LONG, " +
         "purchase_us LONG, n_seen LONG")
@@ -357,8 +384,10 @@ object StreamOracle {
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
     val tmp = freshTmp(spark, dir, "sjoin")
     landJoinSides(spark, dir, tmp)
-    drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
-      s"$tmp/out", s"$tmp/ckpt"), "interval join")
+    withLandedPartitions(spark, s"$tmp/obs", s"$tmp/actions") {
+      drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
+        s"$tmp/out", s"$tmp/ckpt"), "interval join")
+    }
     val r = spark.read
       .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
         "price LONG, new_price LONG, response_secs LONG")
@@ -379,9 +408,11 @@ object StreamOracle {
   def intervalJoinStreamNarrow(spark: SparkSession, dir: String): DataFrame = {
     val tmp = freshTmp(spark, dir, "sjoinn")
     landJoinSides(spark, dir, tmp)
-    drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
-      s"$tmp/out", s"$tmp/ckpt", StreamJoin.ResponseWindowNarrow),
-      "interval join narrow")
+    withLandedPartitions(spark, s"$tmp/obs", s"$tmp/actions") {
+      drain(StreamJoin.start(spark, s"$tmp/obs", s"$tmp/actions",
+        s"$tmp/out", s"$tmp/ckpt", StreamJoin.ResponseWindowNarrow),
+        "interval join narrow")
+    }
     val r = spark.read
       .schema("obs_id LONG, action_id LONG, product_id LONG, seller STRING, " +
         "price LONG, new_price LONG, response_secs LONG")
@@ -430,8 +461,10 @@ object StreamOracle {
   def binnedJoinStream(spark: SparkSession, dir: String): DataFrame = {
     val tmp = freshTmp(spark, dir, "bjoin")
     landJoinSides(spark, dir, tmp)
-    drain(StreamJoin.startBinned(spark, s"$tmp/obs", s"$tmp/actions",
-      s"$tmp/out", s"$tmp/ckpt"), "binned interval join")
+    withLandedPartitions(spark, s"$tmp/obs", s"$tmp/actions") {
+      drain(StreamJoin.startBinned(spark, s"$tmp/obs", s"$tmp/actions",
+        s"$tmp/out", s"$tmp/ckpt"), "binned interval join")
+    }
     val r = spark.read
       .schema("product_id LONG, bin_start STRING, min_price LONG, " +
         "action_id LONG, new_price LONG, response_secs LONG")
@@ -455,8 +488,10 @@ object StreamOracle {
       .write
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(s"$tmp/landing")
-    drain(EventWindows.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-      "windows")
+    withLandedPartitions(spark, s"$tmp/landing") {
+      drain(EventWindows.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+        "windows")
+    }
     val r = spark.read
       .schema("window_start STRING, event_type STRING, n_events LONG")
       .json(s"$tmp/out")
