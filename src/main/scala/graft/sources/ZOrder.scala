@@ -33,19 +33,22 @@ object ZOrder {
   val MortonBits = 20
 
   /** Morton (z-curve) key of two non-negative integral columns: bit i
-    * of `x` lands at position 2i, bit i of `y` at 2i+1. A single
-    * codegen-friendly fold over the bit positions — no UDF.
+    * of `x` lands at position 2i, bit i of `y` at 2i+1. Built as a
+    * FLAT sum of the 2·bits shift terms — a plain expression tree that
+    * whole-stage codegen compiles — rather than an `aggregate`
+    * higher-order function, which Spark evaluates interpreted per row
+    * (the HOF was the layout rewrite's hottest per-row cost; same
+    * arithmetic, same key, same clustering).
     */
   def mortonKey(x: Column, y: Column, bits: Int = MortonBits): Column = {
     val xs = x.cast(LongType)
     val ys = y.cast(LongType)
-    val bitAt = (v: Column, i: Column) =>
-      call_function("shiftright", v, i).bitwiseAND(lit(1L))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc +
-        call_function("shiftleft", bitAt(xs, i), i * 2) +
-        call_function("shiftleft", bitAt(ys, i), i * 2 + 1))
+    val bitAt = (v: Column, i: Int) =>
+      call_function("shiftright", v, lit(i)).bitwiseAND(lit(1L))
+    (0 until bits).map { i =>
+      call_function("shiftleft", bitAt(xs, i), lit(i * 2)) +
+        call_function("shiftleft", bitAt(ys, i), lit(i * 2 + 1))
+    }.reduce(_ + _)
   }
 
   /** Write `df` z-order-clustered on (cx, cy) into `files` parquet
