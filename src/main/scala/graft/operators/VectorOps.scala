@@ -1413,12 +1413,24 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("label"))
     val (coarseCents, assigned) =
       lloydOnSplit(dist(train), dist(encode), col("label"))
-    val (cents, codes) =
-      pqIndexSplit(subsOf(spark, train), subsOf(spark, encode))
+    // subsOf materializes the exploded sub-vector frame (a
+    // localCheckpoint job over the corpus); when the caller trains and
+    // encodes the SAME frame — every in-place build — reuse one
+    // materialization instead of paying the explode+checkpoint twice
+    val trainSubs = subsOf(spark, train)
+    val encodeSubs = if (encode eq train) trainSubs else subsOf(spark, encode)
+    val (cents, codes) = pqIndexSplit(trainSubs, encodeSubs)
     coarseCents.write.mode("overwrite").parquet(s"$base/centroids")
     cents.write.mode("overwrite").parquet(s"$base/codebooks")
     codes.join(assigned.select(col("vec_id"), col("cluster").as("cell")),
         Seq("vec_id"))
+      // cluster by cell before the partitioned write (guide §6, the
+      // hash write-distribution mode): without it every upstream task
+      // opens a file per cell it happens to hold — tasks × cells tiny
+      // files per build; with it AQE sizes a few writer partitions per
+      // cell and the index lands as O(cells) statistics-tight files,
+      // which is also what the probed-cell search scans want to open
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$base/lists")
   }
 
@@ -1517,6 +1529,7 @@ object VectorOps {
       .select(col("vec_id"), col("cluster").as("cell"))
     val codes = encodeAgainst(subsOf(spark, delta), codebooks)
     codes.join(cells, Seq("vec_id"))
+      .repartition(col("cell")) // one delta file per cell, not tasks × cells
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/$sub")
   }
@@ -2014,6 +2027,7 @@ object VectorOps {
       .reduce(_ unionByName _)
     dead.map(t => merged.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(merged)
+      .repartition(col("cell")) // the compaction IS the small-file fix
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/lists_compacting")
     val fs = fsOf(spark, base)
