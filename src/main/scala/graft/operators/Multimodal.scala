@@ -121,7 +121,9 @@ object Multimodal {
       * per-frame formulas exactly.
       */
     def decodeVideo(content: Array[Byte]): Seq[(Int, Int, Int, Long, Long, Long)] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCache stream: the ImageIO factory default spools the
+      // payload through a disk-backed temp file per item
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(content))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       require(readers.hasNext, s"undecodable video payload (${content.length} bytes)")
@@ -157,8 +159,16 @@ object Multimodal {
       * sums EXACTLY.
       */
     def decodeImage(content: Array[Byte]): (Int, Int, Long, Long, Long) = {
-      val img = javax.imageio.ImageIO.read(
+      // explicit reader over a MemoryCache stream — ImageIO.read's
+      // convenience path both re-scans the plugin registry and spools
+      // the payload through a disk-backed temp file per item
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"undecodable image payload (${content.length} bytes)")
+      val rd = readers.next()
+      rd.setInput(iis)
+      val img = try rd.read(0) finally { rd.dispose(); iis.close() }
       require(img != null, s"undecodable image payload (${content.length} bytes)")
       var (r, g, b) = (0L, 0L, 0L)
       var y = 0
@@ -518,11 +528,22 @@ object Multimodal {
     * to its image-kind rows. Computed as a SQL column (not Scala) so
     * the DuckDB oracle replays the identical md5/conv idiom.
     */
-  private def pixelBytes: org.apache.spark.sql.Column = expr(
-    s"""transform(sequence(0, ${ImgW * ImgH - 1}), k ->
-          cast(conv(substr(md5(element_at(toks,
-            cast((k * size(toks)) div ${ImgW * ImgH} as int) + 1)), 1, 2),
-          16, 10) as int))""")
+  /** Pixel base byte g of pixel k for a document's token array: the
+    * first two md5 hex digits (= the first digest byte, unsigned) of
+    * token k·n div (W·H) — identical to the SQL idiom
+    * `conv(substr(md5(t), 1, 2), 16, 10)` the DuckDB oracle replays.
+    * Computed in the render stage's mapPartitions with ONE MessageDigest
+    * per partition and one digest per TOKEN: the previous per-pixel SQL
+    * column recomputed the same token md5 up to W·H/n times per
+    * document (~3.5× more digests than tokens on this corpus), and a
+    * fresh digest instance per call (guide §4.5: amortize heavyweight
+    * state per task, hash each distinct input once).
+    */
+  private[graft] def tokenByte(
+      md: java.security.MessageDigest, tok: String): Int = {
+    md.reset()
+    md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+  }
 
   /** Palette of the rendered image: base byte g → RGB
     * (g, g·7 mod 256, g·13 mod 256), the same fixed-palette style as
@@ -541,7 +562,7 @@ object Multimodal {
     * distinct sampled luminance values — the [[ImgMinEntropy]] guard's
     * measured quantity.
     */
-  case class ImgSrc(media_id: Long, g: Seq[Int])
+  case class ImgSrc(media_id: Long, toks: Array[String])
   case class ImgHash(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int,
                      n_gray: Int)
 
@@ -556,21 +577,42 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .filter(srcNum % 3 === 0)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id").as("media_id"), pixelBytes.as("g"))
+      .select(col("doc_id").as("media_id"),
+        split(col("text"), " ").as("toks"))
       .as[ImgSrc]
       .mapPartitions { it =>
+        // heavyweight state once per partition (guide §4.5): one
+        // MessageDigest, and one explicit PNG ImageWriter instead of
+        // the ImageIO.write convenience path (which re-scans the
+        // plugin registry and builds a fresh writer per image)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
         it.map { s =>
+          val n = s.toks.length
+          // digest byte once per TOKEN; pixel k indexes token
+          // k·n div (W·H) — same values as the per-pixel md5 formula
+          // the oracle replays
+          val tb = new Array[Int](n)
+          var i = 0
+          while (i < n) { tb(i) = tokenByte(md, s.toks(i)); i += 1 }
           val img = new java.awt.image.BufferedImage(
             ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var k = 0
           while (k < ImgW * ImgH) {
-            val (r, gg, b) = imgPalette(s.g(k))
+            val (r, gg, b) = imgPalette(tb((k * n) / (ImgW * ImgH)))
             img.setRGB(k % ImgW, k / ImgW, (r << 16) | (gg << 8) | b)
             k += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          // MemoryCache stream, NOT ImageIO.createImageOutputStream:
+          // the factory consults the disk-backed cache default and
+          // creates (and fsyncs) a temp FILE per image — measured as
+          // the bulk of the render stage's 30 cpu-s at sf0.1
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           MediaRow(s.media_id, "image", bos.toByteArray)
         }
       }
@@ -586,9 +628,20 @@ object Multimodal {
   def imageDHash(images: Dataset[MediaRow]): Dataset[ImgHash] = {
     import images.sparkSession.implicits._
     images.mapPartitions { it =>
+      // one explicit PNG ImageReader per partition — the ImageIO.read
+      // convenience path re-scans the plugin registry and constructs a
+      // fresh reader per image (guide §4.5)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
       it.map { m =>
-        val img = javax.imageio.ImageIO.read(
+        // MemoryCache stream for the same reason as the writer side:
+        // the ImageIO factory's default cache spools through a temp
+        // file per image
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(m.content))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        iis.close()
         require(img != null, s"undecodable image payload (media ${m.media_id})")
         val gray = Array.ofDim[Long](DHashRows, DHashCols)
         var cy = 0
@@ -648,8 +701,15 @@ object Multimodal {
     * clone-group pairs are the query's OUTPUT, not overhead.
     */
   def imageNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val h = imageDHash(imageCorpus(spark, dir)).toDF()
-      .filter(col("n_gray") >= ImgMinEntropy)
+    // EAGER the hash table before the band self-join: the join's two
+    // aliases are two consumers of the same subtree, and without a
+    // materialization the render→encode→decode→hash pipeline executes
+    // TWICE (measured: q_image_neardup cpu ≈ 2× q_image_dhash's). The
+    // checkpointed frame is k·n-tiny (6 ints per kept image) — the
+    // SCALE.md rule: checkpoint hash/top-k frames, never candidates.
+    val h = graft.Out.eager(
+      imageDHash(imageCorpus(spark, dir)).toDF()
+        .filter(col("n_gray") >= ImgMinEntropy))
     val bands = h.select(col("media_id"),
       col("b0"), col("b1"), col("b2"), col("b3"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
