@@ -510,14 +510,21 @@ object TextOps {
          ELSE transform(sequence(1, size(ws) - 1),
            i -> concat(char(1), element_at(ws, i), char(1),
                        char(1), element_at(ws, i + 1), char(1))) END"""
-    var syms = docsDistributed(spark, dir)
+    // The initial vocabulary is the ONLY corpus-sized computation in
+    // the loop (tokenize + word-type groupBy); everything after is
+    // vocab-sized. Eager it once: lazily each round's pair-count job
+    // re-derived the vocabulary from the raw corpus (guide §1.2 —
+    // don't recompute what you already have), so BpeRounds rounds paid
+    // BpeRounds corpus tokenization passes (plus one more in
+    // bpeEncode's piece-map consumer).
+    var syms = Out.eager(docsDistributed(spark, dir)
       .select(explode(toks).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .select(col("word"), expr(
         """array_join(transform(sequence(1, length(word)),
              i -> concat(char(1), substr(word, i, 1), char(1))), '')""")
-        .as("sym"), col("wcnt"))
+        .as("sym"), col("wcnt")))
     val bests = (0 until BpeRounds).map { _ =>
       val best = Out.eager(syms
         .select(expr("split(substring(sym, 2, length(sym) - 2), char(1) || char(1))")

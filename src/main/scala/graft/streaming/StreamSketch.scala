@@ -41,24 +41,34 @@ object StreamSketch {
       combine: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = incoming.sparkSession
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seen = fs.exists(new Path(registry)) &&
-      !spark.read.parquet(registry)
-        .filter(col("batch_id") === batchId).isEmpty
-    if (seen) return
+    // Marker-FILE registry (one empty `batch_<id>` per merged batch):
+    // the replay check is a metadata exists(), zero Spark jobs. The
+    // previous parquet registry paid a distributed read of batchId
+    // accumulated tiny files plus an append-write job on EVERY trigger
+    // — two full jobs of fixed machinery per micro-batch to answer a
+    // set-membership question about a handful of longs.
+    val marker = new Path(registry, s"batch_$batchId")
+    if (fs.exists(marker)) return
 
     val target = new Path(table)
     val merged =
       if (fs.exists(target)) combine(spark.read.parquet(table), incoming)
       else incoming
     val staging = new Path(table + "__staging")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // the running sketch is bounded-tiny forever (Depth×Width cells /
+    // HllBuckets registers / KmvK hashes): land it as ONE file so the
+    // next trigger's read-merge opens one footer instead of a part
+    // file per shuffle partition
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"rename $staging -> $target failed")
 
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id").write
-      .mode(SaveMode.Append).parquet(registry)
+    // marker lands AFTER the swap, preserving the two-phase contract:
+    // a crash in between degrades to a re-merge on replay, never a skip
+    // of an unmerged batch
+    fs.mkdirs(new Path(registry))
+    fs.create(marker, true).close()
   }
 
   /** Cell-wise add `cells` into the sketch at `dir`, keyed by batchId
