@@ -58,6 +58,19 @@ object Bench {
       // janino + JIT again on every run — observed 5x on the LSH
       // queries. Size it to hold the whole catalog.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Sort-based shuffle writer for the small-reduce-count regime
+      // (SPARK_GRAFT_BYPASS overrides; bypass default is 200). The
+      // bypass-merge writer opens one stream PER REDUCE PARTITION per
+      // map task — M x R file creates/merges per exchange — which a
+      // stack-sampled profile showed as the dominant CPU of every
+      // many-exchange query at test scale (DiskBlockObjectWriter.
+      // initialize + copyFileStreamNIO; q_ann_index_roundtrip wall
+      // 10.2 -> 5.9 s with the sort writer). Scale-safe by
+      // construction: at warehouse reduce counts (R > 200) the bypass
+      // path never fires, so 0 only changes the small-R regime, where
+      // one spill file + index per map task beats R open files.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.sort.results", "false")
@@ -298,6 +311,8 @@ object Bench {
       "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
       "aqe" -> spark.conf.get("spark.sql.adaptive.enabled"),
       "codegen_cache" -> spark.conf.get("spark.sql.codegen.cache.maxEntries"),
+      "bypass_merge_threshold" ->
+        spark.conf.get("spark.shuffle.sort.bypassMergeThreshold"),
       "repeats" -> repeats.toString,
       "host_cpu" -> hostCpu,
       "host_cores" -> Runtime.getRuntime.availableProcessors.toString,

@@ -18,6 +18,9 @@ object Smoke {
       // TIMESTAMP_LTZ raw-micros (the DuckDB oracle's epoch_us view), not NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same shuffle-writer setting as Bench/Verify (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

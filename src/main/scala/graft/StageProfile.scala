@@ -27,6 +27,8 @@ object StageProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,18 +41,57 @@ object StageProfile {
         val i = e.stageInfo
         val wall = (for {s <- i.submissionTime; c <- i.completionTime}
           yield c - s).getOrElse(-1L)
-        stages += Row(i.stageId, i.name.takeWhile(_ != '\n'), wall,
+        // the short name is almost always an internal thread-pool frame;
+        // the first graft.* line of the long-form callsite is the
+        // operator that actually submitted the stage
+        val site = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("StageProfile"))
+          .getOrElse(i.name.takeWhile(_ != '\n')).trim
+        stages += Row(i.stageId, site, wall,
           i.taskMetrics.executorCpuTime / 1000000,
           i.numTasks, i.taskMetrics.outputMetrics.recordsWritten)
       }
     })
+    // Poor-man's sampling profiler over the executor worker threads
+    // (async tools are unavailable in this sandbox): 20 Hz stack
+    // samples, aggregated by the top-most frame of interest.
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          Thread.getAllStackTraces.forEach { (t, st) =>
+            if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+              val frame = st.find { f =>
+                val c = f.getClassName
+                !c.startsWith("java.") && !c.startsWith("jdk.") &&
+                  !c.startsWith("scala.") && !c.startsWith("sun.")
+              }.getOrElse(st.head)
+              val key = s"${frame.getClassName}.${frame.getMethodName}"
+              samples.computeIfAbsent(key,
+                _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+            }
+          }
+        }
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     (1 to repeats).foreach { r =>
       spark.catalog.clearCache()
-      if (r == repeats) stages.clear()  // keep only the warmest pass
+      if (r == repeats) { stages.clear(); samples.clear() } // warmest pass only
+      sampling = true
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      sampling = false
       System.err.println(f"[profile] pass $r wall ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    locally {
+      import scala.jdk.CollectionConverters._
+      val top = samples.asScala.toSeq.sortBy(-_._2.get).take(25)
+      top.foreach { case (k, v) => println(f"[sample] ${v.get}%6d $k") }
     }
     org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
     val total = stages.map(_.cpuMs).sum

@@ -15,6 +15,11 @@ object Verify {
       // TIMESTAMP_LTZ raw-micros (the DuckDB oracle's epoch_us view), not NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sort-based shuffle writer in the small-reduce-count regime —
+      // same setting (and rationale) as Bench.scala: verify runs the
+      // identical engine configuration the bench times
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
