@@ -61,13 +61,21 @@ object StageProfile {
       while (true) {
         if (sampling) {
           Thread.getAllStackTraces.forEach { (t, st) =>
-            if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+            val n = t.getName
+            val exec = n.startsWith("Executor task launch")
+            // the micro-batch driver loop and the main driver thread:
+            // where streaming-row wall hides when executors are parked
+            val drv = n.contains("stream execution thread") || n == "main" ||
+              n.startsWith("QueryStageCreator")
+            if ((exec || drv) && st.nonEmpty &&
+                t.getState == Thread.State.RUNNABLE) {
               val frame = st.find { f =>
                 val c = f.getClassName
                 !c.startsWith("java.") && !c.startsWith("jdk.") &&
                   !c.startsWith("scala.") && !c.startsWith("sun.")
               }.getOrElse(st.head)
-              val key = s"${frame.getClassName}.${frame.getMethodName}"
+              val key = (if (exec) "exec " else "drv  ") +
+                s"${frame.getClassName}.${frame.getMethodName}"
               samples.computeIfAbsent(key,
                 _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
             }
