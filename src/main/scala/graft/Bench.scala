@@ -71,6 +71,16 @@ object Bench {
       // one spill file + index per map task beats R open files.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      // Raw local filesystem for file:// (SPARK_GRAFT_FILE_IMPL
+      // overrides): without native Hadoop libs the default checksummed
+      // LocalFileSystem shells out `ls -ld`/chmod PER FILE touched
+      // (stack-sampled: Shell.runCommand dominating idle wall of every
+      // write-heavy row) and writes a .crc shadow beside every file.
+      // Local-environment fix, inert at scale: HDFS/S3 never route
+      // through this path (q_corrupt_parquet_scan 4.8 -> 1.6 s).
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_FILE_IMPL",
+          "org.apache.hadoop.fs.RawLocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.sort.results", "false")
@@ -313,6 +323,8 @@ object Bench {
       "codegen_cache" -> spark.conf.get("spark.sql.codegen.cache.maxEntries"),
       "bypass_merge_threshold" ->
         spark.conf.get("spark.shuffle.sort.bypassMergeThreshold"),
+      "file_impl" -> spark.conf
+        .get("spark.hadoop.fs.file.impl", "default").split("\\.").last,
       "repeats" -> repeats.toString,
       "host_cpu" -> hostCpu,
       "host_cores" -> Runtime.getRuntime.availableProcessors.toString,

@@ -21,6 +21,16 @@ object Smoke {
       // same shuffle-writer setting as Bench/Verify (see Bench.scala)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      // Raw local filesystem for file:// (SPARK_GRAFT_FILE_IMPL
+      // overrides): without native Hadoop libs the default checksummed
+      // LocalFileSystem shells out `ls -ld`/chmod PER FILE touched
+      // (stack-sampled: Shell.runCommand dominating idle wall of every
+      // write-heavy row) and writes a .crc shadow beside every file.
+      // Local-environment fix, inert at scale: HDFS/S3 never route
+      // through this path (q_corrupt_parquet_scan 4.8 -> 1.6 s).
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_FILE_IMPL",
+          "org.apache.hadoop.fs.RawLocalFileSystem"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

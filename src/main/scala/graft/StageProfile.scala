@@ -29,6 +29,9 @@ object StageProfile {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_FILE_IMPL",
+          "org.apache.hadoop.fs.RawLocalFileSystem"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
