@@ -76,12 +76,17 @@ object StreamOracle {
     * [[StateStores.withStatePartitions]].
     *
     * Use for STATEFUL drains whose per-batch work is dominated by
-    * state-store machinery. Two measured exceptions keep the session
+    * state-store machinery. Three measured exceptions keep the session
     * default: foreachBatch sketch maintenance (no state stores at all —
     * narrowing only cuts the per-batch merge jobs' reduce parallelism;
-    * kmv regressed 1.5×) and the watch pipeline (its per-key state
+    * kmv regressed 1.5×), the watch pipeline (its per-key state
     * machine is the CPU; one landing file would derive 1 partition and
-    * serialize it — measured 9.5 → 26.5 s).
+    * serialize it — measured 9.5 → 26.5 s), and the MinHash near-dup
+    * drain (same CPU-bound per-key shape — the byte rule starves it
+    * once volume grows: sf1 37.1 s derived vs ~22 s at 8-32
+    * partitions). The rule fits drains whose per-row state work is a
+    * hash-aggregate update; CPU-heavy per-key folds want core-count
+    * parallelism regardless of landed bytes.
     */
   private[streaming] def withLandedPartitions[T](
       spark: SparkSession, paths: String*)(body: => T): T =
@@ -201,10 +206,15 @@ object StreamOracle {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), constTs, col("text"))
       .repartition(LandingFiles).write.json(s"$tmp/landing")
-    withLandedPartitions(spark, s"$tmp/landing") {
-      drain(StreamNearDup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
-        "neardup")
-    }
+    // NO withLandedPartitions here — the third measured exception (see
+    // the wrapper's scaladoc): the per-bucket CloneGroup state machine
+    // is CPU-bound like the watch pipeline, and byte-derived partition
+    // counts starve it as volume grows (sf1: 37.1 s derived vs 21.7 s
+    // at 8 and 21.8 s at 32 partitions, min-of-3 isolated; sf0.1 the
+    // wrapper's gain was only ~1.3 s). The hash-agg-state drains keep
+    // the derived rule — their per-row work is trivial.
+    drain(StreamNearDup.start(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"),
+      "neardup")
     val r = spark.read
       .schema("doc_a LONG, doc_b LONG, jaccard DOUBLE, band_idx INT")
       .json(s"$tmp/out")
